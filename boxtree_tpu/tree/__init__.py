@@ -1,0 +1,1 @@
+from boxtree_tpu import config  # noqa: F401

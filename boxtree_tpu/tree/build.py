@@ -1,0 +1,514 @@
+"""Sort-based, TPU-native adaptive tree build.
+
+Algorithm (an idiomatic-XLA redesign of ``boxtree/tree_build.py:145-1878``):
+
+1. Encode every particle's full-depth Morton key and sort once
+   (``jax.lax.sort``).  The reference instead re-sorts particles into child
+   boxes once per level (``boxtree/tree_build_kernels.py:717-819``); after a
+   full-depth sort that per-level renumbering is already implied by key
+   prefixes, so the level loop needs no data movement at all.
+2. A bounded ``lax.while_loop`` over levels assigns every particle its
+   *leaf level*: the first level at which the cumulative refine weight of
+   its (prefix-defined) box drops to ``max_leaf_refine_weight`` or below.
+   This reproduces the reference's split rule exactly
+   (``boxtree/tree_build_kernels.py:577-611``: split iff overfull, i.e.
+   leaf iff weight <= max), and per-level box *counts* fall out of the same
+   loop — so the box arrays can then be allocated exactly, with no
+   realloc-and-restart protocol (``boxtree/tree_build.py:914-1006``).
+3. A second (statically unrolled, ``nlevels`` trips) pass materializes the
+   per-box arrays with vectorized segmented scans and scatters: box Morton
+   prefixes, levels, particle ranges, parent/child links, centers, flags.
+
+Boxes are numbered level-major and Morton-ordered within each level,
+matching the reference's post-prune numbering.  Empty boxes are never
+created (equivalent to the reference's empty-leaf pruning,
+``boxtree/tree_build.py:1328-1457``); ``skip_prune`` is not supported.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from boxtree_tpu import config
+from boxtree_tpu.ops import morton
+from boxtree_tpu.tree.containers import Tree, box_flags_enum
+
+
+class MaxLevelsExceeded(RuntimeError):
+    """Raised when the tree would need more levels than Morton keys can
+    represent (mirrors ``boxtree/tree_build.py:79``)."""
+
+
+_TREE_KINDS = ("adaptive", "adaptive-level-restricted", "non-adaptive")
+
+
+# {{{ phase A: sort + leaf-level assignment
+
+def _segment_fields(pfx, active, n):
+    """Segment structure of the (sorted) particle array at one level.
+
+    A segment is a maximal run of *active* particles sharing the same
+    prefix, i.e. the particle set of one box's subtree.
+    Returns ``(is_start, lo, hi)`` where ``[lo[i], hi[i])`` is the segment
+    containing particle ``i`` (garbage for inactive particles).
+    """
+    iota = jnp.arange(n, dtype=jnp.int64)
+    prev_active = jnp.concatenate(
+        [jnp.zeros(1, bool), active[:-1]])
+    diff = jnp.concatenate(
+        [jnp.ones(1, bool), pfx[1:] != pfx[:-1]])
+    is_start = active & (diff | ~prev_active)
+
+    start_idx = jnp.where(is_start, iota, jnp.int64(0))
+    lo = lax.cummax(start_idx)
+
+    boundary = is_start | ~active
+    nxt = jnp.where(boundary, iota, jnp.int64(n))
+    suf = lax.cummin(nxt[::-1])[::-1]
+    hi = jnp.concatenate([suf[1:], jnp.full((1,), n, jnp.int64)])
+    return is_start, lo, hi
+
+
+@partial(jax.jit,
+         static_argnames=("dimensions", "depth", "adaptive"))
+def _phase_a(coords, weights, bbox_min, root_extent, max_weight,
+             *, dimensions, depth, adaptive):
+    """Morton sort + leaf-level assignment + per-level box counts.
+
+    :returns: ``(codes_s, order, leaf_level, counts, n_unfit)``.
+        ``counts[l]`` is the number of (non-empty) boxes at level ``l``;
+        ``n_unfit`` is the number of particles whose box is still overfull
+        at the maximum representable depth (0 in a successful build).
+    """
+    n = coords.shape[1]
+    codes = morton.encode_points(coords, bbox_min, root_extent, depth)
+
+    iota32 = jnp.arange(n, dtype=jnp.int32)
+    codes_s, order = lax.sort((codes, iota32), num_keys=1)
+
+    w_s = weights[order].astype(jnp.int64)
+    cumw = jnp.concatenate([jnp.zeros(1, jnp.int64), jnp.cumsum(w_s)])
+
+    max_weight = jnp.asarray(max_weight, jnp.int64)
+
+    def box_weights(level, active):
+        shift = jnp.int64(dimensions) * (jnp.int64(depth) - level)
+        pfx = codes_s >> shift
+        is_start, lo, hi = _segment_fields(pfx, active, n)
+        w = cumw[hi] - cumw[lo]
+        return is_start, w
+
+    counts0 = jnp.zeros(depth + 2, jnp.int64)
+
+    if adaptive:
+        def cond(state):
+            level, assigned, _leaf_level, _counts = state
+            return (level <= depth) & jnp.any(~assigned)
+
+        def body(state):
+            level, assigned, leaf_level, counts = state
+            active = ~assigned
+            is_start, w = box_weights(level, active)
+            counts = counts.at[level].set(jnp.sum(is_start))
+            done = active & (w <= max_weight)
+            leaf_level = jnp.where(done, level.astype(jnp.int32), leaf_level)
+            return level + 1, assigned | done, leaf_level, counts
+
+        init = (jnp.int64(0), jnp.zeros(n, bool),
+                jnp.full(n, depth, jnp.int32), counts0)
+        _, assigned, leaf_level, counts = lax.while_loop(cond, body, init)
+        n_unfit = jnp.sum(~assigned)
+    else:
+        # Non-adaptive: uniform depth = first level at which no box is
+        # overfull (reference: every box splits while any is overfull,
+        # boxtree/tree_build_kernels.py:580-591 with adaptive=False).
+        def cond(state):
+            level, found, _d_used, _counts = state
+            return (level <= depth) & ~found
+
+        def body(state):
+            level, found, d_used, counts = state
+            active = jnp.ones(n, bool)
+            is_start, w = box_weights(level, active)
+            counts = counts.at[level].set(jnp.sum(is_start))
+            all_ok = jnp.all(w <= max_weight)
+            d_used = jnp.where(~found & all_ok, level.astype(jnp.int32),
+                               d_used)
+            return level + 1, found | all_ok, d_used, counts
+
+        init = (jnp.int64(0), jnp.asarray(False),
+                jnp.int32(depth), counts0)
+        _, found, d_used, counts = lax.while_loop(cond, body, init)
+        leaf_level = jnp.full(n, d_used, jnp.int32)
+        n_unfit = jnp.where(found, 0, n).astype(jnp.int64)
+        # levels beyond d_used were never visited; counts already 0 there
+
+    return codes_s, order, leaf_level, counts, n_unfit
+
+# }}}
+
+
+# {{{ phase B: materialize box arrays
+
+def _exclusive_cumsum(x):
+    return jnp.concatenate(
+        [jnp.zeros(1, x.dtype), jnp.cumsum(x)])
+
+
+@partial(jax.jit, static_argnames=(
+    "dimensions", "depth", "nlevels", "cap", "nsources", "ntargets",
+    "sources_are_targets"))
+def _phase_b(codes_s, order, leaf_level, level_starts, merged_coords,
+             bbox_min, root_extent,
+             *, dimensions, depth, nlevels, cap, nsources, ntargets,
+             sources_are_targets):
+    d = dimensions
+    n = codes_s.shape[0]
+    nchild = 2 ** d
+    coord_dtype = merged_coords.dtype
+    iota = jnp.arange(n, dtype=jnp.int64)
+
+    box_morton = jnp.zeros(cap, jnp.int64)
+    box_level = jnp.zeros(cap, jnp.int32)
+    box_start = jnp.zeros(cap, jnp.int64)
+    box_count_cumul = jnp.zeros(cap, jnp.int64)
+    box_count_nonchild = jnp.zeros(cap, jnp.int64)
+    box_has_children = jnp.zeros(cap, bool)
+    box_parent = jnp.zeros(cap, jnp.int32)
+    box_child = jnp.zeros((nchild, cap), jnp.int32)
+    box_centers = jnp.zeros((d, cap), coord_dtype)
+
+    prev_box = jnp.zeros(n, jnp.int32)
+    leaf_box = jnp.zeros(n, jnp.int32)
+
+    for level in range(nlevels):
+        shift = d * (depth - level)
+        pfx = codes_s >> jnp.int64(shift)
+        active = leaf_level >= level
+        is_start, lo, hi = _segment_fields(pfx, active, n)
+
+        idx_in_level = jnp.cumsum(is_start.astype(jnp.int64)) - 1
+        slot = (level_starts[level] + idx_in_level).astype(jnp.int32)
+        tslot = jnp.where(is_start, slot, cap)
+
+        deeper = _exclusive_cumsum((leaf_level > level).astype(jnp.int64))
+        n_deeper = deeper[hi] - deeper[iota]
+
+        box_morton = box_morton.at[tslot].set(pfx, mode="drop")
+        box_level = box_level.at[tslot].set(level, mode="drop")
+        box_start = box_start.at[tslot].set(iota, mode="drop")
+        box_count_cumul = box_count_cumul.at[tslot].set(
+            hi - iota, mode="drop")
+        box_count_nonchild = box_count_nonchild.at[tslot].set(
+            (hi - iota) - n_deeper, mode="drop")
+        box_has_children = box_has_children.at[tslot].set(
+            n_deeper > 0, mode="drop")
+
+        # centers from decoded cell coordinates
+        cells = morton.deinterleave(
+            pfx << jnp.int64(d * (depth - level)), d) >> jnp.int64(
+                depth - level)
+        inv_size = jnp.asarray(root_extent, coord_dtype) / (1 << level)
+        centers = (bbox_min[:, None].astype(coord_dtype)
+                   + (cells.astype(coord_dtype) + 0.5) * inv_size)
+        box_centers = box_centers.at[:, tslot].set(centers, mode="drop")
+
+        if level > 0:
+            box_parent = box_parent.at[tslot].set(prev_box, mode="drop")
+            digit = (pfx & (nchild - 1)).astype(jnp.int32)
+            dig_t = jnp.where(is_start, digit, nchild)
+            box_child = box_child.at[dig_t, prev_box].set(
+                slot, mode="drop")
+
+        box_of_cur = jnp.where(
+            active, (level_starts[level] + idx_in_level).astype(jnp.int32),
+            prev_box)
+        leaf_box = jnp.where(leaf_level == level, box_of_cur, leaf_box)
+        prev_box = box_of_cur
+
+    # {{{ source/target split
+
+    if sources_are_targets:
+        is_source_s = jnp.ones(n, bool)
+    else:
+        is_source_s = order < nsources
+
+    cumsrc = _exclusive_cumsum(is_source_s.astype(jnp.int64))
+    box_source_starts = cumsrc[box_start]
+    box_source_counts_cumul = (
+        cumsrc[box_start + box_count_cumul] - box_source_starts)
+    box_source_counts_nonchild = (
+        cumsrc[box_start + box_count_nonchild] - box_source_starts)
+
+    pid = config.particle_id_dtype
+    pos_src = cumsrc[:-1]
+    src_scatter = jnp.where(is_source_s, pos_src, nsources)
+    user_source_ids = jnp.zeros(nsources, pid).at[src_scatter].set(
+        order.astype(pid), mode="drop")
+    box_id_of_source = jnp.zeros(nsources, jnp.int32).at[src_scatter].set(
+        leaf_box, mode="drop")
+    sources = merged_coords[:, user_source_ids]
+
+    if sources_are_targets:
+        box_target_starts = box_source_starts
+        box_target_counts_cumul = box_source_counts_cumul
+        box_target_counts_nonchild = box_source_counts_nonchild
+        targets = sources
+        box_id_of_target = box_id_of_source
+        # user target id -> tree order position
+        sorted_target_ids = jnp.zeros(nsources, pid).at[order].set(
+            jnp.arange(n, dtype=pid))
+    else:
+        is_target_s = ~is_source_s
+        cumtgt = _exclusive_cumsum(is_target_s.astype(jnp.int64))
+        box_target_starts = cumtgt[box_start]
+        box_target_counts_cumul = (
+            cumtgt[box_start + box_count_cumul] - box_target_starts)
+        box_target_counts_nonchild = (
+            cumtgt[box_start + box_count_nonchild] - box_target_starts)
+
+        pos_tgt = cumtgt[:-1]
+        tgt_scatter = jnp.where(is_target_s, pos_tgt, ntargets)
+        user_target_id = order - nsources
+        user_target_ids = jnp.zeros(ntargets, pid).at[tgt_scatter].set(
+            user_target_id.astype(pid), mode="drop")
+        sorted_target_ids = jnp.zeros(ntargets, pid).at[
+            jnp.where(is_target_s, user_target_id, ntargets)].set(
+                pos_tgt.astype(pid), mode="drop")
+        box_id_of_target = jnp.zeros(ntargets, jnp.int32).at[
+            tgt_scatter].set(leaf_box, mode="drop")
+        targets = merged_coords[:, nsources + user_target_ids]
+
+    # }}}
+
+    # {{{ box flags (rules mirror boxtree/tree_build_kernels.py:1210-1305)
+
+    flags = jnp.where(box_has_children,
+                      box_flags_enum.HAS_SOURCE_OR_TARGET_CHILD_BOXES, 0
+                      ).astype(jnp.int32)
+    flags = flags | jnp.where(
+        box_source_counts_nonchild > 0, box_flags_enum.IS_SOURCE_BOX, 0)
+    flags = flags | jnp.where(
+        box_target_counts_nonchild > 0, box_flags_enum.IS_TARGET_BOX, 0)
+    # Extension: IS_LEAF_BOX maintained for particle trees too.
+    flags = flags | jnp.where(
+        ~box_has_children, box_flags_enum.IS_LEAF_BOX, 0)
+
+    # }}}
+
+    return dict(
+        box_morton=box_morton,
+        box_level=box_level,
+        box_start=box_start,
+        box_parent=box_parent,
+        box_child=box_child,
+        box_centers=box_centers,
+        box_flags=flags,
+        box_source_starts=box_source_starts.astype(pid),
+        box_source_counts_cumul=box_source_counts_cumul.astype(pid),
+        box_source_counts_nonchild=box_source_counts_nonchild.astype(pid),
+        box_target_starts=box_target_starts.astype(pid),
+        box_target_counts_cumul=box_target_counts_cumul.astype(pid),
+        box_target_counts_nonchild=box_target_counts_nonchild.astype(pid),
+        user_source_ids=user_source_ids,
+        sorted_target_ids=sorted_target_ids,
+        sources=sources,
+        targets=targets,
+        box_id_of_source=box_id_of_source,
+        box_id_of_target=box_id_of_target,
+    )
+
+# }}}
+
+
+# {{{ host driver
+
+def _as_coord_array(particles):
+    """Accept either a ``(d, n)`` array or a sequence of ``(n,)`` arrays."""
+    if isinstance(particles, (list, tuple)) or (
+            isinstance(particles, np.ndarray) and particles.dtype == object):
+        return jnp.stack([jnp.asarray(p) for p in particles])
+    arr = jnp.asarray(particles)
+    if arr.ndim != 2:
+        raise ValueError("particles must be (dimensions, nparticles)")
+    return arr
+
+
+def _compute_bbox(coords, bbox, dimensions, coord_dtype):
+    """Square, slightly stretched bounding box
+    (mirrors ``boxtree/tree_build.py:456-510``)."""
+    if bbox is None:
+        bbox_min = np.asarray(jnp.min(coords, axis=1))
+        bbox_max = np.asarray(jnp.max(coords, axis=1))
+        root_extent = float(np.max(bbox_max - bbox_min)) \
+            * (1 + config.ROOT_EXTENT_STRETCH_FACTOR)
+    else:
+        bbox = np.asarray(bbox, dtype=coord_dtype)
+        if bbox.shape != (dimensions, 2):
+            raise ValueError("bbox must have shape (dimensions, 2)")
+        bbox_min = bbox[:, 0].copy()
+        bbox_max = bbox[:, 1]
+        exts = bbox_max - bbox_min
+        if not np.allclose(exts, exts[0], rtol=1e-14, atol=0):
+            raise ValueError("bbox must be square")
+        root_extent = float(exts[0])
+    return np.asarray(bbox_min, coord_dtype), root_extent
+
+
+def build_tree(particles, kind="adaptive", max_particles_in_box=None,
+               targets=None, source_radii=None, target_radii=None,
+               stick_out_factor=None, refine_weights=None,
+               max_leaf_refine_weight=None, extent_norm=None,
+               bbox=None, debug=False, **kwargs):
+    """Build a :class:`boxtree_tpu.Tree` of *particles*.
+
+    API mirrors ``TreeBuilder.__call__`` (``boxtree/tree_build.py:145-214``);
+    see there for argument semantics.  There is no array-context argument —
+    all computation runs under JAX on the default device.
+    """
+    if kind not in _TREE_KINDS:
+        raise ValueError(f"unknown tree kind: '{kind}'")
+
+    coords = _as_coord_array(particles)
+    dimensions, nsources = coords.shape
+    coord_dtype = coords.dtype
+    sources_are_targets = targets is None
+
+    if source_radii is not None or target_radii is not None:
+        raise NotImplementedError(
+            "particle radii (extents) are not implemented yet")
+    if stick_out_factor is None:
+        stick_out_factor = 0.0
+
+    if targets is not None:
+        tgt_coords = _as_coord_array(targets)
+        if tgt_coords.dtype != coord_dtype:
+            raise TypeError("sources and targets must have the same dtype")
+        ntargets = tgt_coords.shape[1]
+        merged = jnp.concatenate([coords, tgt_coords], axis=1)
+    else:
+        ntargets = nsources
+        merged = coords
+    n = merged.shape[1]
+    if n == 0:
+        raise ValueError("cannot build a tree from zero particles")
+
+    # refine weights (mirror boxtree/tree_build.py:405-453)
+    if max_particles_in_box is not None:
+        if refine_weights is not None or max_leaf_refine_weight is not None:
+            raise ValueError(
+                "may not specify both max_particles_in_box and "
+                "refine_weights/max_leaf_refine_weight")
+        weights = jnp.ones(n, dtype=jnp.int32)
+        max_weight = int(max_particles_in_box)
+    elif refine_weights is not None:
+        if max_leaf_refine_weight is None:
+            raise ValueError("must specify max_leaf_refine_weight with "
+                             "refine_weights")
+        weights = jnp.asarray(refine_weights)
+        if weights.dtype != np.int32:
+            raise TypeError("refine_weights must have dtype int32")
+        if weights.shape != (n,):
+            raise ValueError("refine_weights must have one entry per "
+                             "source-and-target particle")
+        max_weight = int(max_leaf_refine_weight)
+    else:
+        raise ValueError("must specify either max_particles_in_box or "
+                         "refine_weights/max_leaf_refine_weight")
+
+    bbox_min, root_extent = _compute_bbox(merged, bbox, dimensions,
+                                          coord_dtype)
+    depth = config.max_morton_depth(dimensions)
+
+    codes_s, order, leaf_level, counts, n_unfit = _phase_a(
+        merged, weights, jnp.asarray(bbox_min), root_extent,
+        max_weight, dimensions=dimensions, depth=depth,
+        adaptive=(kind != "non-adaptive"))
+
+    n_unfit = int(n_unfit)
+    if n_unfit:
+        raise MaxLevelsExceeded(
+            f"{n_unfit} particles remain in overfull boxes at the deepest "
+            f"representable level ({depth})")
+
+    if kind == "adaptive-level-restricted":
+        from boxtree_tpu.tree.level_restrict import restrict_leaf_levels
+        leaf_level, counts = restrict_leaf_levels(
+            codes_s, leaf_level, dimensions=dimensions, depth=depth)
+
+    counts = np.asarray(counts)
+    nlevels = int(np.max(np.nonzero(counts)[0])) + 1
+    level_starts = np.concatenate(
+        [[0], np.cumsum(counts[:nlevels])]).astype(np.int64)
+    nboxes = int(level_starts[-1])
+
+    out = _phase_b(
+        codes_s, order, leaf_level, jnp.asarray(level_starts),
+        merged, jnp.asarray(bbox_min), root_extent,
+        dimensions=dimensions, depth=depth, nlevels=nlevels, cap=nboxes,
+        nsources=nsources, ntargets=ntargets,
+        sources_are_targets=sources_are_targets)
+
+    return Tree(
+        root_extent=jnp.asarray(root_extent, coord_dtype),
+        box_centers=out["box_centers"],
+        box_parent_ids=out["box_parent"],
+        box_child_ids=out["box_child"],
+        box_levels=out["box_level"],
+        box_flags=out["box_flags"],
+        box_morton_prefixes=out["box_morton"],
+        level_start_box_nrs=tuple(int(x) for x in level_starts),
+        box_id_dtype=config.box_id_dtype,
+        box_level_dtype=config.box_level_dtype,
+        coord_dtype=np.dtype(coord_dtype),
+        sources_have_extent=source_radii is not None,
+        targets_have_extent=target_radii is not None,
+        extent_norm=extent_norm,
+        stick_out_factor=float(stick_out_factor),
+        _is_pruned=True,
+        max_depth=depth,
+        sources_are_targets=sources_are_targets,
+        particle_id_dtype=config.particle_id_dtype,
+        sources=out["sources"],
+        source_radii=None,
+        targets=out["targets"],
+        target_radii=None,
+        user_source_ids=out["user_source_ids"],
+        sorted_target_ids=out["sorted_target_ids"],
+        box_source_starts=out["box_source_starts"],
+        box_source_counts_nonchild=out["box_source_counts_nonchild"],
+        box_source_counts_cumul=out["box_source_counts_cumul"],
+        box_target_starts=out["box_target_starts"],
+        box_target_counts_nonchild=out["box_target_counts_nonchild"],
+        box_target_counts_cumul=out["box_target_counts_cumul"],
+        box_source_bounding_box_min=None,
+        box_source_bounding_box_max=None,
+        box_target_bounding_box_min=None,
+        box_target_bounding_box_max=None,
+        box_id_of_source=out["box_id_of_source"],
+        box_id_of_target=out["box_id_of_target"],
+    )
+
+
+class TreeBuilder:
+    """Callable-class wrapper for API parity with the reference
+    ``boxtree.TreeBuilder``.  Stateless; kernels are jit-cached globally."""
+
+    ROOT_EXTENT_STRETCH_FACTOR = config.ROOT_EXTENT_STRETCH_FACTOR
+
+    def __init__(self, actx=None):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        # tolerate a leading array-context-like argument for parity
+        if args and not hasattr(args[0], "shape") \
+                and not isinstance(args[0], (list, tuple, np.ndarray)):
+            args = args[1:]
+        return build_tree(*args, **kwargs)
+
+# }}}

@@ -1,0 +1,13 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
+# without TPU hardware; the real-TPU path is exercised by bench.py).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import boxtree_tpu  # noqa: E402, F401  (enables x64)
