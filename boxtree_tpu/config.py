@@ -12,10 +12,34 @@ faster on TPU vector units and removes narrow-int layout constraints).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
 jax.config.update("jax_enable_x64", True)
+
+# Honor an explicit JAX_PLATFORMS from the environment.  (Some site
+# customizations re-register platform plugins and overwrite the setting;
+# restoring it here keeps `JAX_PLATFORMS=cpu python ...` working.)
+_env_platforms = os.environ.get("JAX_PLATFORMS")
+if _env_platforms and jax.config.jax_platforms != _env_platforms:
+    try:
+        jax.config.update("jax_platforms", _env_platforms)
+    except Exception:  # pragma: no cover
+        pass
+
+# Persistent compilation cache: the traversal builder compiles one small
+# kernel per (list, level) combination; caching makes repeat builds (and
+# repeat benchmark runs) nearly compile-free.
+_cache_dir = os.environ.get(
+    "BOXTREE_TPU_CACHE", os.path.expanduser("~/.cache/boxtree_tpu_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax
+    pass
 
 # id dtypes
 box_id_dtype = np.dtype(np.int32)

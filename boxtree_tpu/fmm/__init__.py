@@ -1,1 +1,12 @@
 from boxtree_tpu import config  # noqa: F401
+from boxtree_tpu.fmm.drive import (
+    ExpansionWranglerInterface,
+    TreeIndependentDataForWrangler,
+    drive_fmm,
+)
+
+__all__ = [
+    "ExpansionWranglerInterface",
+    "TreeIndependentDataForWrangler",
+    "drive_fmm",
+]

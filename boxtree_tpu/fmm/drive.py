@@ -1,0 +1,200 @@
+"""FMM driver and expansion-wrangler interface.
+
+Mirrors ``boxtree/fmm.py`` stage for stage: the 8-stage FMM orchestration
+(P2M, M2M, P2P over List 1, M2L over List 2, M2P over per-level List 3,
+P2L over List 4, L2L, L2P) over an abstract wrangler, with distributed
+hooks that default to no-ops (``boxtree/fmm.py:281-337``).
+
+The array-context argument of the reference is dropped — everything runs
+under JAX — but method names, argument lists and semantics are otherwise
+identical so wranglers can be ported directly.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+
+class TreeIndependentDataForWrangler:
+    """Kernel-specific, tree-independent data (e.g. precomputed translation
+    operators).  Mirrors ``boxtree/fmm.py:51-66``."""
+
+
+class ExpansionWranglerInterface(ABC):
+    """Abstract expansion handling interface for :func:`drive_fmm`.
+    Mirrors ``boxtree/fmm.py:69-337``."""
+
+    def __init__(self, tree_indep, traversal):
+        self.tree_indep = tree_indep
+        self.traversal = traversal
+
+    @property
+    def tree(self):
+        return self.traversal.tree
+
+    @abstractmethod
+    def reorder_sources(self, source_array):
+        pass
+
+    @abstractmethod
+    def reorder_potentials(self, potentials):
+        pass
+
+    @abstractmethod
+    def multipole_expansions_view(self, mpole_exps, level):
+        pass
+
+    @abstractmethod
+    def local_expansions_view(self, local_exps, level):
+        pass
+
+    @abstractmethod
+    def form_multipoles(self, level_start_source_box_nrs, source_boxes,
+                        src_weight_vecs):
+        pass
+
+    @abstractmethod
+    def coarsen_multipoles(self, level_start_source_parent_box_nrs,
+                           source_parent_boxes, mpoles):
+        pass
+
+    @abstractmethod
+    def eval_direct(self, target_boxes, neighbor_sources_starts,
+                    neighbor_sources_lists, src_weight_vecs):
+        pass
+
+    @abstractmethod
+    def multipole_to_local(self, level_start_target_or_target_parent_box_nrs,
+                           target_or_target_parent_boxes, starts, lists,
+                           mpole_exps):
+        pass
+
+    @abstractmethod
+    def eval_multipoles(self, target_boxes_by_source_level,
+                        from_sep_smaller_by_level, mpole_exps):
+        pass
+
+    @abstractmethod
+    def form_locals(self, level_start_target_or_target_parent_box_nrs,
+                    target_or_target_parent_boxes, starts, lists,
+                    src_weight_vecs):
+        pass
+
+    @abstractmethod
+    def refine_locals(self, level_start_target_or_target_parent_box_nrs,
+                      target_or_target_parent_boxes, local_exps):
+        pass
+
+    @abstractmethod
+    def eval_locals(self, level_start_target_box_nrs, target_boxes,
+                    local_exps):
+        pass
+
+    @abstractmethod
+    def finalize_potentials(self, potentials):
+        pass
+
+    # {{{ distributed hooks (no-ops by default, boxtree/fmm.py:281-337)
+
+    def distribute_source_weights(self, src_weight_vecs, src_idx_all_ranks):
+        return src_weight_vecs
+
+    def gather_potential_results(self, potentials, tgt_idx_all_ranks):
+        return potentials
+
+    def communicate_mpoles(self, mpole_exps, return_stats=False):
+        return mpole_exps
+
+    # }}}
+
+
+def drive_fmm(wrangler, src_weight_vecs, *,
+              global_src_idx_all_ranks=None,
+              global_tgt_idx_all_ranks=None,
+              timing_data=None):
+    """Top-level FMM driver; mirrors ``boxtree/fmm.py:342-532``.
+
+    :arg timing_data: optional dict; if given, per-stage results are
+        recorded into it (stage name -> None placeholder; wall timing is
+        the caller's business under JAX's async dispatch).
+    """
+    traversal = wrangler.traversal
+
+    src_weight_vecs = [wrangler.reorder_sources(w) for w in src_weight_vecs]
+    src_weight_vecs = wrangler.distribute_source_weights(
+        src_weight_vecs, global_src_idx_all_ranks)
+
+    # Step 2.1: construct local multipoles
+    mpole_exps = wrangler.form_multipoles(
+        traversal.level_start_source_box_nrs,
+        traversal.source_boxes,
+        src_weight_vecs)
+
+    # Step 2.2: propagate multipoles upward
+    mpole_exps = wrangler.coarsen_multipoles(
+        traversal.level_start_source_parent_box_nrs,
+        traversal.source_parent_boxes,
+        mpole_exps)
+
+    mpole_exps = wrangler.communicate_mpoles(mpole_exps)
+
+    # Stage 3: direct evaluation from neighbor source boxes ("list 1")
+    potentials = wrangler.eval_direct(
+        traversal.target_boxes,
+        traversal.neighbor_source_boxes_starts,
+        traversal.neighbor_source_boxes_lists,
+        src_weight_vecs)
+
+    # Stage 4: translate separated siblings' ("list 2") mpoles to local
+    local_exps = wrangler.multipole_to_local(
+        traversal.level_start_target_or_target_parent_box_nrs,
+        traversal.target_or_target_parent_boxes,
+        traversal.from_sep_siblings_starts,
+        traversal.from_sep_siblings_lists,
+        mpole_exps)
+
+    # Stage 5: evaluate separated smaller mpoles ("list 3") at particles
+    mpole_result = wrangler.eval_multipoles(
+        traversal.target_boxes_sep_smaller_by_source_level,
+        traversal.from_sep_smaller_by_level,
+        mpole_exps)
+    potentials = potentials + mpole_result
+
+    if traversal.from_sep_close_smaller_starts is not None:
+        potentials = potentials + wrangler.eval_direct(
+            traversal.target_boxes,
+            traversal.from_sep_close_smaller_starts,
+            traversal.from_sep_close_smaller_lists,
+            src_weight_vecs)
+
+    # Stage 6: form locals for separated bigger source boxes ("list 4")
+    local_exps = local_exps + wrangler.form_locals(
+        traversal.level_start_target_or_target_parent_box_nrs,
+        traversal.target_or_target_parent_boxes,
+        traversal.from_sep_bigger_starts,
+        traversal.from_sep_bigger_lists,
+        src_weight_vecs)
+
+    if traversal.from_sep_close_bigger_starts is not None:
+        potentials = potentials + wrangler.eval_direct(
+            traversal.target_boxes,
+            traversal.from_sep_close_bigger_starts,
+            traversal.from_sep_close_bigger_lists,
+            src_weight_vecs)
+
+    # Stage 7: propagate local_exps downward
+    local_exps = wrangler.refine_locals(
+        traversal.level_start_target_or_target_parent_box_nrs,
+        traversal.target_or_target_parent_boxes,
+        local_exps)
+
+    # Stage 8: evaluate locals
+    potentials = potentials + wrangler.eval_locals(
+        traversal.level_start_target_box_nrs,
+        traversal.target_boxes,
+        local_exps)
+
+    potentials = wrangler.gather_potential_results(
+        potentials, global_tgt_idx_all_ranks)
+    result = wrangler.reorder_potentials(potentials)
+    return wrangler.finalize_potentials(result)
