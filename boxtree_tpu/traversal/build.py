@@ -7,8 +7,8 @@ position is an integer cell coordinate at its level (decoded from its
 Morton prefix), which turns each list into
 
 1. a *static candidate window* in cell space (e.g. the ``(2n+1)^d``
-   neighborhood for colleagues, the 6-wide parity window for List 2, the
-   3^d coarse-neighbor window for cross-level adjacency), plus
+   neighborhood for colleagues, the parity window for List 2, the 3^d
+   coarse-neighbor window for cross-level adjacency), plus
 2. a vectorized binary-search *existence lookup* into the per-level sorted
    prefix table, plus
 3. branch-free predicate filters (adjacency/touching tests in exact
@@ -22,7 +22,14 @@ candidate window stays O(3^d) — the walk's unbounded descendant frontier
 never materializes.  Edges from both directions are merged with one
 key-sort per list.
 
-List membership rules (verified against the reference templates):
+All per-level loops are unrolled *inside* a handful of jitted functions
+(one candidate pass and one compaction pass per list), so a traversal
+build costs ~8 XLA compilations per tree shape instead of
+O(nlists * nlevels) — important both for TPU compile latency and reuse
+through the persistent compilation cache.
+
+List membership rules (verified against the reference templates and by
+the constant-one completeness oracle):
 
 - colleagues/slnws (``traversal.py:398-464``): same level, cell offset
   within ``well_sep_is_n_away`` (inf-norm).
@@ -54,6 +61,7 @@ from boxtree_tpu.tree.containers import box_flags_enum
 from boxtree_tpu.traversal.containers import BuiltList, FMMTraversalInfo
 
 _F = box_flags_enum
+_INVALID_KEY = np.int64(np.iinfo(np.int64).max)
 
 
 # {{{ static offset tables
@@ -63,7 +71,7 @@ def _offsets(dimensions, radius, *, exclude_zero=False, min_inf_norm=None):
     grids = np.meshgrid(*([np.arange(-radius, radius + 1)] * dimensions),
                         indexing="ij")
     offs = np.stack([g.ravel() for g in grids], axis=1).astype(np.int64)
-    norm = np.abs(offs).max(axis=1) if dimensions > 1 else np.abs(offs[:, 0])
+    norm = np.abs(offs).max(axis=1)
     keep = np.ones(len(offs), bool)
     if exclude_zero:
         keep &= norm > 0
@@ -82,6 +90,8 @@ def _exclusive_cumsum(x):
 
 @partial(jax.jit, static_argnames=("total",))
 def _mask_to_list(mask, *, total):
+    if total == 0:
+        return jnp.zeros(0, jnp.int32)
     n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int64)) - 1
     out = jnp.zeros(total, jnp.int32)
@@ -89,40 +99,66 @@ def _mask_to_list(mask, *, total):
         jnp.arange(n, dtype=jnp.int32), mode="drop")
 
 
-@partial(jax.jit, static_argnames=("total", "nrows"))
-def _compact_padded(vals, valid, *, total, nrows):
-    """Row-major compaction of a padded (R, K) candidate array to CSR."""
-    flat_v = vals.reshape(-1)
-    flat_m = valid.reshape(-1)
-    pos = jnp.cumsum(flat_m.astype(jnp.int64)) - 1
-    out = jnp.zeros(total, jnp.int32)
-    out = out.at[jnp.where(flat_m, pos, total)].set(flat_v, mode="drop")
-    counts = valid.sum(axis=1).astype(jnp.int64)
-    starts = _exclusive_cumsum(counts).astype(jnp.int32)
-    return starts, out
+@partial(jax.jit, static_argnames=("totals",))
+def _compact_padded_multi(padded, *, totals):
+    """Compact several row-major padded (R_i, K_i) candidate arrays (-1 =
+    invalid) to CSR in one compilation."""
+    out = []
+    for (vals, total) in zip(padded, totals):
+        valid = vals >= 0
+        counts = valid.sum(axis=1).astype(jnp.int64)
+        starts = _exclusive_cumsum(counts).astype(jnp.int32)
+        if total == 0:
+            out.append((starts, jnp.zeros(0, jnp.int32)))
+            continue
+        flat_v = vals.reshape(-1)
+        flat_m = valid.reshape(-1)
+        pos = jnp.cumsum(flat_m.astype(jnp.int64)) - 1
+        lists = jnp.zeros(total, jnp.int32)
+        lists = lists.at[jnp.where(flat_m, pos, total)].set(
+            flat_v, mode="drop")
+        out.append((starts, lists))
+    return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("total", "nrows"))
-def _edges_to_csr(keys_sorted, *, total, nrows):
-    """Sorted (row<<32 | value) edge keys -> (starts, values)."""
-    keys = keys_sorted[:total]
-    rows = (keys >> np.int64(32)).astype(jnp.int64)
-    vals = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
-    starts = jnp.searchsorted(
+def _starts_of_sorted_keys(keys_sorted, nrows):
+    """CSR starts from sorted (row<<32 | value) keys; invalid (max-int64)
+    keys sort past every real row, so no total is needed."""
+    rows = keys_sorted >> np.int64(32)
+    return jnp.searchsorted(
         rows, jnp.arange(nrows + 1, dtype=jnp.int64)).astype(jnp.int32)
-    return starts, vals
 
 
-@jax.jit
-def _sort_keys(keys):
-    return jax.lax.sort(keys)
-
-
-@jax.jit
-def _count_valid(valid):
-    return valid.sum()
+@partial(jax.jit, static_argnames=("l1_total", "l3_totals", "l3_nonempty"))
+def _finalize_edge_lists(l1_keys, l3_keys, l3_starts, target_boxes, *,
+                         l1_total, l3_totals, l3_nonempty):
+    """Slice sorted edge keys to their true size and compress List 3's
+    empty rows, all on device (one compilation, no host transfers)."""
+    l1_lists = (l1_keys[:l1_total] & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+    l3_out = []
+    for keys, starts, total, nne in zip(l3_keys, l3_starts, l3_totals,
+                                        l3_nonempty):
+        lists = (keys[:total] & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+        row_counts = starts[1:] - starts[:-1]
+        ne_rows = _mask_to_list(row_counts > 0, total=nne)
+        # all-skipped rows are empty, so starts[ne_rows] is already the
+        # compressed cumulative count
+        comp_starts = jnp.concatenate(
+            [starts[ne_rows.astype(jnp.int64)],
+             jnp.full(1, total, jnp.int32)])
+        tgt_sep = target_boxes[ne_rows.astype(jnp.int64)]
+        l3_out.append((lists, comp_starts, ne_rows, tgt_sep))
+    return l1_lists, tuple(l3_out)
 
 # }}}
+
+
+@jax.jit
+def _pack_counts(slnws, l2, l4, l1, l3_totals, l3_nonempty):
+    scalars = jnp.stack([x.astype(jnp.int64)
+                         for x in (slnws, l2, l4, l1)])
+    return jnp.concatenate([scalars, l3_totals.astype(jnp.int64),
+                            l3_nonempty.astype(jnp.int64)])
 
 
 # {{{ geometric predicates (exact integer arithmetic)
@@ -145,14 +181,11 @@ def _touch(cells_a, level_a, cells_b, level_b):
 # }}}
 
 
-# {{{ per-level lookup
-
 def _lookup(prefixes_l, level_start, cand_cells, level):
-    """Find boxes at *level* with the given integer cells.
+    """Find boxes at (static) *level* with the given integer cells.
 
-    :arg cand_cells: (d, ...) int64.
-    :returns: ``(found, box_id)`` with ``box_id`` global (int32), garbage
-        where not found.
+    :returns: ``(found, box_id)``; box_id global int32, garbage if not
+        found.
     """
     nl = prefixes_l.shape[0]
     nb = np.int64(1) << np.int64(level)
@@ -164,169 +197,204 @@ def _lookup(prefixes_l, level_start, cand_cells, level):
     box_id = (level_start + idxc).astype(jnp.int32)
     return found, box_id
 
-# }}}
 
+# {{{ candidate passes (one jit each; level loops unrolled inside)
 
-# {{{ per-level list kernels
-
-@partial(jax.jit, static_argnames=("level", "dimensions", "n_away"))
-def _slnws_level(prefixes_l, level_start, *, level, dimensions, n_away):
-    """Same-level non-well-separated boxes of every box at *level*.
-    Returns (nl, m) padded candidate box ids, -1 where invalid."""
-    cells = morton.deinterleave(prefixes_l, dimensions)
-    offs = jnp.asarray(_offsets(dimensions, n_away, exclude_zero=True))
-    cand = cells[:, :, None] + offs.T[:, None, :]      # (d, nl, m)
-    found, box_id = _lookup(prefixes_l, level_start, cand, level)
-    return jnp.where(found, box_id, -1)
-
-
-@partial(jax.jit, static_argnames=("level", "dimensions", "n_away"))
-def _list2_level(row_prefixes, prefixes_l, level_start,
-                 *, level, dimensions, n_away):
-    """List 2 ("separated siblings") for the given same-level row boxes."""
-    cells = morton.deinterleave(row_prefixes, dimensions)
-    offs_np = _offsets(dimensions, 2 * n_away + 1, min_inf_norm=n_away)
-    offs = jnp.asarray(offs_np)
-    cand = cells[:, :, None] + offs.T[:, None, :]      # (d, r, m)
-    # parent of candidate must be a colleague (slnws) of row's parent
-    parent_diff = (cand >> np.int64(1)) - (cells >> np.int64(1))[:, :, None]
-    parent_ok = (jnp.abs(parent_diff) <= n_away).all(axis=0)
-    found, box_id = _lookup(prefixes_l, level_start, cand, level)
-    return jnp.where(found & parent_ok, box_id, -1)
-
-
-def _list4_level(row_prefixes, parent_of_rows_cells, level_prefixes,
-                 level_starts_host, box_flags, *, lb, dimensions, n_away):
-    """List 4 for target-or-target-parent boxes at level *lb*.
-
-    Returns (r, K) padded candidates (K = sum over walk levels).
-    ``level_prefixes``: per-level device prefix arrays (list, host-indexed).
-    """
-    return _list4_level_jit(
-        row_prefixes, parent_of_rows_cells, box_flags,
-        *level_prefixes[1:lb + (0 if n_away == 1 else 1)],
-        level_starts=tuple(level_starts_host),
-        lb=lb, dimensions=dimensions, n_away=n_away)
-
-
-@partial(jax.jit, static_argnames=("level_starts", "lb", "dimensions",
-                                   "n_away"))
-def _list4_level_jit(row_prefixes, parent_cells, box_flags, *level_prefixes,
-                     level_starts, lb, dimensions, n_away):
-    cells = morton.deinterleave(row_prefixes, dimensions)   # (d, r) at lb
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb"))
+def _slnws_padded(prefixes, *, dimensions, n_away, lsb):
+    """(nboxes, m) padded colleague candidates, rows in box-id order."""
     offs = jnp.asarray(_offsets(dimensions, n_away, exclude_zero=True))
     out = []
-    wl_max = lb - 1 if n_away == 1 else lb
-    for wl in range(1, wl_max + 1):
-        anc = cells >> np.int64(lb - wl)
-        cand = anc[:, :, None] + offs.T[:, None, :]        # (d, r, m)
-        prefixes_wl = level_prefixes[wl - 1]
-        found, box_id = _lookup(prefixes_wl, level_starts[wl], cand, wl)
-        idc = jnp.where(found, box_id, 0)
-        is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
-        not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
-        if wl == lb:
-            enters_here = jnp.ones(cand.shape[1:], bool)
-        else:
-            enters_here = _touch(cand, wl, parent_cells[:, :, None], lb - 1)
-        valid = found & is_src & not_touch_b & enters_here
-        out.append(jnp.where(valid, box_id, -1))
-    if not out:
-        return jnp.full((row_prefixes.shape[0], 1), -1, jnp.int32)
-    return jnp.concatenate(out, axis=1)
+    for lev in range(len(lsb) - 1):
+        pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
+        cells = morton.deinterleave(pfx_l, dimensions)
+        cand = cells[:, :, None] + offs.T[:, None, :]
+        found, box_id = _lookup(pfx_l, lsb[lev], cand, lev)
+        out.append(jnp.where(found, box_id, -1))
+    padded = jnp.concatenate(out, axis=0)
+    return padded, (padded >= 0).sum()
 
 
-@partial(jax.jit, static_argnames=("level_starts", "lt", "dimensions"))
-def _list1_from_target_level(row_prefixes, box_flags, *level_prefixes,
-                             level_starts, lt, dimensions):
-    """List-1 edges found from the target side: source boxes at levels
-    <= lt touching each target box at level lt.  Returns (r, K) candidate
-    box ids (-1 invalid)."""
-    cells = morton.deinterleave(row_prefixes, dimensions)
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
+                                   "ls_totp"))
+def _list2_padded(totp_boxes, prefixes, *, dimensions, n_away, lsb,
+                  ls_totp):
+    offs = jnp.asarray(_offsets(dimensions, 2 * n_away + 1,
+                                min_inf_norm=n_away))
+    m = offs.shape[0]
+    totp_pfx = prefixes[totp_boxes]
+    out = []
+    for lev in range(len(lsb) - 1):
+        r0, r1 = ls_totp[lev], ls_totp[lev + 1]
+        if r1 == r0:
+            continue
+        if lev == 0:
+            out.append(jnp.full((r1 - r0, m), -1, jnp.int32))
+            continue
+        cells = morton.deinterleave(totp_pfx[r0:r1], dimensions)
+        cand = cells[:, :, None] + offs.T[:, None, :]
+        parent_diff = ((cand >> np.int64(1))
+                       - (cells >> np.int64(1))[:, :, None])
+        parent_ok = (jnp.abs(parent_diff) <= n_away).all(axis=0)
+        found, box_id = _lookup(prefixes[lsb[lev]:lsb[lev + 1]], lsb[lev],
+                                cand, lev)
+        out.append(jnp.where(found & parent_ok, box_id, -1))
+    padded = jnp.concatenate(out, axis=0)
+    return padded, (padded >= 0).sum()
+
+
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
+                                   "ls_totp"))
+def _list4_padded(totp_boxes, box_flags, prefixes, *, dimensions, n_away,
+                  lsb, ls_totp):
+    nlevels = len(lsb) - 1
+    offs = jnp.asarray(_offsets(dimensions, n_away, exclude_zero=True))
+    m = offs.shape[0]
+    k_max = max(1, m * (nlevels - 1))
+    totp_pfx = prefixes[totp_boxes]
+    out = []
+    for lb in range(nlevels):
+        r0, r1 = ls_totp[lb], ls_totp[lb + 1]
+        if r1 == r0:
+            continue
+        rows = r1 - r0
+        wl_max = lb - 1 if n_away == 1 else lb
+        if wl_max < 1:
+            out.append(jnp.full((rows, k_max), -1, jnp.int32))
+            continue
+        cells = morton.deinterleave(totp_pfx[r0:r1], dimensions)
+        parent_cells = cells >> np.int64(1)
+        chunks = []
+        for wl in range(1, wl_max + 1):
+            anc = cells >> np.int64(lb - wl)
+            cand = anc[:, :, None] + offs.T[:, None, :]
+            found, box_id = _lookup(prefixes[lsb[wl]:lsb[wl + 1]], lsb[wl],
+                                    cand, wl)
+            idc = jnp.where(found, box_id, 0)
+            is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
+            not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
+            if wl == lb:
+                enters_here = jnp.ones(cand.shape[1:], bool)
+            else:
+                enters_here = _touch(cand, wl, parent_cells[:, :, None],
+                                     lb - 1)
+            valid = found & is_src & not_touch_b & enters_here
+            chunks.append(jnp.where(valid, box_id, -1))
+        block = jnp.concatenate(chunks, axis=1)
+        if block.shape[1] < k_max:
+            block = jnp.concatenate(
+                [block, jnp.full((rows, k_max - block.shape[1]), -1,
+                                 jnp.int32)], axis=1)
+        out.append(block)
+    padded = jnp.concatenate(out, axis=0)
+    return padded, (padded >= 0).sum()
+
+
+@partial(jax.jit, static_argnames=("dimensions", "lsb", "ls_tgt"))
+def _list1_keys(box_flags, tgt_row_of_box, target_boxes, prefixes, *,
+                dimensions, lsb, ls_tgt):
+    """All List-1 edges as sorted int64 keys (row<<32 | src_box)."""
+    nlevels = len(lsb) - 1
     offs = jnp.asarray(_offsets(dimensions, 1))
-    out = []
-    for ls in range(lt + 1):
-        anc = cells >> np.int64(lt - ls)
-        cand = anc[:, :, None] + offs.T[:, None, :]
-        found, box_id = _lookup(level_prefixes[ls], level_starts[ls],
-                                cand, ls)
-        idc = jnp.where(found, box_id, 0)
-        is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
-        touch = _touch(cand, ls, cells[:, :, None], lt)
-        valid = found & is_src & touch
-        out.append(jnp.where(valid, box_id, -1))
-    return jnp.concatenate(out, axis=1)
+    chunks = []
+    level_prefixes = [prefixes[lsb[i]:lsb[i + 1]] for i in range(nlevels)]
+
+    # from the target side: source levels <= target level
+    for lt in range(nlevels):
+        r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
+        if r1 == r0:
+            continue
+        rows_pfx = prefixes[target_boxes[r0:r1]]
+        cells = morton.deinterleave(rows_pfx, dimensions)
+        rows = (r0 + jnp.arange(r1 - r0, dtype=jnp.int64))[:, None]
+        for ls in range(lt + 1):
+            anc = cells >> np.int64(lt - ls)
+            cand = anc[:, :, None] + offs.T[:, None, :]
+            found, box_id = _lookup(level_prefixes[ls], lsb[ls], cand, ls)
+            idc = jnp.where(found, box_id, 0)
+            is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
+            touch = _touch(cand, ls, cells[:, :, None], lt)
+            valid = found & is_src & touch
+            keys = jnp.where(
+                valid, (rows << np.int64(32)) | box_id.astype(jnp.int64),
+                _INVALID_KEY)
+            chunks.append(keys.reshape(-1))
+
+    # from the source side: target levels strictly coarser
+    for ls in range(1, nlevels):
+        pfx_l = level_prefixes[ls]
+        nl = pfx_l.shape[0]
+        cells = morton.deinterleave(pfx_l, dimensions)
+        src_ids = lsb[ls] + jnp.arange(nl, dtype=jnp.int64)
+        emitter_is_src = (box_flags[src_ids] & _F.IS_SOURCE_BOX) != 0
+        for lt in range(ls):
+            anc = cells >> np.int64(ls - lt)
+            cand = anc[:, :, None] + offs.T[:, None, :]
+            found, box_id = _lookup(level_prefixes[lt], lsb[lt], cand, lt)
+            idc = jnp.where(found, box_id, 0)
+            row = tgt_row_of_box[idc].astype(jnp.int64)
+            touch = _touch(cand, lt, cells[:, :, None], ls)
+            valid = (found & (row >= 0) & touch
+                     & emitter_is_src[:, None])
+            keys = jnp.where(valid, (row << np.int64(32)) | src_ids[:, None],
+                             _INVALID_KEY)
+            chunks.append(keys.reshape(-1))
+
+    all_keys = jax.lax.sort(jnp.concatenate(chunks))
+    ntarget_boxes = ls_tgt[-1]
+    starts = _starts_of_sorted_keys(all_keys, ntarget_boxes)
+    return all_keys, starts, (all_keys != _INVALID_KEY).sum()
 
 
-@partial(jax.jit, static_argnames=("level_starts", "ls", "dimensions"))
-def _list1_from_source_level(src_prefixes, box_flags, target_row_of_box,
-                             *level_prefixes, level_starts, ls, dimensions):
-    """List-1 edges found from the source side: for each source box at
-    level ls, target boxes at strictly coarser levels touching it.
-    Returns (r, K) int64 keys ``row<<32 | src_box``, int64-max invalid."""
-    cells = morton.deinterleave(src_prefixes, dimensions)
-    offs = jnp.asarray(_offsets(dimensions, 1))
-    src_ids = (level_starts[ls]
-               + jnp.arange(src_prefixes.shape[0], dtype=jnp.int64))
-    emitter_is_src = (box_flags[src_ids] & _F.IS_SOURCE_BOX) != 0
-    invalid = np.int64(np.iinfo(np.int64).max)
-    out = []
-    for lt in range(ls):
-        anc = cells >> np.int64(ls - lt)
-        cand = anc[:, :, None] + offs.T[:, None, :]
-        found, box_id = _lookup(level_prefixes[lt], level_starts[lt],
-                                cand, lt)
-        idc = jnp.where(found, box_id, 0)
-        row = target_row_of_box[idc].astype(jnp.int64)
-        is_tgt_row = row >= 0
-        touch = _touch(cand, lt, cells[:, :, None], ls)
-        valid = found & is_tgt_row & touch & emitter_is_src[:, None]
-        key = (row << np.int64(32)) | src_ids[:, None]
-        out.append(jnp.where(valid, key, invalid))
-    if not out:
-        return jnp.full((src_prefixes.shape[0], 1), invalid, jnp.int64)
-    return jnp.concatenate(out, axis=1)
-
-
-@partial(jax.jit, static_argnames=("level_starts", "ls", "dimensions",
-                                   "n_away"))
-def _list3_from_source_level(w_prefixes, w_box_ids, w_parent_cells,
-                             box_flags, target_row_of_box, *level_prefixes,
-                             level_starts, ls, dimensions, n_away):
-    """List-3 edges for source level *ls*: for each box w at ls with
-    sources in its subtree, coarser target boxes b with parent(w) touching
-    b (or a colleague of b at ls-1), w itself not touching b.
-    Returns int64 keys ``row<<32 | w``."""
-    cells = morton.deinterleave(w_prefixes, dimensions)
-    invalid = np.int64(np.iinfo(np.int64).max)
-    w_key = w_box_ids.astype(jnp.int64)
-    out = []
-    for lt in range(ls):
-        if lt == ls - 1:
-            # b such that parent(w) is within n of b at level lt
-            offs = jnp.asarray(_offsets(dimensions, n_away))
-            cand = w_parent_cells[:, :, None] + offs.T[:, None, :]
-        else:
-            # b at lt touching parent(w)
-            offs = jnp.asarray(_offsets(dimensions, 1))
-            anc_p = w_parent_cells >> np.int64(ls - 1 - lt)
-            cand = anc_p[:, :, None] + offs.T[:, None, :]
-        found, box_id = _lookup(level_prefixes[lt], level_starts[lt],
-                                cand, lt)
-        idc = jnp.where(found, box_id, 0)
-        row = target_row_of_box[idc].astype(jnp.int64)
-        is_tgt_row = row >= 0
-        if lt < ls - 1:
-            enters = _touch(cand, lt, w_parent_cells[:, :, None], ls - 1)
-        else:
-            enters = jnp.ones(cand.shape[1:], bool)
-        not_touch_w = ~_touch(cand, lt, cells[:, :, None], ls)
-        valid = found & is_tgt_row & enters & not_touch_w
-        key = (row << np.int64(32)) | w_key[:, None]
-        out.append(jnp.where(valid, key, invalid))
-    if not out:
-        return jnp.full((w_prefixes.shape[0], 1), invalid, jnp.int64)
-    return jnp.concatenate(out, axis=1)
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
+                                   "ntarget_boxes"))
+def _list3_keys(box_flags, tgt_row_of_box, prefixes, *, dimensions,
+                n_away, lsb, ntarget_boxes):
+    """Per-source-level List-3 edges as sorted int64 keys
+    (row<<32 | w_box); one array per source level, plus CSR starts and
+    counts."""
+    nlevels = len(lsb) - 1
+    level_prefixes = [prefixes[lsb[i]:lsb[i + 1]] for i in range(nlevels)]
+    offs1 = jnp.asarray(_offsets(dimensions, 1))
+    offsn = jnp.asarray(_offsets(dimensions, n_away))
+    per_level = []
+    for ls in range(nlevels):
+        if ls == 0:
+            per_level.append(jnp.full((1,), _INVALID_KEY, jnp.int64))
+            continue
+        pfx_l = level_prefixes[ls]
+        nl = pfx_l.shape[0]
+        cells = morton.deinterleave(pfx_l, dimensions)
+        parent_cells = cells >> np.int64(1)
+        w_ids = lsb[ls] + jnp.arange(nl, dtype=jnp.int64)
+        w_has_src = (box_flags[w_ids]
+                     & (_F.IS_SOURCE_BOX | _F.HAS_SOURCE_CHILD_BOXES)) != 0
+        chunks = []
+        for lt in range(ls):
+            if lt == ls - 1:
+                cand = parent_cells[:, :, None] + offsn.T[:, None, :]
+            else:
+                anc_p = parent_cells >> np.int64(ls - 1 - lt)
+                cand = anc_p[:, :, None] + offs1.T[:, None, :]
+            found, box_id = _lookup(level_prefixes[lt], lsb[lt], cand, lt)
+            idc = jnp.where(found, box_id, 0)
+            row = tgt_row_of_box[idc].astype(jnp.int64)
+            if lt < ls - 1:
+                enters = _touch(cand, lt, parent_cells[:, :, None], ls - 1)
+            else:
+                enters = jnp.ones(cand.shape[1:], bool)
+            not_touch_w = ~_touch(cand, lt, cells[:, :, None], ls)
+            valid = (found & (row >= 0) & enters & not_touch_w
+                     & w_has_src[:, None])
+            keys = jnp.where(valid, (row << np.int64(32)) | w_ids[:, None],
+                             _INVALID_KEY)
+            chunks.append(keys.reshape(-1))
+        per_level.append(jax.lax.sort(jnp.concatenate(chunks)))
+    starts = tuple(_starts_of_sorted_keys(k, ntarget_boxes)
+                   for k in per_level)
+    totals = jnp.stack([(k != _INVALID_KEY).sum() for k in per_level])
+    nonempty = jnp.stack([(s[1:] > s[:-1]).sum() for s in starts])
+    return tuple(per_level), starts, totals, nonempty
 
 # }}}
 
@@ -358,24 +426,24 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     nboxes = tree.nboxes
     lsb = tree.level_start_box_nrs       # host tuple, len nlevels+1
 
-    flags = np.asarray(tree.box_flags)
+    flags_np = np.asarray(tree.box_flags)
+    flags_dev = tree.box_flags
     prefixes = tree.box_morton_prefixes
-    level_prefixes = [prefixes[lsb[i]:lsb[i + 1]] for i in range(nlevels)]
 
     # {{{ basic box lists
 
-    src_mask = (flags & _F.IS_SOURCE_BOX) != 0
-    src_parent_mask = (flags & _F.HAS_SOURCE_CHILD_BOXES) != 0
-    tgt_mask = (flags & _F.IS_TARGET_BOX) != 0
-    totp_mask = (flags & (_F.IS_TARGET_BOX
-                          | _F.HAS_TARGET_CHILD_BOXES)) != 0
+    src_mask = (flags_np & _F.IS_SOURCE_BOX) != 0
+    src_parent_mask = (flags_np & _F.HAS_SOURCE_CHILD_BOXES) != 0
+    tgt_mask = (flags_np & _F.IS_TARGET_BOX) != 0
+    totp_mask = (flags_np & (_F.IS_TARGET_BOX
+                             | _F.HAS_TARGET_CHILD_BOXES)) != 0
 
     def make_list(mask_np):
         total = int(mask_np.sum())
         lst = _mask_to_list(jnp.asarray(mask_np), total=total)
         counts = _level_counts_of_mask(mask_np, lsb)
-        level_starts = tuple(np.concatenate([[0], np.cumsum(counts)])
-                             .astype(int))
+        level_starts = tuple(
+            int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
         return lst, level_starts
 
     source_boxes, ls_src = make_list(src_mask)
@@ -383,171 +451,63 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     target_or_target_parent_boxes, ls_totp = make_list(totp_mask)
     if tree.sources_are_targets:
         target_boxes, ls_tgt = source_boxes, ls_src
-        tgt_mask = src_mask
     else:
         target_boxes, ls_tgt = make_list(tgt_mask)
 
-    # dense box -> row maps
     target_boxes_np = np.asarray(target_boxes)
+    ntarget_boxes = len(target_boxes_np)
     tgt_row_of_box = np.full(nboxes, -1, np.int64)
-    tgt_row_of_box[target_boxes_np] = np.arange(len(target_boxes_np))
+    tgt_row_of_box[target_boxes_np] = np.arange(ntarget_boxes)
     tgt_row_of_box_dev = jnp.asarray(tgt_row_of_box)
 
     # }}}
 
-    # {{{ same-level non-well-separated boxes (all boxes as rows)
+    # candidate passes (device; all dispatches are asynchronous)
+    slnws_padded, slnws_count = _slnws_padded(
+        prefixes, dimensions=d, n_away=n_away, lsb=lsb)
+    l2_padded, l2_count = _list2_padded(
+        target_or_target_parent_boxes, prefixes, dimensions=d,
+        n_away=n_away, lsb=lsb, ls_totp=ls_totp)
+    l4_padded, l4_count = _list4_padded(
+        target_or_target_parent_boxes, flags_dev, prefixes, dimensions=d,
+        n_away=n_away, lsb=lsb, ls_totp=ls_totp)
+    l1_keys, l1_starts, l1_count = _list1_keys(
+        flags_dev, tgt_row_of_box_dev, target_boxes, prefixes,
+        dimensions=d, lsb=lsb, ls_tgt=ls_tgt)
+    l3_keys, l3_starts, l3_totals_dev, l3_nonempty_dev = _list3_keys(
+        flags_dev, tgt_row_of_box_dev, prefixes, dimensions=d,
+        n_away=n_away, lsb=lsb, ntarget_boxes=ntarget_boxes)
 
-    slnws_padded = []
-    for lev in range(nlevels):
-        if lsb[lev + 1] == lsb[lev]:
-            continue
-        cand = _slnws_level(level_prefixes[lev], lsb[lev],
-                            level=lev, dimensions=d, n_away=n_away)
-        slnws_padded.append(cand)
-    slnws_all = jnp.concatenate(slnws_padded, axis=0)
-    slnws_valid = slnws_all >= 0
-    total = int(_count_valid(slnws_valid))
-    slnws_starts, slnws_lists = _compact_padded(
-        slnws_all, slnws_valid, total=total, nrows=nboxes)
+    # ONE host sync for every list size
+    packed = _pack_counts(slnws_count, l2_count, l4_count, l1_count,
+                          l3_totals_dev, l3_nonempty_dev)
+    packed = jax.device_get(packed)
+    slnws_total, l2_total, l4_total, l1_total = (
+        int(packed[0]), int(packed[1]), int(packed[2]), int(packed[3]))
+    l3_totals = tuple(int(x) for x in packed[4:4 + nlevels])
+    l3_nonempty = tuple(int(x) for x in packed[4 + nlevels:])
 
-    # }}}
+    # compaction passes (device)
+    (slnws_starts, slnws_lists), (l2_starts, l2_lists), \
+        (l4_starts, l4_lists) = _compact_padded_multi(
+            (slnws_padded, l2_padded, l4_padded),
+            totals=(slnws_total, l2_total, l4_total))
 
-    # {{{ list 2 (rows: target_or_target_parent_boxes)
-
-    totp_np = np.asarray(target_or_target_parent_boxes)
-    totp_pfx = prefixes[jnp.asarray(totp_np)]
-    l2_padded = []
-    for lev in range(nlevels):
-        r0, r1 = ls_totp[lev], ls_totp[lev + 1]
-        if r1 == r0:
-            continue
-        rows_pfx = totp_pfx[r0:r1]
-        if lev == 0:
-            m2 = len(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
-            l2_padded.append(jnp.full((r1 - r0, m2), -1, jnp.int32))
-            continue
-        l2_padded.append(_list2_level(
-            rows_pfx, level_prefixes[lev], lsb[lev],
-            level=lev, dimensions=d, n_away=n_away))
-    l2_all = jnp.concatenate(l2_padded, axis=0)
-    l2_valid = l2_all >= 0
-    total = int(_count_valid(l2_valid))
-    l2_starts, l2_lists = _compact_padded(
-        l2_all, l2_valid, total=total, nrows=len(totp_np))
-
-    # }}}
-
-    # {{{ list 1 (rows: target_boxes)
-
-    ntarget_boxes = len(np.asarray(target_boxes))
-    flags_dev = tree.box_flags
-    l1_key_chunks = []
-    for lt in range(nlevels):
-        r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
-        if r1 == r0:
-            continue
-        rows_pfx = prefixes[target_boxes[r0:r1]]
-        cand = _list1_from_target_level(
-            rows_pfx, flags_dev, *level_prefixes,
-            level_starts=lsb, lt=lt, dimensions=d)
-        # convert to keys
-        rows = (r0 + jnp.arange(r1 - r0, dtype=jnp.int64))[:, None]
-        invalid = np.int64(np.iinfo(np.int64).max)
-        keys = jnp.where(cand >= 0,
-                         (rows << np.int64(32)) | cand.astype(jnp.int64),
-                         invalid)
-        l1_key_chunks.append(keys.reshape(-1))
-    for ls in range(1, nlevels):
-        s0, s1 = ls_src[ls], ls_src[ls + 1]
-        if s1 == s0:
-            continue
-        src_pfx = prefixes[source_boxes[s0:s1]]
-        # note: _list1_from_source_level computes global source ids from
-        # the level box numbering (source boxes at a level are contiguous
-        # in box-id space only if every box at the level is a source box),
-        # so pass prefixes of *all* boxes at the level and filter by flag.
-        keys = _list1_from_source_level(
-            level_prefixes[ls], flags_dev, tgt_row_of_box_dev,
-            *level_prefixes, level_starts=lsb, ls=ls, dimensions=d)
-        l1_key_chunks.append(keys.reshape(-1))
-    l1_keys = _sort_keys(jnp.concatenate(l1_key_chunks))
-    invalid = np.int64(np.iinfo(np.int64).max)
-    total = int(_count_valid(l1_keys != invalid))
-    l1_starts, l1_lists = _edges_to_csr(
-        l1_keys, total=total, nrows=ntarget_boxes)
-
-    # }}}
-
-    # {{{ list 4 (rows: target_or_target_parent_boxes)
-
-    l4_chunks = []
-    l4_counts = []
-    for lb in range(nlevels):
-        r0, r1 = ls_totp[lb], ls_totp[lb + 1]
-        if r1 == r0:
-            continue
-        rows_pfx = totp_pfx[r0:r1]
-        rows_cells = morton.deinterleave(rows_pfx, d)
-        parent_cells = rows_cells >> np.int64(1)
-        if lb == 0 or (n_away == 1 and lb == 1):
-            l4_chunks.append((jnp.full((r1 - r0, 1), -1, jnp.int32), r0))
-            continue
-        cand = _list4_level(rows_pfx, parent_cells, level_prefixes,
-                            lsb, flags_dev, lb=lb, dimensions=d,
-                            n_away=n_away)
-        l4_chunks.append((cand, r0))
-    # compact each chunk's counts, then assemble
-    l4_starts, l4_lists = _assemble_row_chunks(
-        l4_chunks, nrows=len(totp_np))
-
-    # }}}
-
-    # {{{ list 3 (per source level; rows: target_boxes, then compressed)
+    l1_lists, l3_out = _finalize_edge_lists(
+        l1_keys, l3_keys, l3_starts, target_boxes,
+        l1_total=l1_total, l3_totals=l3_totals, l3_nonempty=l3_nonempty)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []
-    for ls in range(nlevels):
-        if lsb[ls + 1] == lsb[ls] or ls == 0:
-            empty = BuiltList(count=0,
-                              starts=jnp.zeros(1, jnp.int32),
-                              lists=jnp.zeros(0, jnp.int32),
-                              num_nonempty_lists=0,
-                              nonempty_indices=jnp.zeros(0, jnp.int32))
-            from_sep_smaller_by_level.append(empty)
-            target_boxes_sep_smaller.append(jnp.zeros(0, jnp.int32))
-            continue
-        # w boxes: all boxes at ls with sources in subtree
-        w_pfx = level_prefixes[ls]
-        w_ids = lsb[ls] + jnp.arange(w_pfx.shape[0], dtype=jnp.int64)
-        w_parent_cells = morton.deinterleave(w_pfx, d) >> np.int64(1)
-        keys = _list3_from_source_level(
-            w_pfx, w_ids, w_parent_cells, flags_dev, tgt_row_of_box_dev,
-            *level_prefixes, level_starts=lsb, ls=ls, dimensions=d,
-            n_away=n_away)
-        # filter by source-content flag of w
-        w_has_src = (flags_dev[w_ids]
-                     & (_F.IS_SOURCE_BOX | _F.HAS_SOURCE_CHILD_BOXES)) != 0
-        invalid = np.int64(np.iinfo(np.int64).max)
-        keys = jnp.where(w_has_src[:, None], keys, invalid)
-        keys = _sort_keys(keys.reshape(-1))
-        total = int(_count_valid(keys != invalid))
-        starts, lists = _edges_to_csr(keys, total=total,
-                                      nrows=ntarget_boxes)
-        # compress empty rows
-        counts = np.diff(np.asarray(starts))
-        nonempty = np.nonzero(counts)[0]
-        comp_starts = np.concatenate(
-            [[0], np.cumsum(counts[nonempty])]).astype(np.int32)
+    for ls_lev in range(nlevels):
+        lists, comp_starts, ne_rows, tgt_sep = l3_out[ls_lev]
         from_sep_smaller_by_level.append(BuiltList(
-            count=total,
-            starts=jnp.asarray(comp_starts),
+            count=l3_totals[ls_lev],
+            starts=comp_starts,
             lists=lists,
-            num_nonempty_lists=len(nonempty),
-            nonempty_indices=jnp.asarray(nonempty.astype(np.int32))))
-        target_boxes_sep_smaller.append(
-            target_boxes[jnp.asarray(nonempty.astype(np.int64))])
-
-    # }}}
+            num_nonempty_lists=l3_nonempty[ls_lev],
+            nonempty_indices=ne_rows))
+        target_boxes_sep_smaller.append(tgt_sep)
 
     def level_starts_arr(t):
         return jnp.asarray(np.asarray(t, dtype=np.int32))
@@ -582,39 +542,6 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     )
 
 
-def _assemble_row_chunks(chunks, *, nrows):
-    """Concatenate per-level padded (rows_l, K_l) candidate chunks (row
-    ranges starting at r0) into one CSR over nrows rows."""
-    # compute counts
-    totals = []
-    for cand, _r0 in chunks:
-        totals.append(int(_count_valid(cand >= 0)))
-    total = sum(totals)
-    starts_np = np.zeros(nrows + 1, np.int64)
-    # per-chunk row counts
-    row_counts = np.zeros(nrows, np.int64)
-    for (cand, r0), _t in zip(chunks, totals):
-        counts = np.asarray((cand >= 0).sum(axis=1))
-        row_counts[r0:r0 + len(counts)] += counts
-    starts_np[1:] = np.cumsum(row_counts)
-    out = jnp.zeros(total, jnp.int32)
-    starts_dev = jnp.asarray(starts_np)
-    for (cand, r0), _t in zip(chunks, totals):
-        out = _scatter_chunk(out, cand, starts_dev, r0=r0)
-    return jnp.asarray(starts_np.astype(np.int32)), out
-
-
-@partial(jax.jit, static_argnames=("r0",))
-def _scatter_chunk(out, cand, starts_dev, *, r0):
-    rows_l, k = cand.shape
-    valid = cand >= 0
-    rank = jnp.cumsum(valid.astype(jnp.int64), axis=1) - 1
-    row_start = starts_dev[r0 + jnp.arange(rows_l, dtype=jnp.int64)]
-    pos = row_start[:, None] + rank
-    total = out.shape[0]
-    return out.at[jnp.where(valid, pos, total)].set(cand, mode="drop")
-
-
 def merge_close_lists(trav):
     raise NotImplementedError(
         "close lists exist only for trees with extents (not implemented)")
@@ -626,7 +553,6 @@ class FMMTraversalBuilder:
     def __init__(self, actx=None, well_sep_is_n_away=1,
                  from_sep_smaller_crit=None):
         if not isinstance(well_sep_is_n_away, int):
-            # tolerate (actx-less) calling convention
             well_sep_is_n_away, from_sep_smaller_crit = 1, None
         self.well_sep_is_n_away = well_sep_is_n_away
         self.from_sep_smaller_crit = from_sep_smaller_crit

@@ -75,17 +75,29 @@ def _segment_fields(pfx, active, n):
 
 
 @partial(jax.jit,
-         static_argnames=("dimensions", "depth", "adaptive"))
-def _phase_a(coords, weights, bbox_min, root_extent, max_weight,
-             *, dimensions, depth, adaptive):
+         static_argnames=("dimensions", "depth", "adaptive", "use_bbox"))
+def _phase_a(coords, weights, bbox_min_in, root_extent_in, max_weight,
+             *, dimensions, depth, adaptive, use_bbox):
     """Morton sort + leaf-level assignment + per-level box counts.
 
-    :returns: ``(codes_s, order, leaf_level, counts, n_unfit)``.
-        ``counts[l]`` is the number of (non-empty) boxes at level ``l``;
-        ``n_unfit`` is the number of particles whose box is still overfull
-        at the maximum representable depth (0 in a successful build).
+    :returns: ``(codes_s, order, leaf_level, counts, n_unfit, bbox_min,
+        root_extent)``.  ``counts[l]`` is the number of (non-empty) boxes
+        at level ``l``; ``n_unfit`` is the number of particles whose box is
+        still overfull at the maximum representable depth (0 in a
+        successful build).
+
+    The square, stretched bounding box (``boxtree/tree_build.py:456-510``)
+    is computed on device unless ``use_bbox`` requests the explicit one.
     """
     n = coords.shape[1]
+    if use_bbox:
+        bbox_min = bbox_min_in
+        root_extent = root_extent_in
+    else:
+        bbox_min = jnp.min(coords, axis=1)
+        bbox_max = jnp.max(coords, axis=1)
+        root_extent = (jnp.max(bbox_max - bbox_min)
+                       * (1 + config.ROOT_EXTENT_STRETCH_FACTOR))
     codes = morton.encode_points(coords, bbox_min, root_extent, depth)
 
     iota32 = jnp.arange(n, dtype=jnp.int32)
@@ -148,7 +160,11 @@ def _phase_a(coords, weights, bbox_min, root_extent, max_weight,
         n_unfit = jnp.where(found, 0, n).astype(jnp.int64)
         # levels beyond d_used were never visited; counts already 0 there
 
-    return codes_s, order, leaf_level, counts, n_unfit
+    # pack counts and the overfull-particle count into one array so the
+    # host needs a single device->host transfer
+    counts_and_unfit = jnp.concatenate(
+        [counts, n_unfit.astype(jnp.int64)[None]])
+    return codes_s, order, leaf_level, counts_and_unfit, bbox_min, root_extent
 
 # }}}
 
@@ -339,25 +355,18 @@ def _as_coord_array(particles):
     return arr
 
 
-def _compute_bbox(coords, bbox, dimensions, coord_dtype):
-    """Square, slightly stretched bounding box
-    (mirrors ``boxtree/tree_build.py:456-510``)."""
-    if bbox is None:
-        bbox_min = np.asarray(jnp.min(coords, axis=1))
-        bbox_max = np.asarray(jnp.max(coords, axis=1))
-        root_extent = float(np.max(bbox_max - bbox_min)) \
-            * (1 + config.ROOT_EXTENT_STRETCH_FACTOR)
-    else:
-        bbox = np.asarray(bbox, dtype=coord_dtype)
-        if bbox.shape != (dimensions, 2):
-            raise ValueError("bbox must have shape (dimensions, 2)")
-        bbox_min = bbox[:, 0].copy()
-        bbox_max = bbox[:, 1]
-        exts = bbox_max - bbox_min
-        if not np.allclose(exts, exts[0], rtol=1e-14, atol=0):
-            raise ValueError("bbox must be square")
-        root_extent = float(exts[0])
-    return np.asarray(bbox_min, coord_dtype), root_extent
+def _validate_bbox(bbox, dimensions, coord_dtype):
+    """Validate an explicitly-given square bounding box
+    (mirrors ``boxtree/tree_build.py:476-510``)."""
+    bbox = np.asarray(bbox, dtype=coord_dtype)
+    if bbox.shape != (dimensions, 2):
+        raise ValueError("bbox must have shape (dimensions, 2)")
+    bbox_min = bbox[:, 0].copy()
+    bbox_max = bbox[:, 1]
+    exts = bbox_max - bbox_min
+    if not np.allclose(exts, exts[0], rtol=1e-14, atol=0):
+        raise ValueError("bbox must be square")
+    return np.asarray(bbox_min, coord_dtype), float(exts[0])
 
 
 def build_tree(particles, kind="adaptive", max_particles_in_box=None,
@@ -421,16 +430,22 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         raise ValueError("must specify either max_particles_in_box or "
                          "refine_weights/max_leaf_refine_weight")
 
-    bbox_min, root_extent = _compute_bbox(merged, bbox, dimensions,
-                                          coord_dtype)
+    if bbox is not None:
+        bbox_min_in, root_extent_in = _validate_bbox(
+            bbox, dimensions, coord_dtype)
+    else:
+        bbox_min_in = np.zeros(dimensions, coord_dtype)
+        root_extent_in = 1.0
     depth = config.max_morton_depth(dimensions)
 
-    codes_s, order, leaf_level, counts, n_unfit = _phase_a(
-        merged, weights, jnp.asarray(bbox_min), root_extent,
+    (codes_s, order, leaf_level, counts_and_unfit, bbox_min,
+     root_extent) = _phase_a(
+        merged, weights, jnp.asarray(bbox_min_in), root_extent_in,
         max_weight, dimensions=dimensions, depth=depth,
-        adaptive=(kind != "non-adaptive"))
+        adaptive=(kind != "non-adaptive"), use_bbox=bbox is not None)
 
-    n_unfit = int(n_unfit)
+    counts_and_unfit = jax.device_get(counts_and_unfit)
+    counts, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
     if n_unfit:
         raise MaxLevelsExceeded(
             f"{n_unfit} particles remain in overfull boxes at the deepest "
@@ -441,7 +456,6 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         leaf_level, counts = restrict_leaf_levels(
             codes_s, leaf_level, dimensions=dimensions, depth=depth)
 
-    counts = np.asarray(counts)
     nlevels = int(np.max(np.nonzero(counts)[0])) + 1
     level_starts = np.concatenate(
         [[0], np.cumsum(counts[:nlevels])]).astype(np.int64)
@@ -449,13 +463,13 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
 
     out = _phase_b(
         codes_s, order, leaf_level, jnp.asarray(level_starts),
-        merged, jnp.asarray(bbox_min), root_extent,
+        merged, bbox_min, root_extent,
         dimensions=dimensions, depth=depth, nlevels=nlevels, cap=nboxes,
         nsources=nsources, ntargets=ntargets,
         sources_are_targets=sources_are_targets)
 
     return Tree(
-        root_extent=jnp.asarray(root_extent, coord_dtype),
+        root_extent=root_extent,
         box_centers=out["box_centers"],
         box_parent_ids=out["box_parent"],
         box_child_ids=out["box_child"],

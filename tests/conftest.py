@@ -2,6 +2,9 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
 # without TPU hardware; the real-TPU path is exercised by bench.py).
+# Set the env var (not just the config) so that boxtree_tpu.config's
+# env-restoration logic agrees.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8")

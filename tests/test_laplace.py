@@ -1,0 +1,54 @@
+"""Native Laplace FMM vs direct summation (mirrors the reference's
+pyfmmlib accuracy oracle, ``test/test_fmm.py:398-476``: rel l-inf error
+below 1e-5 against direct evaluation)."""
+
+import numpy as np
+import pytest
+
+from boxtree_tpu import build_tree
+from boxtree_tpu.fmm import drive_fmm
+from boxtree_tpu.models.laplace import (
+    Laplace2DExpansionWrangler,
+    LaplaceTreeIndependentDataForWrangler,
+)
+from boxtree_tpu.traversal import build_traversal
+
+
+def direct_log_potential(targets, sources, charges):
+    dx = targets[0][:, None] - sources[0][None, :]
+    dy = targets[1][:, None] - sources[1][None, :]
+    r2 = dx * dx + dy * dy
+    g = 0.5 * np.log(np.where(r2 > 0, r2, 1.0))
+    g[r2 == 0] = 0.0
+    return g @ charges
+
+
+@pytest.mark.parametrize("split", [False, True])
+@pytest.mark.parametrize("well_sep_is_n_away", [1, 2])
+def test_laplace2d_vs_direct(split, well_sep_is_n_away):
+    rng = np.random.default_rng(20)
+    nsources = 2500
+    sources = rng.random((2, nsources))
+    # cluster some sources to force an adaptive tree
+    sources[:, :600] = 0.1 * rng.random((2, 600)) + 0.45
+    charges = rng.standard_normal(nsources)
+
+    if split:
+        ntargets = 1800
+        targets = rng.random((2, ntargets))
+    else:
+        ntargets = nsources
+        targets = None
+
+    tree = build_tree(sources, targets=targets, max_particles_in_box=20)
+    trav = build_traversal(tree, well_sep_is_n_away=well_sep_is_n_away)
+
+    wrangler = Laplace2DExpansionWrangler(
+        LaplaceTreeIndependentDataForWrangler(2, order=20), trav)
+    pot = np.asarray(drive_fmm(wrangler, (charges,))).real
+
+    tgt = targets if split else sources
+    ref = direct_log_potential(tgt, sources, charges)
+
+    rel_err = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
+    assert rel_err < 1e-5, rel_err
