@@ -1,0 +1,387 @@
+"""Shared plumbing for expansion wranglers.
+
+The FMM stages factor into kernel-independent machinery (this module) and
+a small set of kernel hooks.  The machinery handles:
+
+- per-box particle blocks and chunked CSR-edge evaluation (P2P/M2P/P2L
+  run as fixed-shape batched kernels over edge chunks inside ``lax.scan``),
+- M2M/L2L with per-(level, child-digit) dense operator stacks,
+- M2L batched by translation class (dense matmuls per class — MXU work).
+
+Subclasses provide (for a coefficient vector of length ``ncoeff``):
+
+- ``_p2m_terms(rel, q)``: (npart, K) multipole contributions
+- ``_l2p_eval(rel, loc)``: potentials from local coefficients
+- ``_m2p_eval(rel, mp)``: potentials from multipole coefficients
+- ``_p2l_terms(rel, q)``: (P, K) local contributions of a source block
+- ``_p2p(tgt_pts, src_pts, src_valid, q)``: direct kernel evaluation
+- host operator builders ``_m2m_matrix(t)``, ``_l2l_matrix(t)``,
+  ``_m2l_matrix(t)`` (t: cartesian translation vector)
+
+Reference counterpart: ``boxtree/pyfmmlib_integration.py:276-1162`` (which
+instead calls level-batched Fortran routines).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from boxtree_tpu.fmm.drive import ExpansionWranglerInterface
+from boxtree_tpu.models.particle_blocks import (
+    M2LClassPlan,
+    ParticleBlocks,
+    csr_rows,
+)
+from boxtree_tpu.traversal.build import _offsets
+
+_EDGE_CHUNK = 4096
+
+
+class ExpansionWranglerBase(ExpansionWranglerInterface):
+    """Kernel-independent expansion wrangler plumbing; see module doc."""
+
+    #: complex (or real) dtype of expansion coefficients
+    dtype = np.complex128
+
+    def __init__(self, tree_indep, traversal):
+        super().__init__(tree_indep, traversal)
+        tree = traversal.tree
+        self.dim = tree.dimensions
+        self.ncoeff = self._ncoeff()
+
+        self.src_blocks = ParticleBlocks(tree, "source")
+        if tree.sources_are_targets:
+            self.tgt_blocks = self.src_blocks
+        else:
+            self.tgt_blocks = ParticleBlocks(tree, "target")
+
+        self._lsb = tree.level_start_box_nrs
+        self._ls_totp = np.asarray(
+            traversal.level_start_target_or_target_parent_box_nrs)
+
+        self.centers = tree.box_centers               # (d, nboxes)
+        root = float(np.asarray(tree.root_extent))
+        self.root_extent = root
+
+        # M2L plan + per-(level, class) operators
+        n = traversal.well_sep_is_n_away
+        offs = _offsets(tree.dimensions, 2 * n + 1, min_inf_norm=n)
+        self.m2l_plan = M2LClassPlan(traversal, offs)
+        self._m2l_ops = {}
+        for (lev, _t, _s, class_slices) in self.m2l_plan.levels:
+            size = root / (1 << lev)
+            ops = {}
+            for c in class_slices:
+                # translation t = c_tgt - c_src = offset * box_size
+                t = self.m2l_plan.offsets[c].astype(np.float64) * size
+                ops[c] = jnp.asarray(self._m2l_matrix(t).astype(self.dtype))
+            self._m2l_ops[lev] = ops
+
+        # per-(level, digit) M2M / L2L operator stacks
+        nchild = 2 ** self.dim
+        self._m2m_ops = {}
+        self._l2l_ops = {}
+        for lev in range(1, tree.nlevels):
+            size = root / (1 << lev)
+            m2m, l2l = [], []
+            for digit in range(nchild):
+                sign = np.array([
+                    1.0 if (digit >> (self.dim - 1 - ax)) & 1 else -1.0
+                    for ax in range(self.dim)])
+                child_off = sign * (size / 2)   # c_child - c_parent
+                # M2M translation: t = c_parent - c_child
+                m2m.append(self._m2m_matrix(-child_off))
+                # L2L translation: t = c_child - c_parent
+                l2l.append(self._l2l_matrix(child_off))
+            self._m2m_ops[lev] = jnp.asarray(
+                np.stack(m2m).astype(self.dtype))
+            self._l2l_ops[lev] = jnp.asarray(
+                np.stack(l2l).astype(self.dtype))
+
+        self.box_digit = (tree.box_morton_prefixes
+                          & (nchild - 1)).astype(jnp.int32)
+
+    # {{{ kernel hooks
+
+    def _ncoeff(self):
+        raise NotImplementedError
+
+    def _p2m_terms(self, rel, q):
+        raise NotImplementedError
+
+    def _l2p_eval(self, rel, loc):
+        raise NotImplementedError
+
+    def _m2p_eval(self, rel, mp):
+        raise NotImplementedError
+
+    def _p2l_terms(self, rel, q):
+        raise NotImplementedError
+
+    def _p2p(self, tgt_pts, src_pts, src_valid, q):
+        raise NotImplementedError
+
+    def _m2m_matrix(self, t):
+        raise NotImplementedError
+
+    def _l2l_matrix(self, t):
+        raise NotImplementedError
+
+    def _m2l_matrix(self, t):
+        raise NotImplementedError
+
+    # }}}
+
+    # {{{ plumbing
+
+    def multipole_expansion_zeros(self):
+        return jnp.zeros((self.tree.nboxes, self.ncoeff), self.dtype)
+
+    local_expansion_zeros = multipole_expansion_zeros
+
+    def output_zeros(self):
+        return jnp.zeros(self.tree.ntargets, self.dtype)
+
+    def reorder_sources(self, source_array):
+        return jnp.asarray(source_array)[self.tree.user_source_ids]
+
+    def reorder_potentials(self, potentials):
+        return potentials[self.tree.sorted_target_ids]
+
+    def multipole_expansions_view(self, mpole_exps, level):
+        return mpole_exps[self._lsb[level]:self._lsb[level + 1]]
+
+    local_expansions_view = multipole_expansions_view
+
+    def finalize_potentials(self, potentials):
+        return potentials
+
+    def _target_block_to_particles(self, pot_box_blocks):
+        """(nboxes, pmax) block potentials -> per-target-particle values."""
+        tree = self.tree
+        off = (jnp.arange(tree.ntargets, dtype=jnp.int64)
+               - tree.box_target_starts.astype(jnp.int64)[
+                   tree.box_id_of_target])
+        return pot_box_blocks[tree.box_id_of_target, off]
+
+    @staticmethod
+    def _pad_edges(*arrays, chunk=_EDGE_CHUNK):
+        nedges = int(arrays[0].shape[0])
+        npad = max(chunk, -(-nedges // chunk) * chunk)
+        padded = [jnp.pad(a, (0, npad - nedges)) for a in arrays]
+        valid = jnp.pad(jnp.ones(nedges, bool), (0, npad - nedges))
+        return padded, valid, npad // chunk
+
+    # }}}
+
+    # {{{ P2M
+
+    def form_multipoles(self, level_start_source_box_nrs, source_boxes,
+                        src_weight_vecs):
+        src_weights, = src_weight_vecs
+        tree = self.tree
+        rel = tree.sources - self.centers[:, tree.box_id_of_source]
+        terms = self._p2m_terms(rel, src_weights)      # (nsources, K)
+        mp = self.multipole_expansion_zeros()
+        return mp.at[tree.box_id_of_source].add(terms)
+
+    # }}}
+
+    # {{{ M2M / L2L
+
+    def coarsen_multipoles(self, level_start_source_parent_box_nrs,
+                           source_parent_boxes, mpoles):
+        tree = self.tree
+        parents = tree.box_parent_ids
+        nchild = 2 ** self.dim
+        for lev in range(tree.nlevels - 1, 2, -1):
+            b0, b1 = self._lsb[lev], self._lsb[lev + 1]
+            ids = jnp.arange(b0, b1)
+            mp = mpoles[ids]
+            ops = self._m2m_ops[lev]
+            dig = self.box_digit[ids]
+            shifted = jnp.zeros_like(mp)
+            for d in range(nchild):
+                sel = (dig == d)[:, None]
+                shifted = shifted + jnp.where(sel, mp @ ops[d].T, 0)
+            mpoles = mpoles.at[parents[ids]].add(shifted)
+        return mpoles
+
+    def refine_locals(self, level_start_target_or_target_parent_box_nrs,
+                      target_or_target_parent_boxes, local_exps):
+        tree = self.tree
+        parents = tree.box_parent_ids
+        nchild = 2 ** self.dim
+        for lev in range(1, tree.nlevels):
+            r0, r1 = int(self._ls_totp[lev]), int(self._ls_totp[lev + 1])
+            if r1 == r0:
+                continue
+            ids = target_or_target_parent_boxes[r0:r1]
+            par_loc = local_exps[parents[ids]]
+            ops = self._l2l_ops[lev]
+            dig = self.box_digit[ids]
+            shifted = jnp.zeros_like(par_loc)
+            for d in range(nchild):
+                sel = (dig == d)[:, None]
+                shifted = shifted + jnp.where(sel, par_loc @ ops[d].T, 0)
+            local_exps = local_exps.at[ids].add(shifted)
+        return local_exps
+
+    # }}}
+
+    # {{{ M2L
+
+    def multipole_to_local(self, level_start_target_or_target_parent_box_nrs,
+                           target_or_target_parent_boxes, starts, lists,
+                           mpole_exps):
+        local_exps = self.local_expansion_zeros()
+        for (lev, tgt, src, class_slices) in self.m2l_plan.levels:
+            mp = mpole_exps[src]
+            out = jnp.zeros_like(mp)
+            ops = self._m2l_ops[lev]
+            for c, (s0, s1) in class_slices.items():
+                out = out.at[s0:s1].set(mp[s0:s1] @ ops[c].T)
+            local_exps = local_exps.at[tgt].add(out)
+        return local_exps
+
+    # }}}
+
+    # {{{ P2P
+
+    def eval_direct(self, target_boxes, neighbor_sources_starts,
+                    neighbor_sources_lists, src_weight_vecs):
+        src_weights, = src_weight_vecs
+        tree = self.tree
+        nedges = int(neighbor_sources_lists.shape[0])
+        if nedges == 0:
+            return self.output_zeros()
+
+        rows = csr_rows(neighbor_sources_starts, nedges)
+        q_blocks = self.src_blocks.gather_values(
+            src_weights.astype(self.dtype))
+        tb, sb = self.tgt_blocks, self.src_blocks
+
+        def edge_potential(t_box, s_box):
+            return self._p2p(tb.points[t_box], sb.points[s_box],
+                             sb.mask[s_box], q_blocks[s_box])
+
+        (tgt_rows, srcs, rows_p), valid, nchunks = self._pad_edges(
+            target_boxes[rows], neighbor_sources_lists, rows)
+
+        pot_rows = jnp.zeros((target_boxes.shape[0] + 1, tb.pmax),
+                             self.dtype)
+
+        def body(carry, inp):
+            pot_rows = carry
+            tr, sr, rr, vv = inp
+            vals = jax.vmap(edge_potential)(tr, sr)
+            safe = jnp.where(vv, rr, target_boxes.shape[0])
+            return pot_rows.at[safe].add(vals, mode="drop"), None
+
+        pot_rows, _ = lax.scan(
+            body, pot_rows,
+            (tgt_rows.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
+             rows_p.reshape(nchunks, -1), valid.reshape(nchunks, -1)))
+
+        pot_box = jnp.zeros((tree.nboxes, tb.pmax), self.dtype)
+        pot_box = pot_box.at[target_boxes].set(
+            pot_rows[:target_boxes.shape[0]])
+        return self._target_block_to_particles(pot_box)
+
+    # }}}
+
+    # {{{ M2P
+
+    def eval_multipoles(self, target_boxes_by_source_level,
+                        from_sep_smaller_by_level, mpole_exps):
+        tree = self.tree
+        tb = self.tgt_blocks
+        pot_box = jnp.zeros((tree.nboxes + 1, tb.pmax), self.dtype)
+
+        for level, ssn in enumerate(from_sep_smaller_by_level):
+            if ssn.count == 0:
+                continue
+            nedges = int(ssn.lists.shape[0])
+            rows = csr_rows(ssn.starts, nedges)
+            tgt_boxes = target_boxes_by_source_level[level][rows]
+
+            def edge_eval(t_box, s_box):
+                rel = (tb.points[t_box].T
+                       - self.centers[:, s_box][:, None])   # (d, P)
+                return self._m2p_eval(rel, mpole_exps[s_box])
+
+            (tgts, srcs), valid, nchunks = self._pad_edges(
+                tgt_boxes, ssn.lists)
+
+            def body(carry, inp):
+                pot_box = carry
+                tr, sr, vv = inp
+                vals = jax.vmap(edge_eval)(tr, sr)
+                safe = jnp.where(vv, tr, tree.nboxes)
+                return pot_box.at[safe].add(vals, mode="drop"), None
+
+            pot_box, _ = lax.scan(
+                body, pot_box,
+                (tgts.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
+                 valid.reshape(nchunks, -1)))
+
+        return self._target_block_to_particles(pot_box[:tree.nboxes])
+
+    # }}}
+
+    # {{{ P2L
+
+    def form_locals(self, level_start_target_or_target_parent_box_nrs,
+                    target_or_target_parent_boxes, starts, lists,
+                    src_weight_vecs):
+        src_weights, = src_weight_vecs
+        tree = self.tree
+        local_exps = self.local_expansion_zeros()
+        nedges = int(lists.shape[0])
+        if nedges == 0:
+            return local_exps
+
+        rows = csr_rows(starts, nedges)
+        sb = self.src_blocks
+        q_blocks = sb.gather_values(src_weights.astype(self.dtype))
+
+        def edge_coeffs(t_box, s_box):
+            rel = (sb.points[s_box].T
+                   - self.centers[:, t_box][:, None])        # (d, P)
+            terms = self._p2l_terms(rel, q_blocks[s_box])    # (P, K)
+            return jnp.sum(
+                jnp.where(sb.mask[s_box][:, None], terms, 0), axis=0)
+
+        (tgts, srcs), valid, nchunks = self._pad_edges(
+            target_or_target_parent_boxes[rows], lists)
+
+        loc_pad = jnp.concatenate(
+            [local_exps, jnp.zeros((1, self.ncoeff), self.dtype)])
+
+        def body(carry, inp):
+            loc = carry
+            tr, sr, vv = inp
+            vals = jax.vmap(edge_coeffs)(tr, sr)
+            safe = jnp.where(vv, tr, tree.nboxes)
+            return loc.at[safe].add(vals, mode="drop"), None
+
+        loc_pad, _ = lax.scan(
+            body, loc_pad,
+            (tgts.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
+             valid.reshape(nchunks, -1)))
+        return loc_pad[:tree.nboxes]
+
+    # }}}
+
+    # {{{ L2P
+
+    def eval_locals(self, level_start_target_box_nrs, target_boxes,
+                    local_exps):
+        tree = self.tree
+        rel = tree.targets - self.centers[:, tree.box_id_of_target]
+        return self._l2p_eval(rel, local_exps[tree.box_id_of_target])
+
+    # }}}

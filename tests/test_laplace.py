@@ -7,10 +7,7 @@ import pytest
 
 from boxtree_tpu import build_tree
 from boxtree_tpu.fmm import drive_fmm
-from boxtree_tpu.models.laplace import (
-    Laplace2DExpansionWrangler,
-    LaplaceTreeIndependentDataForWrangler,
-)
+from boxtree_tpu.models.laplace import make_laplace_wrangler
 from boxtree_tpu.traversal import build_traversal
 
 
@@ -43,12 +40,45 @@ def test_laplace2d_vs_direct(split, well_sep_is_n_away):
     tree = build_tree(sources, targets=targets, max_particles_in_box=20)
     trav = build_traversal(tree, well_sep_is_n_away=well_sep_is_n_away)
 
-    wrangler = Laplace2DExpansionWrangler(
-        LaplaceTreeIndependentDataForWrangler(2, order=20), trav)
+    wrangler = make_laplace_wrangler(trav, order=20)
     pot = np.asarray(drive_fmm(wrangler, (charges,))).real
 
     tgt = targets if split else sources
     ref = direct_log_potential(tgt, sources, charges)
 
+    rel_err = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
+    assert rel_err < 1e-5, rel_err
+
+
+def direct_coulomb(targets, sources, charges):
+    diff = targets[:, :, None] - sources[:, None, :]
+    r2 = (diff * diff).sum(axis=0)
+    g = np.where(r2 > 0, 1.0 / np.sqrt(np.where(r2 > 0, r2, 1.0)), 0.0)
+    return g @ charges
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_laplace3d_vs_direct(split):
+    rng = np.random.default_rng(31)
+    nsources = 2000
+    # sphere-surface sources (nonuniform, like the reference's Config D)
+    v = rng.standard_normal((3, nsources))
+    sources = v / np.linalg.norm(v, axis=0)
+    charges = rng.standard_normal(nsources)
+
+    if split:
+        ntargets = 1200
+        targets = rng.random((3, ntargets)) * 2 - 1
+    else:
+        targets = None
+
+    tree = build_tree(sources, targets=targets, max_particles_in_box=30)
+    trav = build_traversal(tree)
+
+    wrangler = make_laplace_wrangler(trav, order=12)
+    pot = np.asarray(drive_fmm(wrangler, (charges,))).real
+
+    tgt = targets if split else sources
+    ref = direct_coulomb(tgt, sources, charges)
     rel_err = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
     assert rel_err < 1e-5, rel_err
