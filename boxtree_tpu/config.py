@@ -29,17 +29,18 @@ if _env_platforms and jax.config.jax_platforms != _env_platforms:
     except Exception:  # pragma: no cover
         pass
 
-# Persistent compilation cache: the traversal builder compiles one small
-# kernel per (list, level) combination; caching makes repeat builds (and
-# repeat benchmark runs) nearly compile-free.
-_cache_dir = os.environ.get(
-    "BOXTREE_TPU_CACHE", os.path.expanduser("~/.cache/boxtree_tpu_jax"))
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover - older jax
-    pass
+# Optional persistent compilation cache (opt-in via BOXTREE_TPU_CACHE).
+# NOTE: disabled by default — on this machine, reloading AOT-cached CPU
+# executables across processes trips a machine-feature mismatch
+# (cpu_aot_loader "prefer-no-gather not supported" -> SIGILL).
+_cache_dir = os.environ.get("BOXTREE_TPU_CACHE")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax
+        pass
 
 # id dtypes
 box_id_dtype = np.dtype(np.int32)

@@ -18,15 +18,15 @@ Morton prefix), which turns each list into
 
 Deep-descendant lists (1 and 3) are enumerated *from the finer side*
 (source boxes search their bounded set of coarser neighbors) so that every
-candidate window stays O(3^d) — the walk's unbounded descendant frontier
-never materializes.  Edges from both directions are merged with one
-key-sort per list.
+candidate window stays O(3^d); edges from both directions are merged with
+one key-sort per list.
 
-All per-level loops are unrolled *inside* a handful of jitted functions
-(one candidate pass and one compaction pass per list), so a traversal
-build costs ~8 XLA compilations per tree shape instead of
-O(nlists * nlevels) — important both for TPU compile latency and reuse
-through the persistent compilation cache.
+Execution model = the reference's ``ListOfListsBuilder`` count->fill
+pattern (``boxtree/tree_build_kernels.py`` imports at ``:32-33``), on TPU:
+every list runs a *count* pass and a *fill* pass, both streaming over row
+chunks with ``lax.scan`` so peak memory is O(chunk * window) + O(output),
+never O(rows * window).  Each pass is one XLA compilation; all list sizes
+cross to the host in a single packed transfer.
 
 List membership rules (verified against the reference templates and by
 the constant-one completeness oracle):
@@ -55,6 +55,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from boxtree_tpu.ops import morton
 from boxtree_tpu.tree.containers import box_flags_enum
@@ -62,6 +63,7 @@ from boxtree_tpu.traversal.containers import BuiltList, FMMTraversalInfo
 
 _F = box_flags_enum
 _INVALID_KEY = np.int64(np.iinfo(np.int64).max)
+_ROW_CHUNK = 4096
 
 
 # {{{ static offset tables
@@ -82,7 +84,7 @@ def _offsets(dimensions, radius, *, exclude_zero=False, min_inf_norm=None):
 # }}}
 
 
-# {{{ small jitted utilities
+# {{{ small utilities
 
 def _exclusive_cumsum(x):
     return jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(x)])
@@ -99,77 +101,22 @@ def _mask_to_list(mask, *, total):
         jnp.arange(n, dtype=jnp.int32), mode="drop")
 
 
-@partial(jax.jit, static_argnames=("totals",))
-def _compact_padded_multi(padded, *, totals):
-    """Compact several row-major padded (R_i, K_i) candidate arrays (-1 =
-    invalid) to CSR in one compilation."""
-    out = []
-    for (vals, total) in zip(padded, totals):
-        valid = vals >= 0
-        counts = valid.sum(axis=1).astype(jnp.int64)
-        starts = _exclusive_cumsum(counts).astype(jnp.int32)
-        if total == 0:
-            out.append((starts, jnp.zeros(0, jnp.int32)))
-            continue
-        flat_v = vals.reshape(-1)
-        flat_m = valid.reshape(-1)
-        pos = jnp.cumsum(flat_m.astype(jnp.int64)) - 1
-        lists = jnp.zeros(total, jnp.int32)
-        lists = lists.at[jnp.where(flat_m, pos, total)].set(
-            flat_v, mode="drop")
-        out.append((starts, lists))
-    return tuple(out)
-
-
-def _starts_of_sorted_keys(keys_sorted, nrows):
-    """CSR starts from sorted (row<<32 | value) keys; invalid (max-int64)
-    keys sort past every real row, so no total is needed."""
-    rows = keys_sorted >> np.int64(32)
-    return jnp.searchsorted(
-        rows, jnp.arange(nrows + 1, dtype=jnp.int64)).astype(jnp.int32)
-
-
-@partial(jax.jit, static_argnames=("l1_total", "l3_totals", "l3_nonempty"))
-def _finalize_edge_lists(l1_keys, l3_keys, l3_starts, target_boxes, *,
-                         l1_total, l3_totals, l3_nonempty):
-    """Slice sorted edge keys to their true size and compress List 3's
-    empty rows, all on device (one compilation, no host transfers)."""
-    l1_lists = (l1_keys[:l1_total] & np.int64(0xFFFFFFFF)).astype(jnp.int32)
-    l3_out = []
-    for keys, starts, total, nne in zip(l3_keys, l3_starts, l3_totals,
-                                        l3_nonempty):
-        lists = (keys[:total] & np.int64(0xFFFFFFFF)).astype(jnp.int32)
-        row_counts = starts[1:] - starts[:-1]
-        ne_rows = _mask_to_list(row_counts > 0, total=nne)
-        # all-skipped rows are empty, so starts[ne_rows] is already the
-        # compressed cumulative count
-        comp_starts = jnp.concatenate(
-            [starts[ne_rows.astype(jnp.int64)],
-             jnp.full(1, total, jnp.int32)])
-        tgt_sep = target_boxes[ne_rows.astype(jnp.int64)]
-        l3_out.append((lists, comp_starts, ne_rows, tgt_sep))
-    return l1_lists, tuple(l3_out)
+def _pad_rows(arr, chunk):
+    """Pad axis 0 to a multiple of *chunk* and return (padded, nchunks)."""
+    n = arr.shape[0]
+    npad = max(chunk, -(-n // chunk) * chunk)
+    return jnp.pad(arr, (0, npad - n)), npad // chunk
 
 # }}}
-
-
-@jax.jit
-def _pack_counts(slnws, l2, l4, l1, l3_totals, l3_nonempty):
-    scalars = jnp.stack([x.astype(jnp.int64)
-                         for x in (slnws, l2, l4, l1)])
-    return jnp.concatenate([scalars, l3_totals.astype(jnp.int64),
-                            l3_nonempty.astype(jnp.int64)])
 
 
 # {{{ geometric predicates (exact integer arithmetic)
 
 def _touch(cells_a, level_a, cells_b, level_b):
-    """Closed-box intersection test between boxes given by integer cells.
-
-    ``cells_*``: (d, ...) int64 arrays; levels are static python ints.
-    Equivalent to the reference's ``is_adjacent_or_overlapping``
-    (``boxtree/traversal.py:307-318``) for exactly-representable boxes.
-    """
+    """Closed-box intersection test between boxes given by integer cells
+    (``cells_*``: (d, ...) int64; levels static python ints).  Equivalent
+    to the reference's ``is_adjacent_or_overlapping``
+    (``boxtree/traversal.py:307-318``)."""
     if level_a > level_b:
         cells_a, cells_b = cells_b, cells_a
         level_a, level_b = level_b, level_a
@@ -178,15 +125,9 @@ def _touch(cells_a, level_a, cells_b, level_b):
     hi = (cells_a + 1) << np.int64(s)
     return ((lo <= cells_b + 1) & (cells_b <= hi)).all(axis=0)
 
-# }}}
-
 
 def _lookup(prefixes_l, level_start, cand_cells, level):
-    """Find boxes at (static) *level* with the given integer cells.
-
-    :returns: ``(found, box_id)``; box_id global int32, garbage if not
-        found.
-    """
+    """Find boxes at (static) *level* with the given integer cells."""
     nl = prefixes_l.shape[0]
     nb = np.int64(1) << np.int64(level)
     in_range = ((cand_cells >= 0) & (cand_cells < nb)).all(axis=0)
@@ -197,204 +138,464 @@ def _lookup(prefixes_l, level_start, cand_cells, level):
     box_id = (level_start + idxc).astype(jnp.int32)
     return found, box_id
 
-
-# {{{ candidate passes (one jit each; level loops unrolled inside)
-
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb"))
-def _slnws_padded(prefixes, *, dimensions, n_away, lsb):
-    """(nboxes, m) padded colleague candidates, rows in box-id order."""
-    offs = jnp.asarray(_offsets(dimensions, n_away, exclude_zero=True))
-    out = []
-    for lev in range(len(lsb) - 1):
-        pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
-        cells = morton.deinterleave(pfx_l, dimensions)
-        cand = cells[:, :, None] + offs.T[:, None, :]
-        found, box_id = _lookup(pfx_l, lsb[lev], cand, lev)
-        out.append(jnp.where(found, box_id, -1))
-    padded = jnp.concatenate(out, axis=0)
-    return padded, (padded >= 0).sum()
+# }}}
 
 
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp"))
-def _list2_padded(totp_boxes, prefixes, *, dimensions, n_away, lsb,
-                  ls_totp):
-    offs = jnp.asarray(_offsets(dimensions, 2 * n_away + 1,
-                                min_inf_norm=n_away))
-    m = offs.shape[0]
-    totp_pfx = prefixes[totp_boxes]
-    out = []
-    for lev in range(len(lsb) - 1):
-        r0, r1 = ls_totp[lev], ls_totp[lev + 1]
-        if r1 == r0:
-            continue
-        if lev == 0:
-            out.append(jnp.full((r1 - r0, m), -1, jnp.int32))
-            continue
-        cells = morton.deinterleave(totp_pfx[r0:r1], dimensions)
-        cand = cells[:, :, None] + offs.T[:, None, :]
-        parent_diff = ((cand >> np.int64(1))
-                       - (cells >> np.int64(1))[:, :, None])
-        parent_ok = (jnp.abs(parent_diff) <= n_away).all(axis=0)
-        found, box_id = _lookup(prefixes[lsb[lev]:lsb[lev + 1]], lsb[lev],
-                                cand, lev)
-        out.append(jnp.where(found & parent_ok, box_id, -1))
-    padded = jnp.concatenate(out, axis=0)
-    return padded, (padded >= 0).sum()
+# {{{ candidate generators ((rows,) chunk -> (rows, K) padded candidates)
+
+def _gen_slnws(rows_pfx, prefixes_l, lsb_lev, offs, *, level, dimensions):
+    cells = morton.deinterleave(rows_pfx, dimensions)
+    cand = cells[:, :, None] + offs.T[:, None, :]
+    found, box_id = _lookup(prefixes_l, lsb_lev, cand, level)
+    return jnp.where(found, box_id, -1)
 
 
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp"))
-def _list4_padded(totp_boxes, box_flags, prefixes, *, dimensions, n_away,
-                  lsb, ls_totp):
-    nlevels = len(lsb) - 1
-    offs = jnp.asarray(_offsets(dimensions, n_away, exclude_zero=True))
-    m = offs.shape[0]
-    k_max = max(1, m * (nlevels - 1))
-    totp_pfx = prefixes[totp_boxes]
-    out = []
-    for lb in range(nlevels):
-        r0, r1 = ls_totp[lb], ls_totp[lb + 1]
-        if r1 == r0:
-            continue
-        rows = r1 - r0
-        wl_max = lb - 1 if n_away == 1 else lb
-        if wl_max < 1:
-            out.append(jnp.full((rows, k_max), -1, jnp.int32))
-            continue
-        cells = morton.deinterleave(totp_pfx[r0:r1], dimensions)
-        parent_cells = cells >> np.int64(1)
-        chunks = []
-        for wl in range(1, wl_max + 1):
-            anc = cells >> np.int64(lb - wl)
-            cand = anc[:, :, None] + offs.T[:, None, :]
-            found, box_id = _lookup(prefixes[lsb[wl]:lsb[wl + 1]], lsb[wl],
-                                    cand, wl)
-            idc = jnp.where(found, box_id, 0)
-            is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
-            not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
-            if wl == lb:
-                enters_here = jnp.ones(cand.shape[1:], bool)
-            else:
-                enters_here = _touch(cand, wl, parent_cells[:, :, None],
-                                     lb - 1)
-            valid = found & is_src & not_touch_b & enters_here
-            chunks.append(jnp.where(valid, box_id, -1))
-        block = jnp.concatenate(chunks, axis=1)
-        if block.shape[1] < k_max:
-            block = jnp.concatenate(
-                [block, jnp.full((rows, k_max - block.shape[1]), -1,
-                                 jnp.int32)], axis=1)
-        out.append(block)
-    padded = jnp.concatenate(out, axis=0)
-    return padded, (padded >= 0).sum()
+def _gen_list2(rows_pfx, prefixes_l, lsb_lev, offs, *, level, dimensions,
+               n_away):
+    cells = morton.deinterleave(rows_pfx, dimensions)
+    cand = cells[:, :, None] + offs.T[:, None, :]
+    parent_diff = ((cand >> np.int64(1))
+                   - (cells >> np.int64(1))[:, :, None])
+    parent_ok = (jnp.abs(parent_diff) <= n_away).all(axis=0)
+    found, box_id = _lookup(prefixes_l, lsb_lev, cand, level)
+    return jnp.where(found & parent_ok, box_id, -1)
 
 
-@partial(jax.jit, static_argnames=("dimensions", "lsb", "ls_tgt"))
-def _list1_keys(box_flags, tgt_row_of_box, target_boxes, prefixes, *,
-                dimensions, lsb, ls_tgt):
-    """All List-1 edges as sorted int64 keys (row<<32 | src_box)."""
-    nlevels = len(lsb) - 1
-    offs = jnp.asarray(_offsets(dimensions, 1))
+def _gen_list4(rows_pfx, prefixes, box_flags, offs, *, lb, dimensions,
+               n_away, lsb, k_pad):
+    cells = morton.deinterleave(rows_pfx, dimensions)
+    parent_cells = cells >> np.int64(1)
+    rows = rows_pfx.shape[0]
+    wl_max = lb - 1 if n_away == 1 else lb
     chunks = []
-    level_prefixes = [prefixes[lsb[i]:lsb[i + 1]] for i in range(nlevels)]
+    for wl in range(1, wl_max + 1):
+        anc = cells >> np.int64(lb - wl)
+        cand = anc[:, :, None] + offs.T[:, None, :]
+        found, box_id = _lookup(prefixes[lsb[wl]:lsb[wl + 1]], lsb[wl],
+                                cand, wl)
+        idc = jnp.where(found, box_id, 0)
+        is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
+        not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
+        if wl == lb:
+            enters_here = jnp.ones(cand.shape[1:], bool)
+        else:
+            enters_here = _touch(cand, wl, parent_cells[:, :, None],
+                                 lb - 1)
+        valid = found & is_src & not_touch_b & enters_here
+        chunks.append(jnp.where(valid, box_id, -1))
+    if not chunks:
+        return jnp.full((rows, k_pad), -1, jnp.int32)
+    block = jnp.concatenate(chunks, axis=1)
+    if block.shape[1] < k_pad:
+        block = jnp.concatenate(
+            [block, jnp.full((rows, k_pad - block.shape[1]), -1,
+                             jnp.int32)], axis=1)
+    return block
 
-    # from the target side: source levels <= target level
+
+def _gen_list1_target_side(rows_pfx, row_ids, prefixes, box_flags, offs,
+                           *, lt, dimensions, lsb):
+    """(rows, K) int64 keys row<<32|src for source levels <= lt."""
+    cells = morton.deinterleave(rows_pfx, dimensions)
+    out = []
+    for ls in range(lt + 1):
+        anc = cells >> np.int64(lt - ls)
+        cand = anc[:, :, None] + offs.T[:, None, :]
+        found, box_id = _lookup(prefixes[lsb[ls]:lsb[ls + 1]], lsb[ls],
+                                cand, ls)
+        idc = jnp.where(found, box_id, 0)
+        is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
+        touch = _touch(cand, ls, cells[:, :, None], lt)
+        valid = found & is_src & touch
+        keys = jnp.where(
+            valid,
+            (row_ids[:, None] << np.int64(32)) | box_id.astype(jnp.int64),
+            _INVALID_KEY)
+        out.append(keys)
+    return jnp.concatenate(out, axis=1)
+
+
+def _gen_list1_source_side(rows_pfx, src_ids, prefixes, box_flags,
+                           tgt_row_of_box, offs, *, ls, dimensions, lsb):
+    """(rows, K) keys for target levels strictly coarser than ls."""
+    cells = morton.deinterleave(rows_pfx, dimensions)
+    emitter_is_src = (box_flags[src_ids] & _F.IS_SOURCE_BOX) != 0
+    out = []
+    for lt in range(ls):
+        anc = cells >> np.int64(ls - lt)
+        cand = anc[:, :, None] + offs.T[:, None, :]
+        found, box_id = _lookup(prefixes[lsb[lt]:lsb[lt + 1]], lsb[lt],
+                                cand, lt)
+        idc = jnp.where(found, box_id, 0)
+        row = tgt_row_of_box[idc].astype(jnp.int64)
+        touch = _touch(cand, lt, cells[:, :, None], ls)
+        valid = found & (row >= 0) & touch & emitter_is_src[:, None]
+        keys = jnp.where(valid,
+                         (row << np.int64(32)) | src_ids[:, None],
+                         _INVALID_KEY)
+        out.append(keys)
+    return jnp.concatenate(out, axis=1)
+
+
+def _gen_list3(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
+               offs1, offsn, *, ls, dimensions, lsb):
+    """(rows, K) keys for List 3 at source level ls."""
+    cells = morton.deinterleave(rows_pfx, dimensions)
+    parent_cells = cells >> np.int64(1)
+    w_has_src = (box_flags[w_ids]
+                 & (_F.IS_SOURCE_BOX | _F.HAS_SOURCE_CHILD_BOXES)) != 0
+    out = []
+    for lt in range(ls):
+        if lt == ls - 1:
+            cand = parent_cells[:, :, None] + offsn.T[:, None, :]
+        else:
+            anc_p = parent_cells >> np.int64(ls - 1 - lt)
+            cand = anc_p[:, :, None] + offs1.T[:, None, :]
+        found, box_id = _lookup(prefixes[lsb[lt]:lsb[lt + 1]], lsb[lt],
+                                cand, lt)
+        idc = jnp.where(found, box_id, 0)
+        row = tgt_row_of_box[idc].astype(jnp.int64)
+        if lt < ls - 1:
+            enters = _touch(cand, lt, parent_cells[:, :, None], ls - 1)
+        else:
+            enters = jnp.ones(cand.shape[1:], bool)
+        not_touch_w = ~_touch(cand, lt, cells[:, :, None], ls)
+        valid = (found & (row >= 0) & enters & not_touch_w
+                 & w_has_src[:, None])
+        keys = jnp.where(valid, (row << np.int64(32)) | w_ids[:, None],
+                         _INVALID_KEY)
+        out.append(keys)
+    return jnp.concatenate(out, axis=1)
+
+# }}}
+
+
+# {{{ chunked count / fill engines
+
+def _count_rowlist(gen, rows_pfx, row_base, row_counts):
+    """Accumulate per-row valid counts for one level's rows (chunked)."""
+    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
+    nrows = rows_pfx.shape[0]
+    idx = row_base + jnp.arange(padded.shape[0], dtype=jnp.int64)
+    idx = jnp.where(jnp.arange(padded.shape[0]) < nrows, idx,
+                    row_counts.shape[0])
+
+    def body(carry, inp):
+        rows, ridx = inp
+        cnt = (gen(rows) >= 0).sum(axis=1)
+        return carry.at[ridx].add(cnt.astype(jnp.int32), mode="drop"), None
+
+    row_counts, _ = lax.scan(
+        body, row_counts,
+        (padded.reshape(nchunks, -1), idx.reshape(nchunks, -1)))
+    return row_counts
+
+
+def _fill_rowlist(gen, rows_pfx, row_base, starts, out):
+    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
+    nrows = rows_pfx.shape[0]
+    total = out.shape[0]
+    idx = row_base + jnp.arange(padded.shape[0], dtype=jnp.int64)
+    valid_row = jnp.arange(padded.shape[0]) < nrows
+
+    def body(carry, inp):
+        out = carry
+        rows, ridx, vr = inp
+        cand = gen(rows)
+        valid = (cand >= 0) & vr[:, None]
+        rank = jnp.cumsum(valid.astype(jnp.int64), axis=1) - 1
+        pos = starts[jnp.clip(ridx, 0, starts.shape[0] - 1)].astype(
+            jnp.int64)[:, None] + rank
+        out = out.at[jnp.where(valid, pos, total)].set(cand, mode="drop")
+        return out, None
+
+    out, _ = lax.scan(
+        body, out,
+        (padded.reshape(nchunks, -1), idx.reshape(nchunks, -1),
+         valid_row.reshape(nchunks, -1)))
+    return out
+
+
+def _count_keys(gen, rows_pfx, aux, count):
+    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
+    nrows = rows_pfx.shape[0]
+    aux_p = [_pad_rows(a, _ROW_CHUNK)[0] for a in aux]
+    valid_row = jnp.arange(padded.shape[0]) < nrows
+
+    def body(carry, inp):
+        vr = inp[-1]
+        keys = jnp.where(vr[:, None], gen(inp[0], *inp[1:-1]),
+                         _INVALID_KEY)
+        return carry + (keys != _INVALID_KEY).sum(), None
+
+    count, _ = lax.scan(
+        body, count,
+        tuple(a.reshape(nchunks, -1)
+              for a in (padded, *aux_p, valid_row)))
+    return count
+
+
+def _fill_keys(gen, rows_pfx, aux, out, offset):
+    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
+    nrows = rows_pfx.shape[0]
+    aux_p = [_pad_rows(a, _ROW_CHUNK)[0] for a in aux]
+    valid_row = jnp.arange(padded.shape[0]) < nrows
+    total = out.shape[0]
+
+    def body(carry, inp):
+        out, offset = carry
+        vr = inp[-1]
+        keys = jnp.where(vr[:, None], gen(inp[0], *inp[1:-1]),
+                         _INVALID_KEY).reshape(-1)
+        valid = keys != _INVALID_KEY
+        pos = offset + jnp.cumsum(valid.astype(jnp.int64)) - 1
+        out = out.at[jnp.where(valid, pos, total)].set(keys, mode="drop")
+        return (out, offset + valid.sum()), None
+
+    (out, offset), _ = lax.scan(
+        body, (out, offset),
+        tuple(a.reshape(nchunks, -1)
+              for a in (padded, *aux_p, valid_row)))
+    return out, offset
+
+# }}}
+
+
+def _starts_of_rows(rows_sorted, nrows):
+    return jnp.searchsorted(
+        rows_sorted, jnp.arange(nrows + 1, dtype=jnp.int64)).astype(
+            jnp.int32)
+
+
+# {{{ count passes (one compilation each)
+
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
+                                   "ls_totp"))
+def _counts_pass(prefixes, totp_boxes, box_flags, *, dimensions, n_away,
+                 lsb, ls_totp):
+    """Per-row counts for slnws / List 2 / List 4 (+ their totals)."""
+    d = dimensions
+    nlevels = len(lsb) - 1
+    nboxes = lsb[-1]
+    ntotp = ls_totp[-1]
+    offs_n = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
+    offs_2 = jnp.asarray(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
+    totp_pfx = prefixes[totp_boxes]
+
+    slnws_counts = jnp.zeros(nboxes + 1, jnp.int32)
+    l2_counts = jnp.zeros(ntotp + 1, jnp.int32)
+    l4_counts = jnp.zeros(ntotp + 1, jnp.int32)
+
+    for lev in range(nlevels):
+        pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
+        gen = partial(_gen_slnws, prefixes_l=pfx_l, lsb_lev=lsb[lev],
+                      offs=offs_n, level=lev, dimensions=d)
+        slnws_counts = _count_rowlist(gen, pfx_l, lsb[lev], slnws_counts)
+
+        r0, r1 = ls_totp[lev], ls_totp[lev + 1]
+        if r1 == r0 or lev == 0:
+            continue
+        rows_pfx = totp_pfx[r0:r1]
+        gen2 = partial(_gen_list2, prefixes_l=pfx_l, lsb_lev=lsb[lev],
+                       offs=offs_2, level=lev, dimensions=d, n_away=n_away)
+        l2_counts = _count_rowlist(gen2, rows_pfx, r0, l2_counts)
+
+        if not (n_away == 1 and lev == 1):
+            k_pad = max(1, offs_n.shape[0] * (nlevels - 1))
+            gen4 = partial(_gen_list4, prefixes=prefixes,
+                           box_flags=box_flags, offs=offs_n, lb=lev,
+                           dimensions=d, n_away=n_away, lsb=lsb,
+                           k_pad=k_pad)
+            l4_counts = _count_rowlist(gen4, rows_pfx, r0, l4_counts)
+
+    return (slnws_counts[:-1], l2_counts[:-1], l4_counts[:-1],
+            slnws_counts[:-1].sum(), l2_counts[:-1].sum(),
+            l4_counts[:-1].sum())
+
+
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb", "ls_tgt",
+                                   "ntarget_boxes"))
+def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
+                      *, dimensions, n_away, lsb, ls_tgt, ntarget_boxes):
+    """Edge totals for List 1 and per-source-level List 3 (+ List-3
+    nonempty-row counts for empty-row compression)."""
+    d = dimensions
+    nlevels = len(lsb) - 1
+    offs1 = jnp.asarray(_offsets(d, 1))
+    offsn = jnp.asarray(_offsets(d, n_away))
+
+    l1_count = jnp.int64(0)
     for lt in range(nlevels):
         r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
         if r1 == r0:
             continue
         rows_pfx = prefixes[target_boxes[r0:r1]]
-        cells = morton.deinterleave(rows_pfx, dimensions)
-        rows = (r0 + jnp.arange(r1 - r0, dtype=jnp.int64))[:, None]
-        for ls in range(lt + 1):
-            anc = cells >> np.int64(lt - ls)
-            cand = anc[:, :, None] + offs.T[:, None, :]
-            found, box_id = _lookup(level_prefixes[ls], lsb[ls], cand, ls)
-            idc = jnp.where(found, box_id, 0)
-            is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
-            touch = _touch(cand, ls, cells[:, :, None], lt)
-            valid = found & is_src & touch
-            keys = jnp.where(
-                valid, (rows << np.int64(32)) | box_id.astype(jnp.int64),
-                _INVALID_KEY)
-            chunks.append(keys.reshape(-1))
-
-    # from the source side: target levels strictly coarser
+        row_ids = r0 + jnp.arange(r1 - r0, dtype=jnp.int64)
+        gen = partial(_gen_list1_target_side, prefixes=prefixes,
+                      box_flags=box_flags, offs=offs1, lt=lt,
+                      dimensions=d, lsb=lsb)
+        l1_count = _count_keys(gen, rows_pfx, (row_ids,), l1_count)
     for ls in range(1, nlevels):
-        pfx_l = level_prefixes[ls]
-        nl = pfx_l.shape[0]
-        cells = morton.deinterleave(pfx_l, dimensions)
-        src_ids = lsb[ls] + jnp.arange(nl, dtype=jnp.int64)
-        emitter_is_src = (box_flags[src_ids] & _F.IS_SOURCE_BOX) != 0
-        for lt in range(ls):
-            anc = cells >> np.int64(ls - lt)
-            cand = anc[:, :, None] + offs.T[:, None, :]
-            found, box_id = _lookup(level_prefixes[lt], lsb[lt], cand, lt)
-            idc = jnp.where(found, box_id, 0)
-            row = tgt_row_of_box[idc].astype(jnp.int64)
-            touch = _touch(cand, lt, cells[:, :, None], ls)
-            valid = (found & (row >= 0) & touch
-                     & emitter_is_src[:, None])
-            keys = jnp.where(valid, (row << np.int64(32)) | src_ids[:, None],
-                             _INVALID_KEY)
-            chunks.append(keys.reshape(-1))
+        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
+        src_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
+        gen = partial(_gen_list1_source_side, prefixes=prefixes,
+                      box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
+                      offs=offs1, ls=ls, dimensions=d, lsb=lsb)
+        l1_count = _count_keys(gen, pfx_l, (src_ids,), l1_count)
 
-    all_keys = jax.lax.sort(jnp.concatenate(chunks))
-    ntarget_boxes = ls_tgt[-1]
-    starts = _starts_of_sorted_keys(all_keys, ntarget_boxes)
-    return all_keys, starts, (all_keys != _INVALID_KEY).sum()
-
-
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ntarget_boxes"))
-def _list3_keys(box_flags, tgt_row_of_box, prefixes, *, dimensions,
-                n_away, lsb, ntarget_boxes):
-    """Per-source-level List-3 edges as sorted int64 keys
-    (row<<32 | w_box); one array per source level, plus CSR starts and
-    counts."""
-    nlevels = len(lsb) - 1
-    level_prefixes = [prefixes[lsb[i]:lsb[i + 1]] for i in range(nlevels)]
-    offs1 = jnp.asarray(_offsets(dimensions, 1))
-    offsn = jnp.asarray(_offsets(dimensions, n_away))
-    per_level = []
+    l3_totals = []
+    l3_nonempty = []
     for ls in range(nlevels):
         if ls == 0:
-            per_level.append(jnp.full((1,), _INVALID_KEY, jnp.int64))
+            l3_totals.append(jnp.int64(0))
+            l3_nonempty.append(jnp.int64(0))
             continue
-        pfx_l = level_prefixes[ls]
-        nl = pfx_l.shape[0]
-        cells = morton.deinterleave(pfx_l, dimensions)
-        parent_cells = cells >> np.int64(1)
-        w_ids = lsb[ls] + jnp.arange(nl, dtype=jnp.int64)
-        w_has_src = (box_flags[w_ids]
-                     & (_F.IS_SOURCE_BOX | _F.HAS_SOURCE_CHILD_BOXES)) != 0
-        chunks = []
-        for lt in range(ls):
-            if lt == ls - 1:
-                cand = parent_cells[:, :, None] + offsn.T[:, None, :]
-            else:
-                anc_p = parent_cells >> np.int64(ls - 1 - lt)
-                cand = anc_p[:, :, None] + offs1.T[:, None, :]
-            found, box_id = _lookup(level_prefixes[lt], lsb[lt], cand, lt)
-            idc = jnp.where(found, box_id, 0)
-            row = tgt_row_of_box[idc].astype(jnp.int64)
-            if lt < ls - 1:
-                enters = _touch(cand, lt, parent_cells[:, :, None], ls - 1)
-            else:
-                enters = jnp.ones(cand.shape[1:], bool)
-            not_touch_w = ~_touch(cand, lt, cells[:, :, None], ls)
-            valid = (found & (row >= 0) & enters & not_touch_w
-                     & w_has_src[:, None])
-            keys = jnp.where(valid, (row << np.int64(32)) | w_ids[:, None],
-                             _INVALID_KEY)
-            chunks.append(keys.reshape(-1))
-        per_level.append(jax.lax.sort(jnp.concatenate(chunks)))
-    starts = tuple(_starts_of_sorted_keys(k, ntarget_boxes)
-                   for k in per_level)
-    totals = jnp.stack([(k != _INVALID_KEY).sum() for k in per_level])
-    nonempty = jnp.stack([(s[1:] > s[:-1]).sum() for s in starts])
-    return tuple(per_level), starts, totals, nonempty
+        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
+        w_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
+        gen = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
+                      tgt_row_of_box=tgt_row_of_box, offs1=offs1,
+                      offsn=offsn, ls=ls, dimensions=d, lsb=lsb)
+        row_counts = jnp.zeros(ntarget_boxes + 1, jnp.int32)
+        padded, nchunks = _pad_rows(pfx_l, _ROW_CHUNK)
+        wid_pad, _ = _pad_rows(w_ids, _ROW_CHUNK)
+        vrow = jnp.arange(padded.shape[0]) < pfx_l.shape[0]
+
+        def body(carry, inp, g=gen):
+            rows, wi, vr = inp
+            keys = jnp.where(vr[:, None], g(rows, wi), _INVALID_KEY)
+            valid = keys != _INVALID_KEY
+            trow = (keys >> np.int64(32)).astype(jnp.int64)
+            return carry.at[
+                jnp.where(valid, trow, ntarget_boxes)].add(
+                    1, mode="drop"), None
+
+        row_counts, _ = lax.scan(
+            body, row_counts,
+            (padded.reshape(nchunks, -1), wid_pad.reshape(nchunks, -1),
+             vrow.reshape(nchunks, -1)))
+        row_counts = row_counts[:-1]
+        l3_totals.append(row_counts.sum().astype(jnp.int64))
+        l3_nonempty.append((row_counts > 0).sum().astype(jnp.int64))
+
+    return l1_count, jnp.stack(l3_totals), jnp.stack(l3_nonempty)
+
+# }}}
+
+
+# {{{ fill passes
+
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
+                                   "ls_totp", "totals"))
+def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, slnws_counts,
+                        l2_counts, l4_counts, *, dimensions, n_away, lsb,
+                        ls_totp, totals):
+    d = dimensions
+    nlevels = len(lsb) - 1
+    offs_n = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
+    offs_2 = jnp.asarray(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
+    totp_pfx = prefixes[totp_boxes]
+    slnws_total, l2_total, l4_total = totals
+
+    slnws_starts = _exclusive_cumsum(slnws_counts.astype(jnp.int64))
+    l2_starts = _exclusive_cumsum(l2_counts.astype(jnp.int64))
+    l4_starts = _exclusive_cumsum(l4_counts.astype(jnp.int64))
+    slnws_out = jnp.zeros(slnws_total, jnp.int32)
+    l2_out = jnp.zeros(l2_total, jnp.int32)
+    l4_out = jnp.zeros(l4_total, jnp.int32)
+
+    for lev in range(nlevels):
+        pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
+        gen = partial(_gen_slnws, prefixes_l=pfx_l, lsb_lev=lsb[lev],
+                      offs=offs_n, level=lev, dimensions=d)
+        slnws_out = _fill_rowlist(gen, pfx_l, lsb[lev], slnws_starts,
+                                  slnws_out)
+
+        r0, r1 = ls_totp[lev], ls_totp[lev + 1]
+        if r1 == r0 or lev == 0:
+            continue
+        rows_pfx = totp_pfx[r0:r1]
+        gen2 = partial(_gen_list2, prefixes_l=pfx_l, lsb_lev=lsb[lev],
+                       offs=offs_2, level=lev, dimensions=d, n_away=n_away)
+        l2_out = _fill_rowlist(gen2, rows_pfx, r0, l2_starts, l2_out)
+
+        if not (n_away == 1 and lev == 1):
+            k_pad = max(1, offs_n.shape[0] * (nlevels - 1))
+            gen4 = partial(_gen_list4, prefixes=prefixes,
+                           box_flags=box_flags, offs=offs_n, lb=lev,
+                           dimensions=d, n_away=n_away, lsb=lsb,
+                           k_pad=k_pad)
+            l4_out = _fill_rowlist(gen4, rows_pfx, r0, l4_starts, l4_out)
+
+    return ((slnws_starts.astype(jnp.int32), slnws_out),
+            (l2_starts.astype(jnp.int32), l2_out),
+            (l4_starts.astype(jnp.int32), l4_out))
+
+
+@partial(jax.jit, static_argnames=(
+    "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "l1_total",
+    "l3_totals", "l3_nonempty"))
+def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
+                     *, dimensions, n_away, lsb, ls_tgt, ntarget_boxes,
+                     l1_total, l3_totals, l3_nonempty):
+    d = dimensions
+    nlevels = len(lsb) - 1
+    offs1 = jnp.asarray(_offsets(d, 1))
+    offsn = jnp.asarray(_offsets(d, n_away))
+
+    # List 1
+    l1_buf = jnp.zeros(l1_total, jnp.int64)
+    off = jnp.int64(0)
+    for lt in range(nlevels):
+        r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
+        if r1 == r0:
+            continue
+        rows_pfx = prefixes[target_boxes[r0:r1]]
+        row_ids = r0 + jnp.arange(r1 - r0, dtype=jnp.int64)
+        gen = partial(_gen_list1_target_side, prefixes=prefixes,
+                      box_flags=box_flags, offs=offs1, lt=lt,
+                      dimensions=d, lsb=lsb)
+        l1_buf, off = _fill_keys(gen, rows_pfx, (row_ids,), l1_buf, off)
+    for ls in range(1, nlevels):
+        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
+        src_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
+        gen = partial(_gen_list1_source_side, prefixes=prefixes,
+                      box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
+                      offs=offs1, ls=ls, dimensions=d, lsb=lsb)
+        l1_buf, off = _fill_keys(gen, pfx_l, (src_ids,), l1_buf, off)
+    l1_keys = lax.sort(l1_buf)
+    l1_starts = _starts_of_rows(l1_keys >> np.int64(32), ntarget_boxes)
+    l1_lists = (l1_keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+
+    # List 3 per source level, with device-side empty-row compression
+    l3_out = []
+    for ls in range(nlevels):
+        total = l3_totals[ls]
+        nne = l3_nonempty[ls]
+        if total == 0:
+            l3_out.append((jnp.zeros(1, jnp.int32),
+                           jnp.zeros(0, jnp.int32),
+                           jnp.zeros(0, jnp.int32),
+                           jnp.zeros(0, jnp.int32)))
+            continue
+        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
+        w_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
+        gen = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
+                      tgt_row_of_box=tgt_row_of_box, offs1=offs1,
+                      offsn=offsn, ls=ls, dimensions=d, lsb=lsb)
+        buf = jnp.zeros(total, jnp.int64)
+        buf, _ = _fill_keys(gen, pfx_l, (w_ids,), buf, jnp.int64(0))
+        keys = lax.sort(buf)
+        starts = _starts_of_rows(keys >> np.int64(32), ntarget_boxes)
+        lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+        row_counts = starts[1:] - starts[:-1]
+        ne_rows = _mask_to_list(row_counts > 0, total=nne)
+        comp_starts = jnp.concatenate(
+            [starts[ne_rows.astype(jnp.int64)],
+             jnp.full(1, total, jnp.int32)])
+        tgt_sep = target_boxes[ne_rows.astype(jnp.int64)]
+        l3_out.append((comp_starts, lists, ne_rows, tgt_sep))
+
+    return (l1_starts, l1_lists), tuple(l3_out)
 
 # }}}
 
@@ -405,6 +606,12 @@ def _level_counts_of_mask(mask_np, level_starts):
     nlevels = len(level_starts) - 1
     return [int(mask_np[level_starts[i]:level_starts[i + 1]].sum())
             for i in range(nlevels)]
+
+
+@jax.jit
+def _pack_totals(*vals):
+    flat = [v.reshape(-1).astype(jnp.int64) for v in vals]
+    return jnp.concatenate(flat)
 
 
 def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
@@ -462,45 +669,42 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     # }}}
 
-    # candidate passes (device; all dispatches are asynchronous)
-    slnws_padded, slnws_count = _slnws_padded(
-        prefixes, dimensions=d, n_away=n_away, lsb=lsb)
-    l2_padded, l2_count = _list2_padded(
-        target_or_target_parent_boxes, prefixes, dimensions=d,
-        n_away=n_away, lsb=lsb, ls_totp=ls_totp)
-    l4_padded, l4_count = _list4_padded(
-        target_or_target_parent_boxes, flags_dev, prefixes, dimensions=d,
-        n_away=n_away, lsb=lsb, ls_totp=ls_totp)
-    l1_keys, l1_starts, l1_count = _list1_keys(
-        flags_dev, tgt_row_of_box_dev, target_boxes, prefixes,
-        dimensions=d, lsb=lsb, ls_tgt=ls_tgt)
-    l3_keys, l3_starts, l3_totals_dev, l3_nonempty_dev = _list3_keys(
-        flags_dev, tgt_row_of_box_dev, prefixes, dimensions=d,
-        n_away=n_away, lsb=lsb, ntarget_boxes=ntarget_boxes)
+    # count passes
+    (slnws_counts, l2_counts, l4_counts, slnws_tot, l2_tot,
+     l4_tot) = _counts_pass(
+        prefixes, target_or_target_parent_boxes, flags_dev,
+        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp)
+    l1_tot, l3_tot, l3_ne = _edge_counts_pass(
+        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev,
+        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
+        ntarget_boxes=ntarget_boxes)
 
-    # ONE host sync for every list size
-    packed = _pack_counts(slnws_count, l2_count, l4_count, l1_count,
-                          l3_totals_dev, l3_nonempty_dev)
-    packed = jax.device_get(packed)
+    # single host sync for every size
+    packed = jax.device_get(_pack_totals(
+        slnws_tot, l2_tot, l4_tot, l1_tot, l3_tot, l3_ne))
     slnws_total, l2_total, l4_total, l1_total = (
         int(packed[0]), int(packed[1]), int(packed[2]), int(packed[3]))
     l3_totals = tuple(int(x) for x in packed[4:4 + nlevels])
     l3_nonempty = tuple(int(x) for x in packed[4 + nlevels:])
 
-    # compaction passes (device)
-    (slnws_starts, slnws_lists), (l2_starts, l2_lists), \
-        (l4_starts, l4_lists) = _compact_padded_multi(
-            (slnws_padded, l2_padded, l4_padded),
-            totals=(slnws_total, l2_total, l4_total))
+    # fill passes
+    ((slnws_starts, slnws_lists), (l2_starts, l2_lists),
+     (l4_starts, l4_lists)) = _fill_rowlists_pass(
+        prefixes, target_or_target_parent_boxes, flags_dev,
+        slnws_counts, l2_counts, l4_counts,
+        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
+        totals=(slnws_total, l2_total, l4_total))
 
-    l1_lists, l3_out = _finalize_edge_lists(
-        l1_keys, l3_keys, l3_starts, target_boxes,
-        l1_total=l1_total, l3_totals=l3_totals, l3_nonempty=l3_nonempty)
+    (l1_starts, l1_lists), l3_csr = _fill_edges_pass(
+        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev,
+        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
+        ntarget_boxes=ntarget_boxes, l1_total=l1_total,
+        l3_totals=l3_totals, l3_nonempty=l3_nonempty)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []
     for ls_lev in range(nlevels):
-        lists, comp_starts, ne_rows, tgt_sep = l3_out[ls_lev]
+        comp_starts, lists, ne_rows, tgt_sep = l3_csr[ls_lev]
         from_sep_smaller_by_level.append(BuiltList(
             count=l3_totals[ls_lev],
             starts=comp_starts,

@@ -453,8 +453,10 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
 
     if kind == "adaptive-level-restricted":
         from boxtree_tpu.tree.level_restrict import restrict_leaf_levels
+        max_level = int(np.max(np.nonzero(counts)[0]))
         leaf_level, counts = restrict_leaf_levels(
-            codes_s, leaf_level, dimensions=dimensions, depth=depth)
+            codes_s, leaf_level, dimensions=dimensions, depth=depth,
+            max_level=max_level)
 
     nlevels = int(np.max(np.nonzero(counts)[0])) + 1
     level_starts = np.concatenate(
