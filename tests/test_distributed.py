@@ -1,0 +1,102 @@
+"""Distributed FMM tests on a virtual 8-device CPU mesh.
+
+Mirrors the reference's oracles (``test/test_distributed.py``):
+the distributed result must equal the single-device result, and the
+distributed counting FMM must yield exactly ``nsources`` everywhere.
+The reference re-executes itself under ``mpiexec -np 4``
+(``test_distributed.py:161-176``); here the "ranks" are mesh devices.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from boxtree_tpu import build_tree
+from boxtree_tpu.parallel.distributed import DistributedFMMRunner
+from boxtree_tpu.parallel.partition import (
+    dfs_box_order,
+    get_box_masks,
+    partition_work,
+)
+from boxtree_tpu.traversal import build_traversal
+from boxtree_tpu.utils.particles import (
+    make_normal_particle_array,
+    make_uniform_particle_array,
+)
+
+
+@pytest.fixture(scope="module", params=[2, 3])
+def trav(request):
+    dims = request.param
+    pts = make_normal_particle_array(4000, dims, np.float64, seed=5)
+    tree = build_tree(pts, max_particles_in_box=20)
+    return build_traversal(tree)
+
+
+def test_dfs_order_and_partition(trav):
+    tree = trav.tree
+    order = dfs_box_order(tree)
+    assert sorted(order) == list(range(tree.nboxes))
+    # DFS: a parent precedes all of its descendants
+    pos = np.empty(tree.nboxes, np.int64)
+    pos[order] = np.arange(tree.nboxes)
+    parents = np.asarray(tree.box_parent_ids)
+    assert (pos[parents[1:]] < pos[np.arange(1, tree.nboxes)]).all()
+
+    cost = np.ones(tree.nboxes)
+    masks = partition_work(cost, trav, 4)
+    # every box owned exactly once
+    assert (masks.sum(axis=0) == 1).all()
+    # balanced within a factor ~2
+    per_rank = masks.sum(axis=1)
+    assert per_rank.max() <= 2 * max(1, per_rank.min())
+
+
+def test_box_masks(trav):
+    tree = trav.tree
+    cost = np.ones(tree.nboxes)
+    masks = partition_work(cost, trav, 4)
+    parents = np.asarray(tree.box_parent_ids)
+    for r in range(4):
+        bm = get_box_masks(trav, masks[r])
+        resp = np.nonzero(bm.responsible_boxes)[0]
+        # every strict ancestor of a responsible box is flagged
+        for b in resp[:50]:
+            while b != 0:
+                b = parents[b]
+                assert bm.ancestor_boxes[b]
+
+
+@pytest.mark.parametrize("nranks", [1, 2, 8])
+def test_distributed_counting_fmm(trav, nranks):
+    # Config E oracle: distributed counting FMM == nsources, exactly
+    tree = trav.tree
+    runner = DistributedFMMRunner(nranks, trav)
+    pot = np.asarray(runner.drive_dfmm(np.ones(tree.nsources)))
+    assert pot.shape == (tree.ntargets,)
+    assert (pot == tree.nsources).all(), \
+        f"{(pot != tree.nsources).sum()} mismatched targets"
+
+
+def test_distributed_matches_single_device():
+    # distributed result == single-device wrangler result, split src/tgt
+    sources = make_normal_particle_array(3000, 2, np.float64, seed=6)
+    targets = make_uniform_particle_array(2000, 2, np.float64, seed=7)
+    tree = build_tree(sources, targets=targets, max_particles_in_box=15)
+    trav2 = build_traversal(tree)
+
+    rng = np.random.default_rng(8)
+    weights = rng.standard_normal(3000)
+
+    from boxtree_tpu.fmm import drive_fmm
+    from boxtree_tpu.models.constant_one import (
+        ConstantOneExpansionWrangler,
+        ConstantOneTreeIndependentDataForWrangler,
+    )
+    w = ConstantOneExpansionWrangler(
+        ConstantOneTreeIndependentDataForWrangler(), trav2)
+    single = np.asarray(drive_fmm(w, (weights,)))
+
+    runner = DistributedFMMRunner(8, trav2)
+    dist = np.asarray(runner.drive_dfmm(weights))
+    assert np.allclose(dist, single, rtol=1e-13, atol=1e-10)
