@@ -656,7 +656,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     source_boxes, ls_src = make_list(src_mask)
     source_parent_boxes, ls_srcp = make_list(src_parent_mask)
     target_or_target_parent_boxes, ls_totp = make_list(totp_mask)
-    if tree.sources_are_targets:
+    if getattr(tree, "sources_are_targets", True):
         target_boxes, ls_tgt = source_boxes, ls_src
     else:
         target_boxes, ls_tgt = make_list(tgt_mask)
