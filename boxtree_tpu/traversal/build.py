@@ -60,6 +60,7 @@ from jax import lax
 from boxtree_tpu.ops import morton
 from boxtree_tpu.tree.containers import box_flags_enum
 from boxtree_tpu.traversal.containers import BuiltList, FMMTraversalInfo
+from boxtree_tpu.traversal import neighbors as nbr
 
 _F = box_flags_enum
 _INVALID_KEY = np.int64(np.iinfo(np.int64).max)
@@ -369,79 +370,152 @@ def _starts_of_rows(rows_sorted, nrows):
 
 # {{{ count passes (one compilation each)
 
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp"))
-def _counts_pass(prefixes, totp_boxes, box_flags, *, dimensions, n_away,
-                 lsb, ls_totp):
-    """Per-row counts for slnws / List 2 / List 4 (+ their totals)."""
+def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
+                  child_ids, *, dimensions, n_away, lsb, fast):
+    """Per-level generator triples (slnws, list2, list4) over box-id rows.
+    The fast flavor uses the neighbor table (n_away == 1 only); the
+    generic flavor binary-searches the per-level Morton tables."""
     d = dimensions
+    nlevels = len(lsb) - 1
+    offs_n = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
+    offs_2 = jnp.asarray(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
+    k_pad4 = max(1, offs_n.shape[0] * (nlevels - 1))
+
+    def make(lev):
+        if fast:
+            gen_s = partial(nbr.fgen_slnws, ntable=ntable, dimensions=d)
+            gen_2 = partial(nbr.fgen_list2, ntable=ntable, parents=parents,
+                            child_ids=child_ids, prefixes=prefixes,
+                            dimensions=d)
+            gen_4 = partial(nbr.fgen_list4, ntable=ntable, parents=parents,
+                            box_flags=box_flags, prefixes=prefixes,
+                            lb=lev, dimensions=d, k_pad=k_pad4)
+            return gen_s, gen_2, gen_4
+        pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
+
+        def by_pfx(g):
+            def wrapped(rows, g=g):
+                return g(prefixes[jnp.clip(rows, 0).astype(jnp.int64)])
+            return wrapped
+
+        gen_s = by_pfx(partial(_gen_slnws, prefixes_l=pfx_l,
+                               lsb_lev=lsb[lev], offs=offs_n, level=lev,
+                               dimensions=d))
+        gen_2 = by_pfx(partial(_gen_list2, prefixes_l=pfx_l,
+                               lsb_lev=lsb[lev], offs=offs_2, level=lev,
+                               dimensions=d, n_away=n_away))
+        gen_4 = by_pfx(partial(_gen_list4, prefixes=prefixes,
+                               box_flags=box_flags, offs=offs_n, lb=lev,
+                               dimensions=d, n_away=n_away, lsb=lsb,
+                               k_pad=k_pad4))
+        return gen_s, gen_2, gen_4
+
+    return make
+
+
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
+                                   "ls_totp", "fast"))
+def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
+                 child_ids, *, dimensions, n_away, lsb, ls_totp, fast):
+    """Per-row counts for slnws / List 2 / List 4 (+ their totals)."""
     nlevels = len(lsb) - 1
     nboxes = lsb[-1]
     ntotp = ls_totp[-1]
-    offs_n = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
-    offs_2 = jnp.asarray(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
-    totp_pfx = prefixes[totp_boxes]
+    make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
+                         child_ids, dimensions=dimensions, n_away=n_away,
+                         lsb=lsb, fast=fast)
 
     slnws_counts = jnp.zeros(nboxes + 1, jnp.int32)
     l2_counts = jnp.zeros(ntotp + 1, jnp.int32)
     l4_counts = jnp.zeros(ntotp + 1, jnp.int32)
 
     for lev in range(nlevels):
-        pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
-        gen = partial(_gen_slnws, prefixes_l=pfx_l, lsb_lev=lsb[lev],
-                      offs=offs_n, level=lev, dimensions=d)
-        slnws_counts = _count_rowlist(gen, pfx_l, lsb[lev], slnws_counts)
+        gen_s, gen_2, gen_4 = make(lev)
+        ids_l = jnp.arange(lsb[lev], lsb[lev + 1], dtype=jnp.int32)
+        slnws_counts = _count_rowlist(gen_s, ids_l, lsb[lev], slnws_counts)
 
         r0, r1 = ls_totp[lev], ls_totp[lev + 1]
         if r1 == r0 or lev == 0:
             continue
-        rows_pfx = totp_pfx[r0:r1]
-        gen2 = partial(_gen_list2, prefixes_l=pfx_l, lsb_lev=lsb[lev],
-                       offs=offs_2, level=lev, dimensions=d, n_away=n_away)
-        l2_counts = _count_rowlist(gen2, rows_pfx, r0, l2_counts)
-
+        rows = totp_boxes[r0:r1]
+        l2_counts = _count_rowlist(gen_2, rows, r0, l2_counts)
         if not (n_away == 1 and lev == 1):
-            k_pad = max(1, offs_n.shape[0] * (nlevels - 1))
-            gen4 = partial(_gen_list4, prefixes=prefixes,
-                           box_flags=box_flags, offs=offs_n, lb=lev,
-                           dimensions=d, n_away=n_away, lsb=lsb,
-                           k_pad=k_pad)
-            l4_counts = _count_rowlist(gen4, rows_pfx, r0, l4_counts)
+            l4_counts = _count_rowlist(gen_4, rows, r0, l4_counts)
 
     return (slnws_counts[:-1], l2_counts[:-1], l4_counts[:-1],
             slnws_counts[:-1].sum(), l2_counts[:-1].sum(),
             l4_counts[:-1].sum())
 
 
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb", "ls_tgt",
-                                   "ntarget_boxes"))
-def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
-                      *, dimensions, n_away, lsb, ls_tgt, ntarget_boxes):
-    """Edge totals for List 1 and per-source-level List 3 (+ List-3
-    nonempty-row counts for empty-row compression)."""
+def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
+               dimensions, n_away, lsb, fast):
+    """Generator factories for the key-sorted edge lists (1 and 3)."""
     d = dimensions
-    nlevels = len(lsb) - 1
     offs1 = jnp.asarray(_offsets(d, 1))
     offsn = jnp.asarray(_offsets(d, n_away))
+
+    def l1_tgt(lt):
+        if fast:
+            return partial(nbr.fgen_list1_target_side, ntable=ntable,
+                           parents=parents, box_flags=box_flags,
+                           prefixes=prefixes, lt=lt, dimensions=d)
+        g = partial(_gen_list1_target_side, prefixes=prefixes,
+                    box_flags=box_flags, offs=offs1, lt=lt,
+                    dimensions=d, lsb=lsb)
+        return lambda rows, ri: g(
+            prefixes[jnp.clip(rows, 0).astype(jnp.int64)], ri)
+
+    def l1_src(ls):
+        if fast:
+            return partial(nbr.fgen_list1_source_side, ntable=ntable,
+                           parents=parents, box_flags=box_flags,
+                           tgt_row_of_box=tgt_row_of_box,
+                           prefixes=prefixes, ls=ls, dimensions=d)
+        g = partial(_gen_list1_source_side, prefixes=prefixes,
+                    box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
+                    offs=offs1, ls=ls, dimensions=d, lsb=lsb)
+        return lambda rows, si: g(
+            prefixes[jnp.clip(rows, 0).astype(jnp.int64)], si)
+
+    def l3(ls):
+        if fast:
+            return partial(nbr.fgen_list3, ntable=ntable, parents=parents,
+                           box_flags=box_flags,
+                           tgt_row_of_box=tgt_row_of_box,
+                           prefixes=prefixes, ls=ls, dimensions=d)
+        g = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
+                    tgt_row_of_box=tgt_row_of_box, offs1=offs1,
+                    offsn=offsn, ls=ls, dimensions=d, lsb=lsb)
+        return lambda rows, wi: g(
+            prefixes[jnp.clip(rows, 0).astype(jnp.int64)], wi)
+
+    return l1_tgt, l1_src, l3
+
+
+@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb", "ls_tgt",
+                                   "ntarget_boxes", "fast"))
+def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
+                      ntable, parents, *, dimensions, n_away, lsb, ls_tgt,
+                      ntarget_boxes, fast):
+    """Edge totals for List 1 and per-source-level List 3 (+ List-3
+    nonempty-row counts for empty-row compression)."""
+    nlevels = len(lsb) - 1
+    l1_tgt, l1_src, l3g = _edge_gens(
+        prefixes, box_flags, tgt_row_of_box, ntable, parents,
+        dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast)
 
     l1_count = jnp.int64(0)
     for lt in range(nlevels):
         r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
         if r1 == r0:
             continue
-        rows_pfx = prefixes[target_boxes[r0:r1]]
+        rows = target_boxes[r0:r1]
         row_ids = r0 + jnp.arange(r1 - r0, dtype=jnp.int64)
-        gen = partial(_gen_list1_target_side, prefixes=prefixes,
-                      box_flags=box_flags, offs=offs1, lt=lt,
-                      dimensions=d, lsb=lsb)
-        l1_count = _count_keys(gen, rows_pfx, (row_ids,), l1_count)
+        l1_count = _count_keys(l1_tgt(lt), rows, (row_ids,), l1_count)
     for ls in range(1, nlevels):
-        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
-        src_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
-        gen = partial(_gen_list1_source_side, prefixes=prefixes,
-                      box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
-                      offs=offs1, ls=ls, dimensions=d, lsb=lsb)
-        l1_count = _count_keys(gen, pfx_l, (src_ids,), l1_count)
+        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+        src_ids = lsb[ls] + jnp.arange(ids_l.shape[0], dtype=jnp.int64)
+        l1_count = _count_keys(l1_src(ls), ids_l, (src_ids,), l1_count)
 
     l3_totals = []
     l3_nonempty = []
@@ -450,15 +524,13 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             l3_totals.append(jnp.int64(0))
             l3_nonempty.append(jnp.int64(0))
             continue
-        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
-        w_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
-        gen = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
-                      tgt_row_of_box=tgt_row_of_box, offs1=offs1,
-                      offsn=offsn, ls=ls, dimensions=d, lsb=lsb)
+        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+        w_ids = ids_l.astype(jnp.int64)
+        gen = l3g(ls)
         row_counts = jnp.zeros(ntarget_boxes + 1, jnp.int32)
-        padded, nchunks = _pad_rows(pfx_l, _ROW_CHUNK)
+        padded, nchunks = _pad_rows(ids_l, _ROW_CHUNK)
         wid_pad, _ = _pad_rows(w_ids, _ROW_CHUNK)
-        vrow = jnp.arange(padded.shape[0]) < pfx_l.shape[0]
+        vrow = jnp.arange(padded.shape[0]) < ids_l.shape[0]
 
         def body(carry, inp, g=gen):
             rows, wi, vr = inp
@@ -485,16 +557,15 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
 # {{{ fill passes
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp", "totals"))
-def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, slnws_counts,
-                        l2_counts, l4_counts, *, dimensions, n_away, lsb,
-                        ls_totp, totals):
-    d = dimensions
+                                   "ls_totp", "totals", "fast"))
+def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
+                        child_ids, slnws_counts, l2_counts, l4_counts, *,
+                        dimensions, n_away, lsb, ls_totp, totals, fast):
     nlevels = len(lsb) - 1
-    offs_n = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
-    offs_2 = jnp.asarray(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
-    totp_pfx = prefixes[totp_boxes]
     slnws_total, l2_total, l4_total = totals
+    make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
+                         child_ids, dimensions=dimensions, n_away=n_away,
+                         lsb=lsb, fast=fast)
 
     slnws_starts = _exclusive_cumsum(slnws_counts.astype(jnp.int64))
     l2_starts = _exclusive_cumsum(l2_counts.astype(jnp.int64))
@@ -504,27 +575,18 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, slnws_counts,
     l4_out = jnp.zeros(l4_total, jnp.int32)
 
     for lev in range(nlevels):
-        pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
-        gen = partial(_gen_slnws, prefixes_l=pfx_l, lsb_lev=lsb[lev],
-                      offs=offs_n, level=lev, dimensions=d)
-        slnws_out = _fill_rowlist(gen, pfx_l, lsb[lev], slnws_starts,
+        gen_s, gen_2, gen_4 = make(lev)
+        ids_l = jnp.arange(lsb[lev], lsb[lev + 1], dtype=jnp.int32)
+        slnws_out = _fill_rowlist(gen_s, ids_l, lsb[lev], slnws_starts,
                                   slnws_out)
 
         r0, r1 = ls_totp[lev], ls_totp[lev + 1]
         if r1 == r0 or lev == 0:
             continue
-        rows_pfx = totp_pfx[r0:r1]
-        gen2 = partial(_gen_list2, prefixes_l=pfx_l, lsb_lev=lsb[lev],
-                       offs=offs_2, level=lev, dimensions=d, n_away=n_away)
-        l2_out = _fill_rowlist(gen2, rows_pfx, r0, l2_starts, l2_out)
-
+        rows = totp_boxes[r0:r1]
+        l2_out = _fill_rowlist(gen_2, rows, r0, l2_starts, l2_out)
         if not (n_away == 1 and lev == 1):
-            k_pad = max(1, offs_n.shape[0] * (nlevels - 1))
-            gen4 = partial(_gen_list4, prefixes=prefixes,
-                           box_flags=box_flags, offs=offs_n, lb=lev,
-                           dimensions=d, n_away=n_away, lsb=lsb,
-                           k_pad=k_pad)
-            l4_out = _fill_rowlist(gen4, rows_pfx, r0, l4_starts, l4_out)
+            l4_out = _fill_rowlist(gen_4, rows, r0, l4_starts, l4_out)
 
     return ((slnws_starts.astype(jnp.int32), slnws_out),
             (l2_starts.astype(jnp.int32), l2_out),
@@ -533,14 +595,15 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, slnws_counts,
 
 @partial(jax.jit, static_argnames=(
     "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "l1_total",
-    "l3_totals", "l3_nonempty"))
+    "l3_totals", "l3_nonempty", "fast"))
 def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
-                     *, dimensions, n_away, lsb, ls_tgt, ntarget_boxes,
-                     l1_total, l3_totals, l3_nonempty):
-    d = dimensions
+                     ntable, parents, *, dimensions, n_away, lsb, ls_tgt,
+                     ntarget_boxes, l1_total, l3_totals, l3_nonempty,
+                     fast):
     nlevels = len(lsb) - 1
-    offs1 = jnp.asarray(_offsets(d, 1))
-    offsn = jnp.asarray(_offsets(d, n_away))
+    l1_tgt, l1_src, l3g = _edge_gens(
+        prefixes, box_flags, tgt_row_of_box, ntable, parents,
+        dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast)
 
     # List 1
     l1_buf = jnp.zeros(l1_total, jnp.int64)
@@ -549,19 +612,15 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
         if r1 == r0:
             continue
-        rows_pfx = prefixes[target_boxes[r0:r1]]
+        rows = target_boxes[r0:r1]
         row_ids = r0 + jnp.arange(r1 - r0, dtype=jnp.int64)
-        gen = partial(_gen_list1_target_side, prefixes=prefixes,
-                      box_flags=box_flags, offs=offs1, lt=lt,
-                      dimensions=d, lsb=lsb)
-        l1_buf, off = _fill_keys(gen, rows_pfx, (row_ids,), l1_buf, off)
+        l1_buf, off = _fill_keys(l1_tgt(lt), rows, (row_ids,), l1_buf,
+                                 off)
     for ls in range(1, nlevels):
-        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
-        src_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
-        gen = partial(_gen_list1_source_side, prefixes=prefixes,
-                      box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
-                      offs=offs1, ls=ls, dimensions=d, lsb=lsb)
-        l1_buf, off = _fill_keys(gen, pfx_l, (src_ids,), l1_buf, off)
+        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+        src_ids = ids_l.astype(jnp.int64)
+        l1_buf, off = _fill_keys(l1_src(ls), ids_l, (src_ids,), l1_buf,
+                                 off)
     l1_keys = lax.sort(l1_buf)
     l1_starts = _starts_of_rows(l1_keys >> np.int64(32), ntarget_boxes)
     l1_lists = (l1_keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
@@ -577,13 +636,10 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
                            jnp.zeros(0, jnp.int32),
                            jnp.zeros(0, jnp.int32)))
             continue
-        pfx_l = prefixes[lsb[ls]:lsb[ls + 1]]
-        w_ids = lsb[ls] + jnp.arange(pfx_l.shape[0], dtype=jnp.int64)
-        gen = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
-                      tgt_row_of_box=tgt_row_of_box, offs1=offs1,
-                      offsn=offsn, ls=ls, dimensions=d, lsb=lsb)
+        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+        w_ids = ids_l.astype(jnp.int64)
         buf = jnp.zeros(total, jnp.int64)
-        buf, _ = _fill_keys(gen, pfx_l, (w_ids,), buf, jnp.int64(0))
+        buf, _ = _fill_keys(l3g(ls), ids_l, (w_ids,), buf, jnp.int64(0))
         keys = lax.sort(buf)
         starts = _starts_of_rows(keys >> np.int64(32), ntarget_boxes)
         lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
@@ -669,15 +725,27 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     # }}}
 
+    # neighbor table (fast path) — only the 1-away window is tabulated
+    fast = (n_away == 1)
+    if fast:
+        ntable = nbr.build_neighbor_table(
+            prefixes, tree.box_parent_ids, tree.box_child_ids,
+            dimensions=d, lsb=lsb)
+    else:
+        ntable = jnp.zeros((1, 1), jnp.int32)
+    parents_dev = tree.box_parent_ids
+    child_ids_dev = tree.box_child_ids
+
     # count passes
     (slnws_counts, l2_counts, l4_counts, slnws_tot, l2_tot,
      l4_tot) = _counts_pass(
-        prefixes, target_or_target_parent_boxes, flags_dev,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp)
+        prefixes, target_or_target_parent_boxes, flags_dev, ntable,
+        parents_dev, child_ids_dev,
+        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp, fast=fast)
     l1_tot, l3_tot, l3_ne = _edge_counts_pass(
-        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
-        ntarget_boxes=ntarget_boxes)
+        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
+        parents_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
+        ntarget_boxes=ntarget_boxes, fast=fast)
 
     # single host sync for every size
     packed = jax.device_get(_pack_totals(
@@ -690,16 +758,16 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     # fill passes
     ((slnws_starts, slnws_lists), (l2_starts, l2_lists),
      (l4_starts, l4_lists)) = _fill_rowlists_pass(
-        prefixes, target_or_target_parent_boxes, flags_dev,
-        slnws_counts, l2_counts, l4_counts,
+        prefixes, target_or_target_parent_boxes, flags_dev, ntable,
+        parents_dev, child_ids_dev, slnws_counts, l2_counts, l4_counts,
         dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
-        totals=(slnws_total, l2_total, l4_total))
+        totals=(slnws_total, l2_total, l4_total), fast=fast)
 
     (l1_starts, l1_lists), l3_csr = _fill_edges_pass(
-        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
+        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
+        parents_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
         ntarget_boxes=ntarget_boxes, l1_total=l1_total,
-        l3_totals=l3_totals, l3_nonempty=l3_nonempty)
+        l3_totals=l3_totals, l3_nonempty=l3_nonempty, fast=fast)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []
