@@ -74,10 +74,51 @@ def _segment_fields(pfx, active, n):
     return is_start, lo, hi
 
 
+def _prefix_segments(pfx, n):
+    """Contiguous equal-prefix segment bounds ``[lo, hi)`` per particle
+    (prefix-only — active masking happens through masked cumsums)."""
+    iota = jnp.arange(n, dtype=jnp.int64)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), pfx[1:] != pfx[:-1]])
+    lo = lax.cummax(jnp.where(is_start, iota, jnp.int64(0)))
+    nxt = jnp.where(is_start, iota, jnp.int64(n))
+    suf = lax.cummin(nxt[::-1])[::-1]
+    hi = jnp.concatenate([suf[1:], jnp.full((1,), n, jnp.int64)])
+    return is_start, lo, hi
+
+
+def _stick_levels(coords, radii, bbox_min, root_extent, *, dimensions,
+                  depth, extent_norm, stick_out_factor):
+    """Deepest level at which every particle (with its radius) still fits
+    inside its cell, given the stick-out allowance.  Mirrors the
+    descent-stop tests of ``boxtree/tree_build_kernels.py:388-438``."""
+    cells = morton.cells_from_coords(coords, bbox_min, root_extent, depth)
+    stick = jnp.zeros(coords.shape[1], jnp.int32)
+    ok = jnp.ones(coords.shape[1], bool)
+    for lev in range(1, depth + 1):
+        size = root_extent / (1 << lev)
+        centers = (bbox_min[:, None]
+                   + (cells >> jnp.int64(depth - lev)).astype(coords.dtype)
+                   * size + size / 2)
+        sor = (1 + stick_out_factor) * (size / 2)
+        if extent_norm == "linf":
+            fits = ((coords + radii < centers + sor)
+                    & (coords - radii >= centers - sor)).all(axis=0)
+        else:   # l2 (boxtree/tree_build_kernels.py:406-428)
+            dist = jnp.sqrt(((coords - centers) ** 2).sum(axis=0)) + radii
+            fits = dist * dist < dimensions * sor * sor
+        ok = ok & fits
+        stick = stick + ok.astype(jnp.int32)
+    return stick
+
+
 @partial(jax.jit,
-         static_argnames=("dimensions", "depth", "adaptive", "use_bbox"))
-def _phase_a(coords, weights, bbox_min_in, root_extent_in, max_weight,
-             *, dimensions, depth, adaptive, use_bbox):
+         static_argnames=("dimensions", "depth", "adaptive", "use_bbox",
+                          "has_extents", "extent_norm"))
+def _phase_a(coords, weights, radii, bbox_min_in, root_extent_in,
+             max_weight, stick_out_factor,
+             *, dimensions, depth, adaptive, use_bbox, has_extents,
+             extent_norm):
     """Morton sort + leaf-level assignment + per-level box counts.
 
     :returns: ``(codes_s, order, leaf_level, counts, n_unfit, bbox_min,
@@ -88,15 +129,21 @@ def _phase_a(coords, weights, bbox_min_in, root_extent_in, max_weight,
 
     The square, stretched bounding box (``boxtree/tree_build.py:456-510``)
     is computed on device unless ``use_bbox`` requests the explicit one.
+    With extents, a particle additionally stops descending at the deepest
+    level whose (stick-out-enlarged) cell still contains it — the
+    reference's per-particle "nonchild" stop
+    (``tree_build_kernels.py:388-452``) — and stopped particles no longer
+    contribute to split decisions.
     """
     n = coords.shape[1]
     if use_bbox:
         bbox_min = bbox_min_in
         root_extent = root_extent_in
     else:
-        bbox_min = jnp.min(coords, axis=1)
-        bbox_max = jnp.max(coords, axis=1)
-        root_extent = (jnp.max(bbox_max - bbox_min)
+        lo = jnp.min(coords - (radii if has_extents else 0), axis=1)
+        hi = jnp.max(coords + (radii if has_extents else 0), axis=1)
+        bbox_min = lo
+        root_extent = (jnp.max(hi - lo)
                        * (1 + config.ROOT_EXTENT_STRETCH_FACTOR))
     codes = morton.encode_points(coords, bbox_min, root_extent, depth)
 
@@ -104,16 +151,32 @@ def _phase_a(coords, weights, bbox_min_in, root_extent_in, max_weight,
     codes_s, order = lax.sort((codes, iota32), num_keys=1)
 
     w_s = weights[order].astype(jnp.int64)
-    cumw = jnp.concatenate([jnp.zeros(1, jnp.int64), jnp.cumsum(w_s)])
+    if has_extents:
+        stick_s = _stick_levels(
+            coords, radii, bbox_min, root_extent, dimensions=dimensions,
+            depth=depth, extent_norm=extent_norm,
+            stick_out_factor=stick_out_factor)[order]
+    else:
+        stick_s = jnp.full(n, depth + 1, jnp.int32)
 
     max_weight = jnp.asarray(max_weight, jnp.int64)
 
     def box_weights(level, active):
         shift = jnp.int64(dimensions) * (jnp.int64(depth) - level)
         pfx = codes_s >> shift
-        is_start, lo, hi = _segment_fields(pfx, active, n)
+        is_start, lo, hi = _prefix_segments(pfx, n)
+        # split decision counts only particles still able to descend
+        descending = active & (stick_s > level)
+        cumw = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64),
+             jnp.cumsum(jnp.where(descending, w_s, 0))])
+        cuma = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64),
+             jnp.cumsum(active.astype(jnp.int64))])
         w = cumw[hi] - cumw[lo]
-        return is_start, w
+        n_active = cuma[hi] - cuma[lo]
+        nonempty_start = is_start & (n_active > 0)
+        return nonempty_start, w
 
     counts0 = jnp.zeros(depth + 2, jnp.int64)
 
@@ -125,9 +188,10 @@ def _phase_a(coords, weights, bbox_min_in, root_extent_in, max_weight,
         def body(state):
             level, assigned, leaf_level, counts = state
             active = ~assigned
-            is_start, w = box_weights(level, active)
-            counts = counts.at[level].set(jnp.sum(is_start))
-            done = active & (w <= max_weight)
+            nonempty_start, w = box_weights(level, active)
+            counts = counts.at[level].set(jnp.sum(nonempty_start))
+            done = active & ((w <= max_weight)
+                             | (stick_s <= level))
             leaf_level = jnp.where(done, level.astype(jnp.int32), leaf_level)
             return level + 1, assigned | done, leaf_level, counts
 
@@ -146,8 +210,8 @@ def _phase_a(coords, weights, bbox_min_in, root_extent_in, max_weight,
         def body(state):
             level, found, d_used, counts = state
             active = jnp.ones(n, bool)
-            is_start, w = box_weights(level, active)
-            counts = counts.at[level].set(jnp.sum(is_start))
+            nonempty_start, w = box_weights(level, active)
+            counts = counts.at[level].set(jnp.sum(nonempty_start))
             all_ok = jnp.all(w <= max_weight)
             d_used = jnp.where(~found & all_ok, level.astype(jnp.int32),
                                d_used)
@@ -178,16 +242,30 @@ def _exclusive_cumsum(x):
 
 @partial(jax.jit, static_argnames=(
     "dimensions", "depth", "nlevels", "cap", "nsources", "ntargets",
-    "sources_are_targets"))
+    "sources_are_targets", "has_extents"))
 def _phase_b(codes_s, order, leaf_level, level_starts, merged_coords,
              bbox_min, root_extent,
              *, dimensions, depth, nlevels, cap, nsources, ntargets,
-             sources_are_targets):
+             sources_are_targets, has_extents):
     d = dimensions
     n = codes_s.shape[0]
     nchild = 2 ** d
     coord_dtype = merged_coords.dtype
     iota = jnp.arange(n, dtype=jnp.int64)
+
+    if has_extents:
+        # Re-sort so that every box's own (nonchild) particles precede its
+        # descendants' ranges: key = (Morton code with bits below the leaf
+        # level zeroed, leaf level).  See the module docstring; this makes
+        # each box's subtree a contiguous range with nonchild first
+        # (mirrors the particle ordering invariant of
+        # boxtree/tree_build_kernels.py:1013-1164).
+        shift_bits = (jnp.int64(d)
+                      * (jnp.int64(depth) - leaf_level.astype(jnp.int64)))
+        masked = (codes_s >> shift_bits) << shift_bits
+        masked, leaf_level, codes_s, order = lax.sort(
+            (masked, leaf_level, codes_s, order), num_keys=2)
+        codes_s = masked
 
     box_morton = jnp.zeros(cap, jnp.int64)
     box_level = jnp.zeros(cap, jnp.int32)
@@ -342,6 +420,27 @@ def _phase_b(codes_s, order, leaf_level, level_starts, merged_coords,
 # }}}
 
 
+@partial(jax.jit, static_argnames=("lsb",))
+def _box_extents(coords, radii, box_of_particle, box_centers, parents,
+                 *, lsb):
+    """Per-box particle(+radius) bounding boxes, combined bottom-up
+    (mirrors ``boxtree/tree_build_kernels.py:1311-1399``).  Empty boxes
+    reflect their center."""
+    nboxes = lsb[-1]
+    bmin = box_centers.copy()
+    bmax = box_centers.copy()
+    r = radii if radii is not None else 0.0
+    bmin = bmin.at[:, box_of_particle].min(coords - r)
+    bmax = bmax.at[:, box_of_particle].max(coords + r)
+    nlevels = len(lsb) - 1
+    for lev in range(nlevels - 1, 0, -1):
+        ids = jnp.arange(lsb[lev], lsb[lev + 1])
+        par = parents[ids]
+        bmin = bmin.at[:, par].min(bmin[:, ids])
+        bmax = bmax.at[:, par].max(bmax[:, ids])
+    return bmin, bmax
+
+
 # {{{ host driver
 
 def _as_coord_array(particles):
@@ -388,9 +487,20 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
     coord_dtype = coords.dtype
     sources_are_targets = targets is None
 
-    if source_radii is not None or target_radii is not None:
-        raise NotImplementedError(
-            "particle radii (extents) are not implemented yet")
+    sources_have_extent = source_radii is not None
+    targets_have_extent = target_radii is not None
+    has_extents = sources_have_extent or targets_have_extent
+    if has_extents:
+        if targets is None:
+            raise ValueError(
+                "must specify targets when specifying any kind of radii")
+        if kind != "adaptive":
+            raise NotImplementedError(
+                "extents currently require kind='adaptive'")
+        if extent_norm is None:
+            extent_norm = "linf"
+        if extent_norm not in ("linf", "l2"):
+            raise ValueError(f"unexpected extent_norm: {extent_norm}")
     if stick_out_factor is None:
         stick_out_factor = 0.0
 
@@ -404,6 +514,17 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         ntargets = nsources
         merged = coords
     n = merged.shape[1]
+
+    if has_extents:
+        sr = (jnp.asarray(source_radii, coord_dtype)
+              if sources_have_extent
+              else jnp.zeros(nsources, coord_dtype))
+        tr = (jnp.asarray(target_radii, coord_dtype)
+              if targets_have_extent
+              else jnp.zeros(ntargets, coord_dtype))
+        merged_radii = jnp.concatenate([sr, tr])
+    else:
+        merged_radii = jnp.zeros(1, coord_dtype)   # unused placeholder
     if n == 0:
         raise ValueError("cannot build a tree from zero particles")
 
@@ -440,9 +561,11 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
 
     (codes_s, order, leaf_level, counts_and_unfit, bbox_min,
      root_extent) = _phase_a(
-        merged, weights, jnp.asarray(bbox_min_in), root_extent_in,
-        max_weight, dimensions=dimensions, depth=depth,
-        adaptive=(kind != "non-adaptive"), use_bbox=bbox is not None)
+        merged, weights, merged_radii, jnp.asarray(bbox_min_in),
+        root_extent_in, max_weight, float(stick_out_factor),
+        dimensions=dimensions, depth=depth,
+        adaptive=(kind != "non-adaptive"), use_bbox=bbox is not None,
+        has_extents=has_extents, extent_norm=extent_norm)
 
     counts_and_unfit = jax.device_get(counts_and_unfit)
     counts, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
@@ -468,7 +591,30 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         merged, bbox_min, root_extent,
         dimensions=dimensions, depth=depth, nlevels=nlevels, cap=nboxes,
         nsources=nsources, ntargets=ntargets,
-        sources_are_targets=sources_are_targets)
+        sources_are_targets=sources_are_targets,
+        has_extents=has_extents)
+
+    lsb_tuple = tuple(int(x) for x in level_starts)
+    if has_extents:
+        src_radii_tree = sr[out["user_source_ids"]]
+        if sources_are_targets:
+            tgt_radii_tree = src_radii_tree
+        else:
+            tgt_perm = jnp.zeros(ntargets, jnp.int64).at[
+                out["sorted_target_ids"].astype(jnp.int64)].set(
+                jnp.arange(ntargets, dtype=jnp.int64))
+            tgt_radii_tree = tr[tgt_perm]
+        sbb_min, sbb_max = _box_extents(
+            out["sources"], src_radii_tree if sources_have_extent else None,
+            out["box_id_of_source"], out["box_centers"],
+            out["box_parent"], lsb=lsb_tuple)
+        tbb_min, tbb_max = _box_extents(
+            out["targets"], tgt_radii_tree if targets_have_extent else None,
+            out["box_id_of_target"], out["box_centers"],
+            out["box_parent"], lsb=lsb_tuple)
+    else:
+        src_radii_tree = tgt_radii_tree = None
+        sbb_min = sbb_max = tbb_min = tbb_max = None
 
     return Tree(
         root_extent=root_extent,
@@ -482,8 +628,8 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         box_id_dtype=config.box_id_dtype,
         box_level_dtype=config.box_level_dtype,
         coord_dtype=np.dtype(coord_dtype),
-        sources_have_extent=source_radii is not None,
-        targets_have_extent=target_radii is not None,
+        sources_have_extent=sources_have_extent,
+        targets_have_extent=targets_have_extent,
         extent_norm=extent_norm,
         stick_out_factor=float(stick_out_factor),
         _is_pruned=True,
@@ -491,9 +637,9 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         sources_are_targets=sources_are_targets,
         particle_id_dtype=config.particle_id_dtype,
         sources=out["sources"],
-        source_radii=None,
+        source_radii=src_radii_tree if sources_have_extent else None,
         targets=out["targets"],
-        target_radii=None,
+        target_radii=tgt_radii_tree if targets_have_extent else None,
         user_source_ids=out["user_source_ids"],
         sorted_target_ids=out["sorted_target_ids"],
         box_source_starts=out["box_source_starts"],
@@ -502,10 +648,10 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         box_target_starts=out["box_target_starts"],
         box_target_counts_nonchild=out["box_target_counts_nonchild"],
         box_target_counts_cumul=out["box_target_counts_cumul"],
-        box_source_bounding_box_min=None,
-        box_source_bounding_box_max=None,
-        box_target_bounding_box_min=None,
-        box_target_bounding_box_max=None,
+        box_source_bounding_box_min=sbb_min,
+        box_source_bounding_box_max=sbb_max,
+        box_target_bounding_box_min=tbb_min,
+        box_target_bounding_box_max=tbb_max,
         box_id_of_source=out["box_id_of_source"],
         box_id_of_target=out["box_id_of_target"],
     )
