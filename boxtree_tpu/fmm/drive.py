@@ -114,11 +114,40 @@ def drive_fmm(wrangler, src_weight_vecs, *,
               timing_data=None):
     """Top-level FMM driver; mirrors ``boxtree/fmm.py:342-532``.
 
-    :arg timing_data: optional dict; if given, per-stage results are
-        recorded into it (stage name -> None placeholder; wall timing is
-        the caller's business under JAX's async dispatch).
+    :arg timing_data: optional dict; if given, per-stage wall times are
+        recorded into it (stage name -> seconds, with device
+        synchronization around every stage).  Feed a list of these dicts
+        to ``AbstractFMMCostModel.estimate_calibration_params``.
+        Timing makes the driver non-jittable; leave it *None* inside
+        ``jax.jit``.
     """
     traversal = wrangler.traversal
+
+    if timing_data is not None:
+        import time as _time
+        import jax as _jax
+
+        class _TimedWrangler:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                attr = getattr(self._inner, name)
+                if name in ("form_multipoles", "coarsen_multipoles",
+                            "eval_direct", "multipole_to_local",
+                            "eval_multipoles", "form_locals",
+                            "refine_locals", "eval_locals"):
+                    def timed(*a, _n=name, _f=attr, **k):
+                        t0 = _time.perf_counter()
+                        out = _f(*a, **k)
+                        _jax.block_until_ready(out)
+                        timing_data[_n] = (timing_data.get(_n, 0.0)
+                                           + _time.perf_counter() - t0)
+                        return out
+                    return timed
+                return attr
+
+        wrangler = _TimedWrangler(wrangler)
 
     src_weight_vecs = [wrangler.reorder_sources(w) for w in src_weight_vecs]
     src_weight_vecs = wrangler.distribute_source_weights(

@@ -26,7 +26,7 @@ wranglers plug in the same edge partition.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

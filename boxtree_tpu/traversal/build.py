@@ -64,7 +64,7 @@ from boxtree_tpu.traversal import neighbors as nbr
 
 _F = box_flags_enum
 _INVALID_KEY = np.int64(np.iinfo(np.int64).max)
-_ROW_CHUNK = 4096
+_ROW_CHUNK = 32768
 
 
 # {{{ static offset tables

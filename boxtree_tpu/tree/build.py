@@ -241,12 +241,13 @@ def _exclusive_cumsum(x):
 
 
 @partial(jax.jit, static_argnames=(
-    "dimensions", "depth", "nlevels", "cap", "nsources", "ntargets",
+    "dimensions", "depth", "level_starts", "cap", "nsources", "ntargets",
     "sources_are_targets", "has_extents"))
-def _phase_b(codes_s, order, leaf_level, level_starts, merged_coords,
+def _phase_b(codes_s, order, leaf_level, merged_coords,
              bbox_min, root_extent,
-             *, dimensions, depth, nlevels, cap, nsources, ntargets,
+             *, dimensions, depth, level_starts, cap, nsources, ntargets,
              sources_are_targets, has_extents):
+    nlevels = len(level_starts) - 1
     d = dimensions
     n = codes_s.shape[0]
     nchild = 2 ** d
@@ -279,49 +280,63 @@ def _phase_b(codes_s, order, leaf_level, level_starts, merged_coords,
 
     prev_box = jnp.zeros(n, jnp.int32)
     leaf_box = jnp.zeros(n, jnp.int32)
+    rep = jnp.zeros(cap + 1, jnp.int64)
 
+    # Per level: detect box starts among active particles, scatter only
+    # the (small) per-box representative-particle indices, then *gather*
+    # every per-box field at those representatives into the statically
+    # sliced level segment.  (No full-length scatters, no cummax/cummin
+    # scans — both are slow on TPU.)
     for level in range(nlevels):
+        b0, b1 = level_starts[level], level_starts[level + 1]
+        nl = b1 - b0
+        if nl == 0:
+            continue
         shift = d * (depth - level)
         pfx = codes_s >> jnp.int64(shift)
         active = leaf_level >= level
-        is_start, lo, hi = _segment_fields(pfx, active, n)
+        prev_active = jnp.concatenate([jnp.zeros(1, bool), active[:-1]])
+        diff = jnp.concatenate(
+            [jnp.ones(1, bool), pfx[1:] != pfx[:-1]])
+        is_start = active & (diff | ~prev_active)
+        seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
-        idx_in_level = jnp.cumsum(is_start.astype(jnp.int64)) - 1
-        slot = (level_starts[level] + idx_in_level).astype(jnp.int32)
-        tslot = jnp.where(is_start, slot, cap)
+        rep = rep.at[jnp.where(is_start, b0 + seg_id, cap)].set(
+            iota, mode="drop")
+        reps_l = rep[b0:b1]
+        nxt_l = jnp.concatenate(
+            [reps_l[1:], jnp.full(1, n, jnp.int64)])
 
-        deeper = _exclusive_cumsum((leaf_level > level).astype(jnp.int64))
-        n_deeper = deeper[hi] - deeper[iota]
+        cumact = _exclusive_cumsum(active.astype(jnp.int64))
+        cumdeep = _exclusive_cumsum(
+            (leaf_level > level).astype(jnp.int64))
+        cumul_l = cumact[nxt_l] - cumact[reps_l]
+        deeper_l = cumdeep[nxt_l] - cumdeep[reps_l]
 
-        box_morton = box_morton.at[tslot].set(pfx, mode="drop")
-        box_level = box_level.at[tslot].set(level, mode="drop")
-        box_start = box_start.at[tslot].set(iota, mode="drop")
-        box_count_cumul = box_count_cumul.at[tslot].set(
-            hi - iota, mode="drop")
-        box_count_nonchild = box_count_nonchild.at[tslot].set(
-            (hi - iota) - n_deeper, mode="drop")
-        box_has_children = box_has_children.at[tslot].set(
-            n_deeper > 0, mode="drop")
+        pfx_l = codes_s[reps_l] >> jnp.int64(shift)
+        box_morton = box_morton.at[b0:b1].set(pfx_l)
+        box_level = box_level.at[b0:b1].set(level)
+        box_start = box_start.at[b0:b1].set(reps_l)
+        box_count_cumul = box_count_cumul.at[b0:b1].set(cumul_l)
+        box_count_nonchild = box_count_nonchild.at[b0:b1].set(
+            cumul_l - deeper_l)
+        box_has_children = box_has_children.at[b0:b1].set(deeper_l > 0)
 
-        # centers from decoded cell coordinates
-        cells = morton.deinterleave(
-            pfx << jnp.int64(d * (depth - level)), d) >> jnp.int64(
-                depth - level)
+        cells = morton.deinterleave(pfx_l, d)
         inv_size = jnp.asarray(root_extent, coord_dtype) / (1 << level)
         centers = (bbox_min[:, None].astype(coord_dtype)
                    + (cells.astype(coord_dtype) + 0.5) * inv_size)
-        box_centers = box_centers.at[:, tslot].set(centers, mode="drop")
+        box_centers = box_centers.at[:, b0:b1].set(centers)
 
         if level > 0:
-            box_parent = box_parent.at[tslot].set(prev_box, mode="drop")
-            digit = (pfx & (nchild - 1)).astype(jnp.int32)
-            dig_t = jnp.where(is_start, digit, nchild)
-            box_child = box_child.at[dig_t, prev_box].set(
-                slot, mode="drop")
+            parent_l = prev_box[reps_l]
+            box_parent = box_parent.at[b0:b1].set(parent_l)
+            digit_l = (pfx_l & (nchild - 1)).astype(jnp.int32)
+            box_child = box_child.at[digit_l, parent_l].set(
+                (b0 + jnp.arange(nl, dtype=jnp.int64)).astype(jnp.int32))
 
-        box_of_cur = jnp.where(
-            active, (level_starts[level] + idx_in_level).astype(jnp.int32),
-            prev_box)
+        box_of_cur = jnp.where(active, b0 + seg_id, prev_box).astype(
+            jnp.int32)
         leaf_box = jnp.where(leaf_level == level, box_of_cur, leaf_box)
         prev_box = box_of_cur
 
@@ -587,9 +602,10 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
     nboxes = int(level_starts[-1])
 
     out = _phase_b(
-        codes_s, order, leaf_level, jnp.asarray(level_starts),
+        codes_s, order, leaf_level,
         merged, bbox_min, root_extent,
-        dimensions=dimensions, depth=depth, nlevels=nlevels, cap=nboxes,
+        dimensions=dimensions, depth=depth,
+        level_starts=tuple(int(x) for x in level_starts), cap=nboxes,
         nsources=nsources, ntargets=ntargets,
         sources_are_targets=sources_are_targets,
         has_extents=has_extents)
