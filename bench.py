@@ -9,70 +9,91 @@ The reference publishes no benchmark numbers (SURVEY.md section 6), so
 single-chip-equivalent rate of 12.5 Mpoints/s.  vs_baseline > 1 means
 faster than that per-chip target.
 
+Each problem size runs in a fresh subprocess (a failed size can crash
+the accelerator worker, which would poison in-process retries); the
+ladder walks down until a size succeeds.
+
 Env knobs: BENCH_N (default 1e7), BENCH_DIMS (default 3),
 BENCH_MAX_PARTICLES (default 30).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
 
-
-def main():
+def run_single(n):
+    """Executed in a subprocess: benchmark one size, print one line."""
+    import numpy as np
     import jax
 
     import boxtree_tpu  # noqa: F401
     from boxtree_tpu import build_tree
     from boxtree_tpu.traversal import build_traversal
 
-    n_req = int(float(os.environ.get("BENCH_N", 1e7)))
     dims = int(os.environ.get("BENCH_DIMS", 3))
     max_particles = int(os.environ.get("BENCH_MAX_PARTICLES", 30))
-
     rng = np.random.default_rng(17)
+    pts = jax.device_put(rng.random((dims, n), dtype=np.float32))
 
-    def run(pts):
+    def run():
         tree = build_tree(pts, max_particles_in_box=max_particles)
         trav = build_traversal(tree)
         jax.block_until_ready(trav.neighbor_source_boxes_lists)
-        return tree, trav
+        return tree
 
-    # Fallback ladder: if a size crashes/OOMs the device, retry smaller
-    # so the benchmark always reports a number.
-    n = n_req
-    while True:
-        try:
-            pts = jax.device_put(rng.random((dims, n), dtype=np.float32))
-            t0 = time.perf_counter()
-            tree, _ = run(pts)          # warm-up (compiles)
-            warm_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            tree, trav = run(pts)
-            dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tree = run()                       # warm-up (compiles)
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tree = run()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "n": n, "dims": dims, "nboxes": tree.nboxes,
+        "nlevels": tree.nlevels, "warm_s": round(warm_s, 1),
+        "timed_s": round(dt, 4),
+        "device": jax.devices()[0].platform}))
+
+
+def main():
+    n = int(float(os.environ.get("BENCH_N", 1e7)))
+    result = None
+    while n >= 250_000:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(n)],
+            capture_output=True, text=True, timeout=3600)
+        for line in proc.stdout.splitlines():
+            try:
+                result = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if result is not None:
             break
-        except Exception as e:          # noqa: BLE001
-            print(f"# bench failed at n={n}: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
-            if n <= 10**6:
-                raise
-            n //= 4
-            time.sleep(30)
+        print(f"# n={n} failed (rc={proc.returncode}); "
+              f"{proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else ''}",
+              file=sys.stderr)
+        n //= 2
+        time.sleep(45)                 # let a crashed worker recover
 
-    mpts = n / 1e6 / dt
-    baseline_rate = 12.5  # Mpoints/s single-chip equivalent of the north star
+    if result is None:
+        raise SystemExit("benchmark failed at every size")
+
+    mpts = result["n"] / 1e6 / result["timed_s"]
+    baseline_rate = 12.5   # Mpts/s single-chip equivalent of the north star
     print(json.dumps({
         "metric": "tree_build_plus_traversal_3d",
         "value": round(mpts, 3),
         "unit": "Mpoints/s",
-        "vs_baseline": round(mpts / baseline_rate, 3),
+        "vs_baseline": round(mpts / baseline_rate, 4),
     }))
-    print(f"# n={n} dims={dims} nboxes={tree.nboxes} nlevels={tree.nlevels} "
-          f"warm={warm_s:.1f}s timed={dt:.3f}s "
-          f"device={jax.devices()[0].platform}", file=sys.stderr)
+    print(f"# {result}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--single":
+        run_single(int(sys.argv[2]))
+    else:
+        main()
