@@ -23,6 +23,13 @@ Design notes (vs. the reference at ``/root/reference``):
 from boxtree_tpu import config  # noqa: F401  (enables 64-bit mode; dtype policy)
 from boxtree_tpu.tree.containers import Tree, TreeOfBoxes, box_flags_enum
 from boxtree_tpu.tree.build import TreeBuilder, build_tree, MaxLevelsExceeded
+from boxtree_tpu.tree.tree_of_boxes import (
+    coarsen_tree_of_boxes,
+    make_tree_of_boxes_root,
+    refine_and_coarsen_tree_of_boxes,
+    refine_tree_of_boxes,
+    uniformly_refine_tree_of_boxes,
+)
 
 __all__ = [
     "Tree",
@@ -31,4 +38,9 @@ __all__ = [
     "TreeBuilder",
     "build_tree",
     "MaxLevelsExceeded",
+    "coarsen_tree_of_boxes",
+    "make_tree_of_boxes_root",
+    "refine_and_coarsen_tree_of_boxes",
+    "refine_tree_of_boxes",
+    "uniformly_refine_tree_of_boxes",
 ]

@@ -1,1 +1,20 @@
 from boxtree_tpu import config  # noqa: F401
+from boxtree_tpu.models.constant_one import (
+    ConstantOneExpansionWrangler,
+    ConstantOneTreeIndependentDataForWrangler,
+)
+from boxtree_tpu.models.laplace import (
+    Laplace2DExpansionWrangler,
+    Laplace3DExpansionWrangler,
+    LaplaceTreeIndependentDataForWrangler,
+    make_laplace_wrangler,
+)
+
+__all__ = [
+    "ConstantOneExpansionWrangler",
+    "ConstantOneTreeIndependentDataForWrangler",
+    "Laplace2DExpansionWrangler",
+    "Laplace3DExpansionWrangler",
+    "LaplaceTreeIndependentDataForWrangler",
+    "make_laplace_wrangler",
+]

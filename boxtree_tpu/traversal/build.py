@@ -371,7 +371,8 @@ def _starts_of_rows(rows_sorted, nrows):
 # {{{ count passes (one compilation each)
 
 def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
-                  child_ids, *, dimensions, n_away, lsb, fast):
+                  child_ids, *, dimensions, n_away, lsb, fast,
+                  src_levels=None):
     """Per-level generator triples (slnws, list2, list4) over box-id rows.
     The fast flavor uses the neighbor table (n_away == 1 only); the
     generic flavor binary-searches the per-level Morton tables."""
@@ -389,7 +390,8 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                             dimensions=d)
             gen_4 = partial(nbr.fgen_list4, ntable=ntable, parents=parents,
                             box_flags=box_flags, prefixes=prefixes,
-                            lb=lev, dimensions=d, k_pad=k_pad4)
+                            lb=lev, dimensions=d, k_pad=k_pad4,
+                            src_levels=src_levels)
             return gen_s, gen_2, gen_4
         pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
 
@@ -414,16 +416,17 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
 
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp", "fast"))
+                                   "ls_totp", "fast", "src_levels"))
 def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                 child_ids, *, dimensions, n_away, lsb, ls_totp, fast):
+                 child_ids, *, dimensions, n_away, lsb, ls_totp, fast,
+                 src_levels=None):
     """Per-row counts for slnws / List 2 / List 4 (+ their totals)."""
     nlevels = len(lsb) - 1
     nboxes = lsb[-1]
     ntotp = ls_totp[-1]
     make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                          child_ids, dimensions=dimensions, n_away=n_away,
-                         lsb=lsb, fast=fast)
+                         lsb=lsb, fast=fast, src_levels=src_levels)
 
     slnws_counts = jnp.zeros(nboxes + 1, jnp.int32)
     l2_counts = jnp.zeros(ntotp + 1, jnp.int32)
@@ -448,7 +451,8 @@ def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
 
 
 def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
-               dimensions, n_away, lsb, fast):
+               dimensions, n_away, lsb, fast, src_levels=None,
+               tgt_levels=None):
     """Generator factories for the key-sorted edge lists (1 and 3)."""
     d = dimensions
     offs1 = jnp.asarray(_offsets(d, 1))
@@ -458,7 +462,8 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
         if fast:
             return partial(nbr.fgen_list1_target_side, ntable=ntable,
                            parents=parents, box_flags=box_flags,
-                           prefixes=prefixes, lt=lt, dimensions=d)
+                           prefixes=prefixes, lt=lt, dimensions=d,
+                           src_levels=src_levels)
         g = partial(_gen_list1_target_side, prefixes=prefixes,
                     box_flags=box_flags, offs=offs1, lt=lt,
                     dimensions=d, lsb=lsb)
@@ -470,7 +475,8 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
             return partial(nbr.fgen_list1_source_side, ntable=ntable,
                            parents=parents, box_flags=box_flags,
                            tgt_row_of_box=tgt_row_of_box,
-                           prefixes=prefixes, ls=ls, dimensions=d)
+                           prefixes=prefixes, ls=ls, dimensions=d,
+                           tgt_levels=tgt_levels)
         g = partial(_gen_list1_source_side, prefixes=prefixes,
                     box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
                     offs=offs1, ls=ls, dimensions=d, lsb=lsb)
@@ -482,7 +488,8 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
             return partial(nbr.fgen_list3, ntable=ntable, parents=parents,
                            box_flags=box_flags,
                            tgt_row_of_box=tgt_row_of_box,
-                           prefixes=prefixes, ls=ls, dimensions=d)
+                           prefixes=prefixes, ls=ls, dimensions=d,
+                           tgt_levels=tgt_levels)
         g = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
                     tgt_row_of_box=tgt_row_of_box, offs1=offs1,
                     offsn=offsn, ls=ls, dimensions=d, lsb=lsb)
@@ -493,16 +500,19 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
 
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb", "ls_tgt",
-                                   "ntarget_boxes", "fast"))
+                                   "ntarget_boxes", "fast", "src_levels",
+                                   "tgt_levels"))
 def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
                       ntable, parents, *, dimensions, n_away, lsb, ls_tgt,
-                      ntarget_boxes, fast):
+                      ntarget_boxes, fast, src_levels=None,
+                      tgt_levels=None):
     """Edge totals for List 1 and per-source-level List 3 (+ List-3
     nonempty-row counts for empty-row compression)."""
     nlevels = len(lsb) - 1
     l1_tgt, l1_src, l3g = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
-        dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast)
+        dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast,
+        src_levels=src_levels, tgt_levels=tgt_levels)
 
     l1_count = jnp.int64(0)
     for lt in range(nlevels):
@@ -513,6 +523,8 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         row_ids = r0 + jnp.arange(r1 - r0, dtype=jnp.int64)
         l1_count = _count_keys(l1_tgt(lt), rows, (row_ids,), l1_count)
     for ls in range(1, nlevels):
+        if src_levels is not None and not src_levels[ls]:
+            continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         src_ids = lsb[ls] + jnp.arange(ids_l.shape[0], dtype=jnp.int64)
         l1_count = _count_keys(l1_src(ls), ids_l, (src_ids,), l1_count)
@@ -557,15 +569,17 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
 # {{{ fill passes
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp", "totals", "fast"))
+                                   "ls_totp", "totals", "fast",
+                                   "src_levels"))
 def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
                         child_ids, slnws_counts, l2_counts, l4_counts, *,
-                        dimensions, n_away, lsb, ls_totp, totals, fast):
+                        dimensions, n_away, lsb, ls_totp, totals, fast,
+                        src_levels=None):
     nlevels = len(lsb) - 1
     slnws_total, l2_total, l4_total = totals
     make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                          child_ids, dimensions=dimensions, n_away=n_away,
-                         lsb=lsb, fast=fast)
+                         lsb=lsb, fast=fast, src_levels=src_levels)
 
     slnws_starts = _exclusive_cumsum(slnws_counts.astype(jnp.int64))
     l2_starts = _exclusive_cumsum(l2_counts.astype(jnp.int64))
@@ -595,15 +609,16 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
 
 @partial(jax.jit, static_argnames=(
     "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "l1_total",
-    "l3_totals", "l3_nonempty", "fast"))
+    "l3_totals", "l3_nonempty", "fast", "src_levels", "tgt_levels"))
 def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
                      ntable, parents, *, dimensions, n_away, lsb, ls_tgt,
                      ntarget_boxes, l1_total, l3_totals, l3_nonempty,
-                     fast):
+                     fast, src_levels=None, tgt_levels=None):
     nlevels = len(lsb) - 1
     l1_tgt, l1_src, l3g = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
-        dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast)
+        dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast,
+        src_levels=src_levels, tgt_levels=tgt_levels)
 
     # List 1
     l1_buf = jnp.zeros(l1_total, jnp.int64)
@@ -617,6 +632,8 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         l1_buf, off = _fill_keys(l1_tgt(lt), rows, (row_ids,), l1_buf,
                                  off)
     for ls in range(1, nlevels):
+        if src_levels is not None and not src_levels[ls]:
+            continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         src_ids = ids_l.astype(jnp.int64)
         l1_buf, off = _fill_keys(l1_src(ls), ids_l, (src_ids,), l1_buf,
@@ -736,16 +753,22 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     parents_dev = tree.box_parent_ids
     child_ids_dev = tree.box_child_ids
 
+    # which levels carry source / target boxes at all (static skips)
+    src_levels = tuple(ls_src[i + 1] > ls_src[i] for i in range(nlevels))
+    tgt_levels = tuple(ls_tgt[i + 1] > ls_tgt[i] for i in range(nlevels))
+
     # count passes
     (slnws_counts, l2_counts, l4_counts, slnws_tot, l2_tot,
      l4_tot) = _counts_pass(
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
         parents_dev, child_ids_dev,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp, fast=fast)
+        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp, fast=fast,
+        src_levels=src_levels)
     l1_tot, l3_tot, l3_ne = _edge_counts_pass(
         prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
         parents_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
-        ntarget_boxes=ntarget_boxes, fast=fast)
+        ntarget_boxes=ntarget_boxes, fast=fast, src_levels=src_levels,
+        tgt_levels=tgt_levels)
 
     # single host sync for every size
     packed = jax.device_get(_pack_totals(
@@ -761,13 +784,15 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
         parents_dev, child_ids_dev, slnws_counts, l2_counts, l4_counts,
         dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
-        totals=(slnws_total, l2_total, l4_total), fast=fast)
+        totals=(slnws_total, l2_total, l4_total), fast=fast,
+        src_levels=src_levels)
 
     (l1_starts, l1_lists), l3_csr = _fill_edges_pass(
         prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
         parents_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
         ntarget_boxes=ntarget_boxes, l1_total=l1_total,
-        l3_totals=l3_totals, l3_nonempty=l3_nonempty, fast=fast)
+        l3_totals=l3_totals, l3_nonempty=l3_nonempty, fast=fast,
+        src_levels=src_levels, tgt_levels=tgt_levels)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []

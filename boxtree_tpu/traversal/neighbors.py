@@ -147,7 +147,7 @@ def _ancestors(rows, parents, nsteps):
 
 
 def fgen_list4(rows, ntable, parents, box_flags, prefixes, *, lb,
-               dimensions, k_pad):
+               dimensions, k_pad, src_levels=None):
     """List 4 at target level lb: non-center neighbors of each strict
     ancestor (levels lb-1 .. 1) that are source boxes, not touching the
     row box, but touching its parent."""
@@ -160,6 +160,8 @@ def fgen_list4(rows, ntable, parents, box_flags, prefixes, *, lb,
     anc = _ancestors(rows, parents, lb)
     chunks = []
     for wl in range(lb - 1, 0, -1):
+        if src_levels is not None and not src_levels[wl]:
+            continue
         a = anc[lb - wl]
         cand = ntable[a][:, keep]                           # (B, m-1)
         is_src = (box_flags[jnp.clip(cand, 0).astype(jnp.int64)]
@@ -185,7 +187,7 @@ def fgen_list4(rows, ntable, parents, box_flags, prefixes, *, lb,
 
 
 def fgen_list1_target_side(rows, row_ids, ntable, parents, box_flags,
-                           prefixes, *, lt, dimensions):
+                           prefixes, *, lt, dimensions, src_levels=None):
     """Keys (row<<32|src) for source boxes at levels <= lt touching each
     target box: the full neighbor-table rows of the ancestor chain."""
     d = dimensions
@@ -195,6 +197,8 @@ def fgen_list1_target_side(rows, row_ids, ntable, parents, box_flags,
     anc = _ancestors(rows, parents, lt)
     out = []
     for ls in range(lt, -1, -1):
+        if src_levels is not None and not src_levels[ls]:
+            continue
         cand = ntable[anc[lt - ls]]                         # (B, m)
         is_src = (box_flags[jnp.clip(cand, 0).astype(jnp.int64)]
                   & _F.IS_SOURCE_BOX) != 0
@@ -207,11 +211,14 @@ def fgen_list1_target_side(rows, row_ids, ntable, parents, box_flags,
             | cand.astype(jnp.int64),
             _INVALID_KEY)
         out.append(keys)
+    if not out:
+        return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)
 
 
 def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
-                           tgt_row_of_box, prefixes, *, ls, dimensions):
+                           tgt_row_of_box, prefixes, *, ls, dimensions,
+                           tgt_levels=None):
     """Keys for target boxes at levels strictly coarser than ls."""
     d = dimensions
     offs = jnp.asarray(_offsets1(d).T)
@@ -222,6 +229,8 @@ def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
     anc = _ancestors(rows, parents, ls)
     out = []
     for lt in range(ls - 1, -1, -1):
+        if tgt_levels is not None and not tgt_levels[lt]:
+            continue
         cand = ntable[anc[ls - lt]]
         row = tgt_row_of_box[jnp.clip(cand, 0).astype(jnp.int64)]
         low = _low_bits(cells, ls - lt)
@@ -234,11 +243,13 @@ def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
             | src_ids.astype(jnp.int64)[:, None],
             _INVALID_KEY)
         out.append(keys)
+    if not out:
+        return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)
 
 
 def fgen_list3(rows, w_ids, ntable, parents, box_flags, tgt_row_of_box,
-               prefixes, *, ls, dimensions):
+               prefixes, *, ls, dimensions, tgt_levels=None):
     """Keys (row<<32|w) for List 3 at source level ls: coarser target
     boxes in the neighbor windows of parent(w)'s ancestor chain, with
     parent(w) touching them but w itself not."""
@@ -253,6 +264,8 @@ def fgen_list3(rows, w_ids, ntable, parents, box_flags, tgt_row_of_box,
     pcells = cells >> np.int64(1)
     out = []
     for lt in range(ls - 1, -1, -1):
+        if tgt_levels is not None and not tgt_levels[lt]:
+            continue
         cand = ntable[anc[ls - 1 - lt]]                     # (B, m)
         row = tgt_row_of_box[jnp.clip(cand, 0).astype(jnp.int64)]
         if lt < ls - 1:
@@ -274,6 +287,8 @@ def fgen_list3(rows, w_ids, ntable, parents, box_flags, tgt_row_of_box,
             | w_ids.astype(jnp.int64)[:, None],
             _INVALID_KEY)
         out.append(keys)
+    if not out:
+        return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)
 
 # }}}

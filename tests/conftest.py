@@ -14,3 +14,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import boxtree_tpu  # noqa: E402, F401  (enables x64)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    # The full suite compiles hundreds of XLA CPU executables; without
+    # freeing them the CPU compiler has been observed to segfault late in
+    # the run.  Dropping caches between modules keeps the process lean.
+    yield
+    jax.clear_caches()
+    gc.collect()
