@@ -24,6 +24,8 @@ instead calls level-batched Fortran routines).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -251,6 +253,11 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     # {{{ P2P
 
+    #: set by kernels that can route P2P through the Pallas kernel
+    #: (:mod:`boxtree_tpu.ops.pallas_p2p`); opt in with
+    #: ``BOXTREE_TPU_PALLAS_P2P=1``.
+    _p2p_pallas_kind = None
+
     def eval_direct(self, target_boxes, neighbor_sources_starts,
                     neighbor_sources_lists, src_weight_vecs):
         src_weights, = src_weight_vecs
@@ -258,6 +265,12 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         nedges = int(neighbor_sources_lists.shape[0])
         if nedges == 0:
             return self.output_zeros()
+
+        if (self._p2p_pallas_kind is not None
+                and os.environ.get("BOXTREE_TPU_PALLAS_P2P") == "1"):
+            return self._eval_direct_pallas(
+                target_boxes, neighbor_sources_starts,
+                neighbor_sources_lists, src_weights)
 
         rows = csr_rows(neighbor_sources_starts, nedges)
         q_blocks = self.src_blocks.gather_values(
@@ -289,6 +302,27 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         pot_box = jnp.zeros((tree.nboxes, tb.pmax), self.dtype)
         pot_box = pot_box.at[target_boxes].set(
             pot_rows[:target_boxes.shape[0]])
+        return self._target_block_to_particles(pot_box)
+
+    def _eval_direct_pallas(self, target_boxes, starts, lists,
+                            src_weights):
+        from boxtree_tpu.ops.pallas_p2p import p2p_edges
+        tree = self.tree
+        tb, sb = self.tgt_blocks, self.src_blocks
+        nedges = int(lists.shape[0])
+        rows = csr_rows(starts, nedges)
+        q = sb.gather_values(jnp.real(
+            src_weights.astype(self.dtype))).astype(tb.points.dtype)
+        interpret = jax.devices()[0].platform != "tpu"
+        vals = p2p_edges(
+            target_boxes[rows], lists, tb.points, sb.points, q, sb.mask,
+            kind=self._p2p_pallas_kind, interpret=interpret)
+        pot_rows = jnp.zeros((target_boxes.shape[0] + 1, tb.pmax),
+                             vals.dtype)
+        pot_rows = pot_rows.at[rows].add(vals)
+        pot_box = jnp.zeros((tree.nboxes, tb.pmax), self.dtype)
+        pot_box = pot_box.at[target_boxes].set(
+            pot_rows[:target_boxes.shape[0]].astype(self.dtype))
         return self._target_block_to_particles(pot_box)
 
     # }}}

@@ -68,6 +68,7 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
     """2D Laplace FMM wrangler (complex power series)."""
 
     dtype = np.complex128
+    _p2p_pallas_kind = "log"
 
     def __init__(self, tree_indep, traversal):
         self.order = tree_indep.order
@@ -191,6 +192,7 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
     """3D Laplace FMM wrangler (solid harmonics); see module docstring."""
 
     dtype = np.complex128
+    _p2p_pallas_kind = "coulomb"
 
     def __init__(self, tree_indep, traversal):
         self.order = tree_indep.order
