@@ -49,31 +49,6 @@ _TREE_KINDS = ("adaptive", "adaptive-level-restricted", "non-adaptive")
 
 # {{{ phase A: sort + leaf-level assignment
 
-def _segment_fields(pfx, active, n):
-    """Segment structure of the (sorted) particle array at one level.
-
-    A segment is a maximal run of *active* particles sharing the same
-    prefix, i.e. the particle set of one box's subtree.
-    Returns ``(is_start, lo, hi)`` where ``[lo[i], hi[i])`` is the segment
-    containing particle ``i`` (garbage for inactive particles).
-    """
-    iota = jnp.arange(n, dtype=jnp.int64)
-    prev_active = jnp.concatenate(
-        [jnp.zeros(1, bool), active[:-1]])
-    diff = jnp.concatenate(
-        [jnp.ones(1, bool), pfx[1:] != pfx[:-1]])
-    is_start = active & (diff | ~prev_active)
-
-    start_idx = jnp.where(is_start, iota, jnp.int64(0))
-    lo = lax.cummax(start_idx)
-
-    boundary = is_start | ~active
-    nxt = jnp.where(boundary, iota, jnp.int64(n))
-    suf = lax.cummin(nxt[::-1])[::-1]
-    hi = jnp.concatenate([suf[1:], jnp.full((1,), n, jnp.int64)])
-    return is_start, lo, hi
-
-
 def _prefix_segments(pfx, n):
     """Contiguous equal-prefix segment bounds ``[lo, hi)`` per particle
     (prefix-only — active masking happens through masked cumsums)."""
