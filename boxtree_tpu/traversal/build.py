@@ -113,6 +113,55 @@ def _pad_rows(arr, chunk):
 
 # {{{ geometric predicates (exact integer arithmetic)
 
+def _cells_center(cells, level, bbox_min, root_extent):
+    """Float centers of the boxes with integer *cells* at (static) *level*.
+    Reproduces the build's center convention (``tree/build.py``), so values
+    agree bit-for-bit with ``tree.box_centers``."""
+    width = root_extent * (2.0 ** -level)
+    shape = (cells.shape[0],) + (1,) * (cells.ndim - 1)
+    return (bbox_min.reshape(shape)
+            + (cells.astype(bbox_min.dtype) + 0.5) * width)
+
+
+def _level_rad(level, root_extent):
+    """l^inf box "radius" (half width) at *level*
+    (``LEVEL_TO_RAD``, boxtree/traversal.py)."""
+    return root_extent * (2.0 ** -(level + 1))
+
+
+_EPS = float(np.finfo(np.float64).eps)
+
+
+def _meets_sep_smaller(tgt_c, tgt_lev, src_c, src_lev, root_extent, sof, *,
+                       crit, dimensions, tgt_ext_c=None, tgt_rvec=None):
+    """The with-extent "sep smaller" criterion of the reference
+    (``boxtree/traversal.py:707-800``) for one of the three
+    ``from_sep_smaller_crit`` flavors.  All center operands broadcast over
+    leading axis = dimensions."""
+    src_rad = _level_rad(src_lev, root_extent)
+    if crit == "static_linf":
+        tgt_stick = (1.0 + sof) * _level_rad(tgt_lev, root_extent)
+        l_inf = (jnp.abs(tgt_c - src_c) - tgt_stick - src_rad).max(axis=0)
+        return jnp.maximum(l_inf, 0.0) >= (2 - 8 * _EPS) * src_rad
+    elif crit == "precise_linf":
+        l_inf = (jnp.abs(tgt_ext_c - src_c) - tgt_rvec - src_rad).max(axis=0)
+        return jnp.maximum(l_inf, 0.0) >= (2 - 8 * _EPS) * src_rad
+    elif crit == "static_l2":
+        tgt_stick = (1.0 + sof) * _level_rad(tgt_lev, root_extent)
+        dist = jnp.sqrt(((tgt_c - src_c) ** 2).sum(axis=0))
+        rhs = dist - np.sqrt(dimensions) * tgt_stick - src_rad
+        return (2 - 8 * _EPS) * src_rad <= rhs
+    raise ValueError(f"unknown from_sep_smaller_crit: {crit}")
+
+
+def _meets_sep_bigger(tgt_c, tgt_lev, src_c, src_lev, root_extent, sof):
+    """``meets_sep_bigger_criterion`` (boxtree/traversal.py:933-971)."""
+    max_allowed = (3.0 * (1.0 + sof) * _level_rad(tgt_lev, root_extent)
+                   + _level_rad(src_lev, root_extent))
+    l_inf = jnp.abs(tgt_c - src_c).max(axis=0)
+    return l_inf >= max_allowed * (1 - 8 * _EPS)
+
+
 def _touch(cells_a, level_a, cells_b, level_b):
     """Closed-box intersection test between boxes given by integer cells
     (``cells_*``: (d, ...) int64; levels static python ints).  Equivalent
@@ -163,11 +212,15 @@ def _gen_list2(rows_pfx, prefixes_l, lsb_lev, offs, *, level, dimensions,
 
 
 def _gen_list4(rows_pfx, prefixes, box_flags, offs, *, lb, dimensions,
-               n_away, lsb, k_pad):
+               n_away, lsb, k_pad, ext=False, bbox_min=None,
+               root_extent=None, sof=None):
     cells = morton.deinterleave(rows_pfx, dimensions)
     parent_cells = cells >> np.int64(1)
     rows = rows_pfx.shape[0]
     wl_max = lb - 1 if n_away == 1 else lb
+    if ext:
+        b_c = _cells_center(cells, lb, bbox_min, root_extent)
+        p_c = _cells_center(parent_cells, lb - 1, bbox_min, root_extent)
     chunks = []
     for wl in range(1, wl_max + 1):
         anc = cells >> np.int64(lb - wl)
@@ -177,12 +230,27 @@ def _gen_list4(rows_pfx, prefixes, box_flags, offs, *, lb, dimensions,
         idc = jnp.where(found, box_id, 0)
         is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
         not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
-        if wl == lb:
-            enters_here = jnp.ones(cand.shape[1:], bool)
+        touch_p = _touch(cand, wl, parent_cells[:, :, None], lb - 1)
+        if ext:
+            # with-extent membership (boxtree/traversal.py:1041-1128):
+            # must meet the (monotone) sep-bigger criterion here, and
+            # either be ineligible for the parent's List 4 or fail the
+            # criterion there (so this box is where the interaction
+            # enters the downward propagation).
+            s_c = _cells_center(cand, wl, bbox_min, root_extent)
+            meets_b = _meets_sep_bigger(b_c[:, :, None], lb, s_c, wl,
+                                        root_extent, sof)
+            would_be_parent = ~touch_p & (wl < lb)
+            meets_p = _meets_sep_bigger(p_c[:, :, None], lb - 1, s_c, wl,
+                                        root_extent, sof)
+            valid = (found & is_src & not_touch_b & meets_b
+                     & (~would_be_parent | ~meets_p))
         else:
-            enters_here = _touch(cand, wl, parent_cells[:, :, None],
-                                 lb - 1)
-        valid = found & is_src & not_touch_b & enters_here
+            if wl == lb:
+                enters_here = jnp.ones(cand.shape[1:], bool)
+            else:
+                enters_here = touch_p
+            valid = found & is_src & not_touch_b & enters_here
         chunks.append(jnp.where(valid, box_id, -1))
     if not chunks:
         return jnp.full((rows, k_pad), -1, jnp.int32)
@@ -266,6 +334,129 @@ def _gen_list3(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
         keys = jnp.where(valid, (row << np.int64(32)) | w_ids[:, None],
                          _INVALID_KEY)
         out.append(keys)
+    return jnp.concatenate(out, axis=1)
+
+
+def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
+                   src_cumul, tbb_min, tbb_max, bbox_min, root_extent, sof,
+                   offsn, *, ls, dimensions, lsb, crit, min_nsources,
+                   close):
+    """(rows, K) keys for the with-target-extent List 3, far (at source
+    level *ls*) or close (sources at level *ls*, any coarser target).
+
+    Finer-side enumeration of the reference's with-extent walk
+    (``boxtree/traversal.py:607-860``): the level-``lt`` ancestor of source
+    box ``w`` must lie in the slnws window of target ``b``; every
+    intermediate ancestor must have kept the walk descending (adjacent to
+    ``b``, or failing the separation criterion, or forced close by the
+    min-nsources threshold — the fail/touch predicates are monotone up the
+    ancestor chain, so with a zero threshold checking ``w``'s parent
+    suffices); ``w`` itself is classified far/close by the criterion.
+    """
+    d = dimensions
+    cells = morton.deinterleave(rows_pfx, d)
+    w_flags = box_flags[jnp.clip(w_ids, 0)]
+    if close:
+        w_gate = (w_flags & _F.IS_SOURCE_BOX) != 0
+    else:
+        w_gate = (w_flags
+                  & (_F.IS_SOURCE_BOX | _F.HAS_SOURCE_CHILD_BOXES)) != 0
+    if min_nsources > 0:
+        w_forced = src_cumul[jnp.clip(w_ids, 0)] < min_nsources
+    else:
+        w_forced = jnp.zeros(w_ids.shape[0], bool)
+    w_c = _cells_center(cells, ls, bbox_min, root_extent)
+
+    out = []
+    for lt in range(ls):
+        anc = cells >> np.int64(ls - lt)
+        cand = anc[:, :, None] + offsn.T[:, None, :]
+        found, box_id = _lookup(prefixes[lsb[lt]:lsb[lt + 1]], lsb[lt],
+                                cand, lt)
+        idc = jnp.where(found, box_id, 0)
+        row = tgt_row_of_box[idc].astype(jnp.int64)
+        b_c = _cells_center(cand, lt, bbox_min, root_extent)
+        if crit == "precise_linf":
+            b_ext_c = 0.5 * (tbb_min[:, idc] + tbb_max[:, idc])
+            b_rvec = 0.5 * (tbb_max[:, idc] - tbb_min[:, idc])
+        else:
+            b_ext_c = b_rvec = None
+
+        def meets(src_c, src_lev):
+            return _meets_sep_smaller(
+                b_c, lt, src_c, src_lev, root_extent, sof, crit=crit,
+                dimensions=d, tgt_ext_c=b_ext_c, tgt_rvec=b_rvec)
+
+        meets_w = meets(w_c[:, :, None], ls)
+        not_touch_w = ~_touch(cand, lt, cells[:, :, None], ls)
+
+        # descent-chain condition over intermediate ancestors
+        if min_nsources > 0:
+            chain = jnp.ones(cand.shape[1:], bool)
+            for la in range(lt + 1, ls):
+                anc_a = cells >> np.int64(ls - la)
+                a_c = _cells_center(anc_a, la, bbox_min, root_extent)
+                touch_a = _touch(cand, lt, anc_a[:, :, None], la)
+                meets_a = meets(a_c[:, :, None], la)
+                _, id_a = _lookup(prefixes[lsb[la]:lsb[la + 1]], lsb[la],
+                                  anc_a, la)
+                forced_a = src_cumul[id_a] < min_nsources
+                chain &= touch_a | ~meets_a | forced_a[:, None]
+        elif lt < ls - 1:
+            parent = cells >> np.int64(1)
+            p_c = _cells_center(parent, ls - 1, bbox_min, root_extent)
+            chain = (_touch(cand, lt, parent[:, :, None], ls - 1)
+                     | ~meets(p_c[:, :, None], ls - 1))
+        else:
+            chain = jnp.ones(cand.shape[1:], bool)
+
+        if close:
+            classify = ~meets_w | w_forced[:, None]
+        else:
+            classify = meets_w & ~w_forced[:, None]
+        valid = (found & (row >= 0) & not_touch_w & chain & classify
+                 & w_gate[:, None])
+        keys = jnp.where(valid, (row << np.int64(32)) | w_ids[:, None],
+                         _INVALID_KEY)
+        out.append(keys)
+    return jnp.concatenate(out, axis=1)
+
+
+def _gen_list4_close(rows_pfx, b_ids, prefixes, box_flags, tgt_row_of_box,
+                     bbox_min, root_extent, sof, offs, *, lb, dimensions,
+                     n_away, lsb):
+    """(rows, K) keys for List 4 close: slnws-of-ancestor source boxes that
+    are non-adjacent to the target box but fail the sep-bigger criterion
+    (``boxtree/traversal.py:1046-1066``); rows are indexed by target-box
+    row directly (the reference reindexes with ``_ListMerger``,
+    ``traversal.py:2255-2287``)."""
+    d = dimensions
+    cells = morton.deinterleave(rows_pfx, d)
+    rows = rows_pfx.shape[0]
+    b_c = _cells_center(cells, lb, bbox_min, root_extent)
+    row_b = tgt_row_of_box[jnp.clip(b_ids, 0)].astype(jnp.int64)
+    wl_max = lb - 1 if n_away == 1 else lb
+    out = []
+    for wl in range(1, wl_max + 1):
+        anc = cells >> np.int64(lb - wl)
+        cand = anc[:, :, None] + offs.T[:, None, :]
+        found, box_id = _lookup(prefixes[lsb[wl]:lsb[wl + 1]], lsb[wl],
+                                cand, wl)
+        idc = jnp.where(found, box_id, 0)
+        is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
+        not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
+        s_c = _cells_center(cand, wl, bbox_min, root_extent)
+        fails_b = ~_meets_sep_bigger(b_c[:, :, None], lb, s_c, wl,
+                                     root_extent, sof)
+        valid = (found & is_src & not_touch_b & fails_b
+                 & (row_b >= 0)[:, None])
+        keys = jnp.where(
+            valid,
+            (row_b[:, None] << np.int64(32)) | box_id.astype(jnp.int64),
+            _INVALID_KEY)
+        out.append(keys)
+    if not out:
+        return jnp.full((rows, 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)
 
 # }}}
@@ -372,7 +563,8 @@ def _starts_of_rows(rows_sorted, nrows):
 
 def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                   child_ids, *, dimensions, n_away, lsb, fast,
-                  src_levels=None):
+                  src_levels=None, ext=False, bbox_min=None,
+                  root_extent=None, sof=None):
     """Per-level generator triples (slnws, list2, list4) over box-id rows.
     The fast flavor uses the neighbor table (n_away == 1 only); the
     generic flavor binary-searches the per-level Morton tables."""
@@ -409,24 +601,27 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
         gen_4 = by_pfx(partial(_gen_list4, prefixes=prefixes,
                                box_flags=box_flags, offs=offs_n, lb=lev,
                                dimensions=d, n_away=n_away, lsb=lsb,
-                               k_pad=k_pad4))
+                               k_pad=k_pad4, ext=ext, bbox_min=bbox_min,
+                               root_extent=root_extent, sof=sof))
         return gen_s, gen_2, gen_4
 
     return make
 
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp", "fast", "src_levels"))
+                                   "ls_totp", "fast", "src_levels", "ext"))
 def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                 child_ids, *, dimensions, n_away, lsb, ls_totp, fast,
-                 src_levels=None):
+                 child_ids, bbox_min, root_extent, sof, *, dimensions,
+                 n_away, lsb, ls_totp, fast, src_levels=None, ext=False):
     """Per-row counts for slnws / List 2 / List 4 (+ their totals)."""
     nlevels = len(lsb) - 1
     nboxes = lsb[-1]
     ntotp = ls_totp[-1]
     make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                          child_ids, dimensions=dimensions, n_away=n_away,
-                         lsb=lsb, fast=fast, src_levels=src_levels)
+                         lsb=lsb, fast=fast, src_levels=src_levels,
+                         ext=ext, bbox_min=bbox_min,
+                         root_extent=root_extent, sof=sof)
 
     slnws_counts = jnp.zeros(nboxes + 1, jnp.int32)
     l2_counts = jnp.zeros(ntotp + 1, jnp.int32)
@@ -452,11 +647,15 @@ def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
 
 def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
                dimensions, n_away, lsb, fast, src_levels=None,
-               tgt_levels=None):
-    """Generator factories for the key-sorted edge lists (1 and 3)."""
+               tgt_levels=None, ext=False, ext_data=None, crit=None,
+               min_nsources=0):
+    """Generator factories for the key-sorted edge lists (1 and 3, plus
+    the with-extent close lists 3-close and 4-close)."""
     d = dimensions
     offs1 = jnp.asarray(_offsets(d, 1))
     offsn = jnp.asarray(_offsets(d, n_away))
+    if ext:
+        src_cumul, tbb_min, tbb_max, bbox_min, root_extent, sof = ext_data
 
     def l1_tgt(lt):
         if fast:
@@ -483,7 +682,18 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
         return lambda rows, si: g(
             prefixes[jnp.clip(rows, 0).astype(jnp.int64)], si)
 
-    def l3(ls):
+    def l3(ls, close=False):
+        if ext:
+            g = partial(_gen_list3_ext, prefixes=prefixes,
+                        box_flags=box_flags,
+                        tgt_row_of_box=tgt_row_of_box,
+                        src_cumul=src_cumul, tbb_min=tbb_min,
+                        tbb_max=tbb_max, bbox_min=bbox_min,
+                        root_extent=root_extent, sof=sof, offsn=offsn,
+                        ls=ls, dimensions=d, lsb=lsb, crit=crit,
+                        min_nsources=min_nsources, close=close)
+            return lambda rows, wi: g(
+                prefixes[jnp.clip(rows, 0).astype(jnp.int64)], wi)
         if fast:
             return partial(nbr.fgen_list3, ntable=ntable, parents=parents,
                            box_flags=box_flags,
@@ -496,23 +706,37 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
         return lambda rows, wi: g(
             prefixes[jnp.clip(rows, 0).astype(jnp.int64)], wi)
 
-    return l1_tgt, l1_src, l3
+    def l4c(lb):
+        offs_n_nz = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
+        g = partial(_gen_list4_close, prefixes=prefixes,
+                    box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
+                    bbox_min=bbox_min, root_extent=root_extent, sof=sof,
+                    offs=offs_n_nz, lb=lb, dimensions=d, n_away=n_away,
+                    lsb=lsb)
+        return lambda rows, bi: g(
+            prefixes[jnp.clip(rows, 0).astype(jnp.int64)], bi)
+
+    return l1_tgt, l1_src, l3, l4c
 
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb", "ls_tgt",
                                    "ntarget_boxes", "fast", "src_levels",
-                                   "tgt_levels"))
+                                   "tgt_levels", "ls_totp", "ext", "crit",
+                                   "min_nsources"))
 def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
-                      ntable, parents, *, dimensions, n_away, lsb, ls_tgt,
-                      ntarget_boxes, fast, src_levels=None,
-                      tgt_levels=None):
+                      ntable, parents, totp_boxes, ext_data, *, dimensions,
+                      n_away, lsb, ls_tgt, ntarget_boxes, fast,
+                      src_levels=None, tgt_levels=None, ls_totp=None,
+                      ext=False, crit=None, min_nsources=0):
     """Edge totals for List 1 and per-source-level List 3 (+ List-3
-    nonempty-row counts for empty-row compression)."""
+    nonempty-row counts for empty-row compression), plus — for trees with
+    target extents — the close-list totals (Lists 3-close / 4-close)."""
     nlevels = len(lsb) - 1
-    l1_tgt, l1_src, l3g = _edge_gens(
+    l1_tgt, l1_src, l3g, l4cg = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
         dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast,
-        src_levels=src_levels, tgt_levels=tgt_levels)
+        src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
+        ext_data=ext_data, crit=crit, min_nsources=min_nsources)
 
     l1_count = jnp.int64(0)
     for lt in range(nlevels):
@@ -561,7 +785,24 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         l3_totals.append(row_counts.sum().astype(jnp.int64))
         l3_nonempty.append((row_counts > 0).sum().astype(jnp.int64))
 
-    return l1_count, jnp.stack(l3_totals), jnp.stack(l3_nonempty)
+    l3c_count = jnp.int64(0)
+    l4c_count = jnp.int64(0)
+    if ext:
+        for ls in range(1, nlevels):
+            ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+            w_ids = ids_l.astype(jnp.int64)
+            l3c_count = _count_keys(l3g(ls, close=True), ids_l, (w_ids,),
+                                    l3c_count)
+        for lb in range(1, nlevels):
+            r0, r1 = ls_totp[lb], ls_totp[lb + 1]
+            if r1 == r0:
+                continue
+            rows = totp_boxes[r0:r1]
+            b_ids = rows.astype(jnp.int64)
+            l4c_count = _count_keys(l4cg(lb), rows, (b_ids,), l4c_count)
+
+    return (l1_count, jnp.stack(l3_totals), jnp.stack(l3_nonempty),
+            l3c_count, l4c_count)
 
 # }}}
 
@@ -570,16 +811,19 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
                                    "ls_totp", "totals", "fast",
-                                   "src_levels"))
+                                   "src_levels", "ext"))
 def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                        child_ids, slnws_counts, l2_counts, l4_counts, *,
+                        child_ids, slnws_counts, l2_counts, l4_counts,
+                        bbox_min, root_extent, sof, *,
                         dimensions, n_away, lsb, ls_totp, totals, fast,
-                        src_levels=None):
+                        src_levels=None, ext=False):
     nlevels = len(lsb) - 1
     slnws_total, l2_total, l4_total = totals
     make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                          child_ids, dimensions=dimensions, n_away=n_away,
-                         lsb=lsb, fast=fast, src_levels=src_levels)
+                         lsb=lsb, fast=fast, src_levels=src_levels,
+                         ext=ext, bbox_min=bbox_min,
+                         root_extent=root_extent, sof=sof)
 
     slnws_starts = _exclusive_cumsum(slnws_counts.astype(jnp.int64))
     l2_starts = _exclusive_cumsum(l2_counts.astype(jnp.int64))
@@ -609,16 +853,20 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
 
 @partial(jax.jit, static_argnames=(
     "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "l1_total",
-    "l3_totals", "l3_nonempty", "fast", "src_levels", "tgt_levels"))
+    "l3_totals", "l3_nonempty", "fast", "src_levels", "tgt_levels",
+    "ls_totp", "ext", "crit", "min_nsources", "l3c_total", "l4c_total"))
 def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
-                     ntable, parents, *, dimensions, n_away, lsb, ls_tgt,
-                     ntarget_boxes, l1_total, l3_totals, l3_nonempty,
-                     fast, src_levels=None, tgt_levels=None):
+                     ntable, parents, totp_boxes, ext_data, *, dimensions,
+                     n_away, lsb, ls_tgt, ntarget_boxes, l1_total,
+                     l3_totals, l3_nonempty, fast, src_levels=None,
+                     tgt_levels=None, ls_totp=None, ext=False, crit=None,
+                     min_nsources=0, l3c_total=0, l4c_total=0):
     nlevels = len(lsb) - 1
-    l1_tgt, l1_src, l3g = _edge_gens(
+    l1_tgt, l1_src, l3g, l4cg = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
         dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast,
-        src_levels=src_levels, tgt_levels=tgt_levels)
+        src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
+        ext_data=ext_data, crit=crit, min_nsources=min_nsources)
 
     # List 1
     l1_buf = jnp.zeros(l1_total, jnp.int64)
@@ -668,7 +916,39 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         tgt_sep = target_boxes[ne_rows.astype(jnp.int64)]
         l3_out.append((comp_starts, lists, ne_rows, tgt_sep))
 
-    return (l1_starts, l1_lists), tuple(l3_out)
+    # close lists (target extents only): one CSR each over target rows
+    def fill_close(total, run):
+        buf = jnp.zeros(total, jnp.int64)
+        off = jnp.int64(0)
+        buf, off = run(buf, off)
+        keys = lax.sort(buf)
+        starts = _starts_of_rows(keys >> np.int64(32), ntarget_boxes)
+        lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+        return starts, lists
+
+    close_out = None
+    if ext:
+        def run_l3c(buf, off):
+            for ls in range(1, nlevels):
+                ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+                buf, off = _fill_keys(l3g(ls, close=True), ids_l,
+                                      (ids_l.astype(jnp.int64),), buf, off)
+            return buf, off
+
+        def run_l4c(buf, off):
+            for lb in range(1, nlevels):
+                r0, r1 = ls_totp[lb], ls_totp[lb + 1]
+                if r1 == r0:
+                    continue
+                rows = totp_boxes[r0:r1]
+                buf, off = _fill_keys(l4cg(lb), rows,
+                                      (rows.astype(jnp.int64),), buf, off)
+            return buf, off
+
+        close_out = (fill_close(l3c_total, run_l3c),
+                     fill_close(l4c_total, run_l4c))
+
+    return (l1_starts, l1_lists), tuple(l3_out), close_out
 
 # }}}
 
@@ -692,13 +972,28 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     """Build an :class:`FMMTraversalInfo` for *tree*.
 
     Mirrors ``FMMTraversalBuilder.__call__``
-    (``boxtree/traversal.py:1969-2345``) for trees without particle
-    extents.
+    (``boxtree/traversal.py:1969-2345``), including trees with *target*
+    extents (which produce the "close" halves of Lists 3 and 4); source
+    extents are rejected like the reference does
+    (``boxtree/traversal.py:2002-2006``).
     """
     if tree.sources_have_extent:
         raise ValueError("source extents not supported in traversal "
                          "(same restriction as the reference, "
                          "boxtree/traversal.py:2002-2006)")
+
+    ext = bool(getattr(tree, "targets_have_extent", False))
+    crit = from_sep_smaller_crit
+    if crit is None:
+        crit = "precise_linf"
+    if crit not in ("static_linf", "precise_linf", "static_l2"):
+        raise ValueError(f"unexpected value of 'from_sep_smaller_crit': "
+                         f"{crit}")
+    if ext and tree.extent_norm == "l2" and crit == "static_linf":
+        # mirrors boxtree/traversal.py:1786-1793
+        raise ValueError("the static l^inf from-sep-smaller criterion "
+                         "cannot be used with the l^2 extent norm")
+    min_nsources = int(_from_sep_smaller_min_nsources_cumul or 0)
 
     d = tree.dimensions
     n_away = well_sep_is_n_away
@@ -742,8 +1037,9 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     # }}}
 
-    # neighbor table (fast path) — only the 1-away window is tabulated
-    fast = (n_away == 1)
+    # neighbor table (fast path) — only the 1-away window is tabulated;
+    # the with-extent lists always use the generic Morton-search path
+    fast = (n_away == 1) and not ext
     if fast:
         ntable = nbr.build_neighbor_table(
             prefixes, tree.box_parent_ids, tree.box_child_ids,
@@ -757,42 +1053,65 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     src_levels = tuple(ls_src[i + 1] > ls_src[i] for i in range(nlevels))
     tgt_levels = tuple(ls_tgt[i + 1] > ls_tgt[i] for i in range(nlevels))
 
+    # geometry / extent data for the with-extent criteria
+    bbox_min_dev = tree.box_centers[:, 0] - 0.5 * jnp.asarray(
+        tree.root_extent)
+    root_extent_dev = jnp.asarray(tree.root_extent, jnp.float64)
+    if ext:
+        sof_dev = jnp.asarray(tree.stick_out_factor, jnp.float64)
+        ext_data = (
+            tree.box_source_counts_cumul,
+            tree.box_target_bounding_box_min,
+            tree.box_target_bounding_box_max,
+            bbox_min_dev, root_extent_dev, sof_dev)
+    else:
+        z = jnp.zeros(0, jnp.float64)
+        sof_dev = jnp.float64(0)
+        ext_data = (z, z, z, bbox_min_dev, root_extent_dev, sof_dev)
+
     # count passes
     (slnws_counts, l2_counts, l4_counts, slnws_tot, l2_tot,
      l4_tot) = _counts_pass(
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
-        parents_dev, child_ids_dev,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp, fast=fast,
-        src_levels=src_levels)
-    l1_tot, l3_tot, l3_ne = _edge_counts_pass(
+        parents_dev, child_ids_dev, bbox_min_dev, root_extent_dev,
+        sof_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
+        fast=fast, src_levels=src_levels, ext=ext)
+    l1_tot, l3_tot, l3_ne, l3c_tot, l4c_tot = _edge_counts_pass(
         prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
-        parents_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
+        parents_dev, target_or_target_parent_boxes, ext_data,
+        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
         ntarget_boxes=ntarget_boxes, fast=fast, src_levels=src_levels,
-        tgt_levels=tgt_levels)
+        tgt_levels=tgt_levels, ls_totp=ls_totp, ext=ext, crit=crit,
+        min_nsources=min_nsources)
 
     # single host sync for every size
     packed = jax.device_get(_pack_totals(
-        slnws_tot, l2_tot, l4_tot, l1_tot, l3_tot, l3_ne))
-    slnws_total, l2_total, l4_total, l1_total = (
-        int(packed[0]), int(packed[1]), int(packed[2]), int(packed[3]))
-    l3_totals = tuple(int(x) for x in packed[4:4 + nlevels])
-    l3_nonempty = tuple(int(x) for x in packed[4 + nlevels:])
+        slnws_tot, l2_tot, l4_tot, l1_tot, l3c_tot, l4c_tot, l3_tot,
+        l3_ne))
+    slnws_total, l2_total, l4_total, l1_total, l3c_total, l4c_total = (
+        int(packed[i]) for i in range(6))
+    l3_totals = tuple(int(x) for x in packed[6:6 + nlevels])
+    l3_nonempty = tuple(int(x) for x in packed[6 + nlevels:])
 
     # fill passes
     ((slnws_starts, slnws_lists), (l2_starts, l2_lists),
      (l4_starts, l4_lists)) = _fill_rowlists_pass(
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
         parents_dev, child_ids_dev, slnws_counts, l2_counts, l4_counts,
+        bbox_min_dev, root_extent_dev, sof_dev,
         dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
         totals=(slnws_total, l2_total, l4_total), fast=fast,
-        src_levels=src_levels)
+        src_levels=src_levels, ext=ext)
 
-    (l1_starts, l1_lists), l3_csr = _fill_edges_pass(
+    (l1_starts, l1_lists), l3_csr, close_csr = _fill_edges_pass(
         prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
-        parents_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
+        parents_dev, target_or_target_parent_boxes, ext_data,
+        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
         ntarget_boxes=ntarget_boxes, l1_total=l1_total,
         l3_totals=l3_totals, l3_nonempty=l3_nonempty, fast=fast,
-        src_levels=src_levels, tgt_levels=tgt_levels)
+        src_levels=src_levels, tgt_levels=tgt_levels, ls_totp=ls_totp,
+        ext=ext, crit=crit, min_nsources=min_nsources,
+        l3c_total=l3c_total, l4c_total=l4c_total)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []
@@ -830,18 +1149,55 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         from_sep_smaller_by_level=tuple(from_sep_smaller_by_level),
         target_boxes_sep_smaller_by_source_level=tuple(
             target_boxes_sep_smaller),
-        from_sep_close_smaller_starts=None,
-        from_sep_close_smaller_lists=None,
+        from_sep_close_smaller_starts=(
+            close_csr[0][0] if ext else None),
+        from_sep_close_smaller_lists=(
+            close_csr[0][1] if ext else None),
         from_sep_bigger_starts=l4_starts,
         from_sep_bigger_lists=l4_lists,
-        from_sep_close_bigger_starts=None,
-        from_sep_close_bigger_lists=None,
+        from_sep_close_bigger_starts=(
+            close_csr[1][0] if ext else None),
+        from_sep_close_bigger_lists=(
+            close_csr[1][1] if ext else None),
     )
 
 
 def merge_close_lists(trav):
-    raise NotImplementedError(
-        "close lists exist only for trees with extents (not implemented)")
+    """Merge the close lists into List 1 and return a new traversal with
+    the close lists set to *None* (mirrors ``boxtree/traversal.py``
+    ``FMMTraversalInfo.merge_close_lists``, ``:1650-1693``).  All three
+    inputs are CSR lists over ``target_boxes`` rows."""
+    import dataclasses
+
+    nrows = trav.ntarget_boxes
+
+    def edges(starts, lists):
+        starts = starts.astype(jnp.int64)
+        rows = (jnp.searchsorted(
+            starts, jnp.arange(lists.shape[0], dtype=jnp.int64),
+            side="right") - 1)
+        return rows, lists.astype(jnp.int64)
+
+    parts = [edges(trav.neighbor_source_boxes_starts,
+                   trav.neighbor_source_boxes_lists),
+             edges(trav.from_sep_close_smaller_starts,
+                   trav.from_sep_close_smaller_lists),
+             edges(trav.from_sep_close_bigger_starts,
+                   trav.from_sep_close_bigger_lists)]
+    rows = jnp.concatenate([p[0] for p in parts])
+    vals = jnp.concatenate([p[1] for p in parts])
+    keys = lax.sort((rows << np.int64(32)) | vals)
+    starts = _starts_of_rows(keys >> np.int64(32), nrows)
+    lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+
+    return dataclasses.replace(
+        trav,
+        neighbor_source_boxes_starts=starts,
+        neighbor_source_boxes_lists=lists,
+        from_sep_close_smaller_starts=None,
+        from_sep_close_smaller_lists=None,
+        from_sep_close_bigger_starts=None,
+        from_sep_close_bigger_lists=None)
 
 
 class FMMTraversalBuilder:

@@ -372,9 +372,16 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
 
     # {{{ box flags (rules mirror boxtree/tree_build_kernels.py:1210-1305)
 
-    flags = jnp.where(box_has_children,
-                      box_flags_enum.HAS_SOURCE_OR_TARGET_CHILD_BOXES, 0
-                      ).astype(jnp.int32)
+    # HAS_*_CHILD_BOXES is set only when the child subtrees actually carry
+    # particles of that kind (child-subtree count = cumul - nonchild).
+    flags = jnp.where(
+        box_has_children
+        & (box_source_counts_cumul > box_source_counts_nonchild),
+        box_flags_enum.HAS_SOURCE_CHILD_BOXES, 0).astype(jnp.int32)
+    flags = flags | jnp.where(
+        box_has_children
+        & (box_target_counts_cumul > box_target_counts_nonchild),
+        box_flags_enum.HAS_TARGET_CHILD_BOXES, 0)
     flags = flags | jnp.where(
         box_source_counts_nonchild > 0, box_flags_enum.IS_SOURCE_BOX, 0)
     flags = flags | jnp.where(
