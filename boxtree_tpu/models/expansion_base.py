@@ -48,7 +48,22 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     #: complex (or real) dtype of expansion coefficients
     dtype = np.complex128
 
-    def __init__(self, tree_indep, traversal):
+    #: set False by kernels whose source-side hooks cannot be
+    #: JVP-differentiated (dipoles are implemented as directional
+    #: derivatives of the hooks w.r.t. the source positions)
+    _supports_dipoles = True
+
+    def __init__(self, tree_indep, traversal, dipole_vec=None,
+                 dipoles_already_reordered=False):
+        """:arg dipole_vec: optional ``(dim, nsources)`` array (user order
+        unless *dipoles_already_reordered*).  When given, the sources are
+        dipoles: the potential of source ``y`` with FMM weight ``w`` is
+        ``w * (dipole_vec . grad_y) G(x, y)`` — the convention of the
+        reference's pyfmmlib wrangler (``dipstr``/``dipvec`` packaging at
+        ``boxtree/pyfmmlib_integration.py:495-511``; constructor
+        ``:285,370-385``).  Implemented for every kernel at once by
+        JVP-ing the P2M/P2L/P2P hooks in the per-source dipole direction.
+        """
         super().__init__(tree_indep, traversal)
         tree = traversal.tree
         self.dim = tree.dimensions
@@ -59,6 +74,22 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             self.tgt_blocks = self.src_blocks
         else:
             self.tgt_blocks = ParticleBlocks(tree, "target")
+
+        if dipole_vec is not None:
+            if not self._supports_dipoles:
+                raise ValueError(
+                    f"{type(self).__name__} does not support dipoles")
+            dipole_vec = jnp.asarray(dipole_vec)
+            if dipole_vec.shape != (self.dim, tree.nsources):
+                raise ValueError("dipole_vec must have shape "
+                                 "(dimensions, nsources)")
+            if not dipoles_already_reordered:
+                dipole_vec = dipole_vec[:, tree.user_source_ids]
+            # per-box padded blocks for the P2P / P2L edge kernels
+            self._dip_blocks = jnp.stack(
+                [self.src_blocks.gather_values(dipole_vec[ax])
+                 for ax in range(self.dim)], axis=-1)
+        self.dipole_vec = dipole_vec
 
         self._lsb = tree.level_start_box_nrs
         self._ls_totp = np.asarray(
@@ -186,7 +217,12 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         src_weights, = src_weight_vecs
         tree = self.tree
         rel = tree.sources - self.centers[:, tree.box_id_of_source]
-        terms = self._p2m_terms(rel, src_weights)      # (nsources, K)
+        if self.dipole_vec is None:
+            terms = self._p2m_terms(rel, src_weights)  # (nsources, K)
+        else:
+            _, terms = jax.jvp(
+                lambda r: self._p2m_terms(r, src_weights),
+                (rel,), (self.dipole_vec.astype(rel.dtype),))
         mp = self.multipole_expansion_zeros()
         return mp.at[tree.box_id_of_source].add(terms)
 
@@ -267,6 +303,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             return self.output_zeros()
 
         if (self._p2p_pallas_kind is not None
+                and self.dipole_vec is None
                 and os.environ.get("BOXTREE_TPU_PALLAS_P2P") == "1"):
             return self._eval_direct_pallas(
                 target_boxes, neighbor_sources_starts,
@@ -277,9 +314,19 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             src_weights.astype(self.dtype))
         tb, sb = self.tgt_blocks, self.src_blocks
 
-        def edge_potential(t_box, s_box):
-            return self._p2p(tb.points[t_box], sb.points[s_box],
-                             sb.mask[s_box], q_blocks[s_box])
+        if self.dipole_vec is None:
+            def edge_potential(t_box, s_box):
+                return self._p2p(tb.points[t_box], sb.points[s_box],
+                                 sb.mask[s_box], q_blocks[s_box])
+        else:
+            def edge_potential(t_box, s_box):
+                def f(sp):
+                    return self._p2p(tb.points[t_box], sp,
+                                     sb.mask[s_box], q_blocks[s_box])
+                return jax.jvp(
+                    f, (sb.points[s_box],),
+                    (self._dip_blocks[s_box].astype(
+                        sb.points.dtype),))[1]
 
         (tgt_rows, srcs, rows_p), valid, nchunks = self._pad_edges(
             target_boxes[rows], neighbor_sources_lists, rows)
@@ -382,12 +429,23 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         sb = self.src_blocks
         q_blocks = sb.gather_values(src_weights.astype(self.dtype))
 
-        def edge_coeffs(t_box, s_box):
-            rel = (sb.points[s_box].T
-                   - self.centers[:, t_box][:, None])        # (d, P)
-            terms = self._p2l_terms(rel, q_blocks[s_box])    # (P, K)
-            return jnp.sum(
-                jnp.where(sb.mask[s_box][:, None], terms, 0), axis=0)
+        if self.dipole_vec is None:
+            def edge_coeffs(t_box, s_box):
+                rel = (sb.points[s_box].T
+                       - self.centers[:, t_box][:, None])     # (d, P)
+                terms = self._p2l_terms(rel, q_blocks[s_box])  # (P, K)
+                return jnp.sum(
+                    jnp.where(sb.mask[s_box][:, None], terms, 0), axis=0)
+        else:
+            def edge_coeffs(t_box, s_box):
+                rel = (sb.points[s_box].T
+                       - self.centers[:, t_box][:, None])     # (d, P)
+                _, terms = jax.jvp(
+                    lambda r: self._p2l_terms(r, q_blocks[s_box]),
+                    (rel,),
+                    (self._dip_blocks[s_box].T.astype(rel.dtype),))
+                return jnp.sum(
+                    jnp.where(sb.mask[s_box][:, None], terms, 0), axis=0)
 
         (tgts, srcs), valid, nchunks = self._pad_edges(
             target_or_target_parent_boxes[rows], lists)

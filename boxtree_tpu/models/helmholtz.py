@@ -62,9 +62,16 @@ def _host_JH(p, x):
             (j + 1j * y).reshape(np.shape(x) + (p + 1,)))
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(0,))
 def _device_JH(p, x):
     """J_n / H_n for n = 0..p on device via a host callback; shapes are
-    ``x.shape + (p+1,)``."""
+    ``x.shape + (p+1,)``.  Differentiable: the JVP evaluates one order
+    higher and uses ``dF_n/dx = (F_{n-1} - F_{n+1})/2`` (with
+    ``F_{-1} = -F_1``), which is what makes the base wrangler's JVP-based
+    dipole path work for Helmholtz too."""
     shape = jax.ShapeDtypeStruct(x.shape + (p + 1,), jnp.float64)
     cshape = jax.ShapeDtypeStruct(x.shape + (p + 1,), jnp.complex128)
 
@@ -75,17 +82,35 @@ def _device_JH(p, x):
                              vmap_method="broadcast_all")
 
 
+@_device_JH.defjvp
+def _device_JH_jvp(p, primals, tangents):
+    x, = primals
+    xdot, = tangents
+    j1, h1 = _device_JH(p + 1, x)        # orders 0..p+1
+
+    def deriv(f):
+        # F_{n-1} for n = 0..p, using F_{-1} = -F_1
+        lower = jnp.concatenate([-f[..., 1:2], f[..., :p]], axis=-1)
+        upper = f[..., 1:p + 2]          # F_{n+1} for n = 0..p
+        return 0.5 * (lower - upper)
+
+    out = (j1[..., :p + 1], h1[..., :p + 1])
+    dots = (deriv(j1) * xdot[..., None],
+            deriv(h1) * xdot[..., None].astype(jnp.complex128))
+    return out, dots
+
+
 class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
     """2D Helmholtz FMM wrangler; see module docstring."""
 
     dtype = np.complex128
 
-    def __init__(self, tree_indep, traversal):
+    def __init__(self, tree_indep, traversal, **kwargs):
         self.order = tree_indep.order
         self.k = tree_indep.helmholtz_k
         p = self.order
         self._ns = np.arange(-p, p + 1)
-        super().__init__(tree_indep, traversal)
+        super().__init__(tree_indep, traversal, **kwargs)
 
     def _ncoeff(self):
         return 2 * self.order + 1
@@ -163,7 +188,7 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
     # }}}
 
 
-def make_helmholtz_wrangler(traversal, helmholtz_k, order):
+def make_helmholtz_wrangler(traversal, helmholtz_k, order, **kwargs):
     ti = HelmholtzTreeIndependentDataForWrangler(
         traversal.tree.dimensions, helmholtz_k, order)
-    return Helmholtz2DExpansionWrangler(ti, traversal)
+    return Helmholtz2DExpansionWrangler(ti, traversal, **kwargs)

@@ -65,14 +65,20 @@ class LaplaceTreeIndependentDataForWrangler(TreeIndependentDataForWrangler):
 # {{{ 2D
 
 class Laplace2DExpansionWrangler(ExpansionWranglerBase):
-    """2D Laplace FMM wrangler (complex power series)."""
+    """2D Laplace FMM wrangler (complex power series).
+
+    Supports dipole sources: with ``dipole_vec`` the source potential is
+    ``w * (d . grad_y) log(z_x - z_y) = dipstr / (z_x - z_y)`` with
+    ``dipstr = -w (d_x + i d_y)`` — the reference's 2D convention
+    (``boxtree/pyfmmlib_integration.py:501-506``).
+    """
 
     dtype = np.complex128
     _p2p_pallas_kind = "log"
 
-    def __init__(self, tree_indep, traversal):
+    def __init__(self, tree_indep, traversal, **kwargs):
         self.order = tree_indep.order
-        super().__init__(tree_indep, traversal)
+        super().__init__(tree_indep, traversal, **kwargs)
 
     def _ncoeff(self):
         return self.order + 1
@@ -194,9 +200,9 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
     dtype = np.complex128
     _p2p_pallas_kind = "coulomb"
 
-    def __init__(self, tree_indep, traversal):
+    def __init__(self, tree_indep, traversal, **kwargs):
         self.order = tree_indep.order
-        super().__init__(tree_indep, traversal)
+        super().__init__(tree_indep, traversal, **kwargs)
 
     def _ncoeff(self):
         return sh.ncoeffs(self.order)
@@ -274,12 +280,15 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
 # }}}
 
 
-def make_laplace_wrangler(traversal, order):
-    """Convenience factory choosing the wrangler by dimension."""
+def make_laplace_wrangler(traversal, order, **kwargs):
+    """Convenience factory choosing the wrangler by dimension.
+
+    Keyword arguments (e.g. ``dipole_vec``) are forwarded to the wrangler
+    constructor."""
     dim = traversal.tree.dimensions
     ti = LaplaceTreeIndependentDataForWrangler(dim, order)
     if dim == 2:
-        return Laplace2DExpansionWrangler(ti, traversal)
+        return Laplace2DExpansionWrangler(ti, traversal, **kwargs)
     if dim == 3:
-        return Laplace3DExpansionWrangler(ti, traversal)
+        return Laplace3DExpansionWrangler(ti, traversal, **kwargs)
     raise NotImplementedError(f"no Laplace wrangler for dim={dim}")

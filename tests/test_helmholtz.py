@@ -44,3 +44,33 @@ def test_helmholtz2d_vs_direct(split):
     ref = direct_helmholtz(tgt, sources, charges, k)
     rel = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
     assert rel < 1e-5, rel
+
+
+def test_helmholtz2d_dipoles_vs_direct():
+    """Dipole sources: pot = w (d . grad_y)(i/4) H_0(k|x-y|)
+    = w (i/4) k H_1(k r) d.(x-y)/r (the JVP-of-hooks dipole path with the
+    differentiable Bessel callback)."""
+    from scipy import special as sp
+
+    rng = np.random.default_rng(29)
+    k = 3.0
+    nsources, ntargets = 1200, 900
+    sources = rng.random((2, nsources))
+    targets = rng.random((2, ntargets))
+    weights = rng.standard_normal(nsources) \
+        + 1j * rng.standard_normal(nsources)
+    dipole_vec = rng.standard_normal((2, nsources))
+
+    tree = build_tree(sources, targets=targets, max_particles_in_box=20)
+    trav = build_traversal(tree)
+    wrangler = make_helmholtz_wrangler(trav, helmholtz_k=k, order=16,
+                                       dipole_vec=dipole_vec)
+    pot = np.asarray(drive_fmm(wrangler, (weights,)))
+
+    diff = targets[:, :, None] - sources[:, None, :]     # (2, nt, ns)
+    r = np.sqrt((diff * diff).sum(axis=0))
+    proj = (dipole_vec[:, None, :] * diff).sum(axis=0) / r
+    ref = (0.25j * k * sp.hankel1(1, k * r) * proj) @ weights
+
+    rel = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-5, rel

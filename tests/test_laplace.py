@@ -82,3 +82,52 @@ def test_laplace3d_vs_direct(split):
     ref = direct_coulomb(tgt, sources, charges)
     rel_err = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
     assert rel_err < 1e-5, rel_err
+
+
+def test_laplace2d_dipoles_vs_direct():
+    """Dipole sources (mirrors the reference's use_dipoles rows,
+    ``test/test_fmm.py:398-476``): pot = w (d . grad_y) log|x - y|."""
+    rng = np.random.default_rng(44)
+    nsources, ntargets = 2000, 1500
+    sources = rng.random((2, nsources))
+    targets = rng.random((2, ntargets))
+    weights = rng.standard_normal(nsources)
+    dipole_vec = rng.standard_normal((2, nsources))
+
+    tree = build_tree(sources, targets=targets, max_particles_in_box=20)
+    trav = build_traversal(tree)
+    wrangler = make_laplace_wrangler(trav, order=20,
+                                     dipole_vec=dipole_vec)
+    pot = np.asarray(drive_fmm(wrangler, (weights,))).real
+
+    # direct: (d . grad_y) log|x-y| = d . (y - x) / |x-y|^2
+    diff = sources[:, None, :] - targets[:, :, None]     # (2, nt, ns)
+    r2 = (diff * diff).sum(axis=0)
+    ref = ((dipole_vec[:, None, :] * diff).sum(axis=0) / r2) @ weights
+
+    rel_err = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
+    assert rel_err < 1e-5, rel_err
+
+
+def test_laplace3d_dipoles_vs_direct():
+    """3D dipoles: pot = w (d . grad_y) 1/|x-y| = w d.(x-y)/|x-y|^3."""
+    rng = np.random.default_rng(45)
+    nsources, ntargets = 1500, 1000
+    v = rng.standard_normal((3, nsources))
+    sources = v / np.linalg.norm(v, axis=0)
+    targets = rng.random((3, ntargets)) * 2 - 1
+    weights = rng.standard_normal(nsources)
+    dipole_vec = rng.standard_normal((3, nsources))
+
+    tree = build_tree(sources, targets=targets, max_particles_in_box=30)
+    trav = build_traversal(tree)
+    wrangler = make_laplace_wrangler(trav, order=12,
+                                     dipole_vec=dipole_vec)
+    pot = np.asarray(drive_fmm(wrangler, (weights,))).real
+
+    diff = targets[:, :, None] - sources[:, None, :]     # (3, nt, ns)
+    r3 = ((diff * diff).sum(axis=0)) ** 1.5
+    ref = ((dipole_vec[:, None, :] * diff).sum(axis=0) / r3) @ weights
+
+    rel_err = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
+    assert rel_err < 1e-5, rel_err
