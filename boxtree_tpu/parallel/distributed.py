@@ -6,11 +6,13 @@ partitioned into cost-balanced, Morton-DFS-contiguous box segments
 segment, and the FMM runs SPMD under ``shard_map``:
 
 - every device forms multipoles from *its* responsible sources only and
-  the partial multipole trees are combined with one ``psum`` over the
-  mesh — the dense-allreduce flavor of the reference's multipole
-  exchange (``boxtree/distributed/calculation.py:288-294``; the sparse
-  Lashuk-style hypercube exchange of ``calculation.py:271-416`` is a
-  later optimization),
+  the partial multipole trees are combined by the sparse
+  relevance-filtered hypercube exchange (Lashuk et al.) of
+  :func:`_mpole_exchange_schedule` — the analogue of the reference's
+  ``communicate_mpoles`` (``boxtree/distributed/calculation.py:271-416``)
+  with ``ppermute`` rounds instead of MPI messages — or, with
+  ``communicate_mpoles="allreduce"``, one dense ``psum``
+  (``calculation.py:288-294``),
 - interaction-list work is divided by *row ownership*: each device gets
   the (zero-padded) slice of every list whose target row it owns, so
   per-device list work scales ~1/nranks with static SPMD shapes,
@@ -58,15 +60,97 @@ def _pad_stack(arrays, fill):
     return out
 
 
+def _mpole_exchange_schedule(needed, contrib, nboxes):
+    """Host-precomputed sparse multipole-exchange schedule (the
+    Lashuk-style relevance-filtered reduce-scatter of
+    ``boxtree/distributed/calculation.py:271-416``, re-cast for static
+    SPMD execution).
+
+    XOR-hypercube rounds over the largest power-of-two subset, with
+    fold-in/fold-out stages for leftover ranks.  Every stage is described
+    by index tables: rank ``r`` sends ``mp[send_idx[r]]`` to its partner,
+    which merges at ``recv_idx[r]``.  Messages are filtered by the boxes
+    *needed* (multipole-source masks) by any rank the receiver can still
+    reach, so message sizes track the partition locality instead of
+    ``nboxes``.  Returns ``(stages, stats)`` where each stage is
+    ``(perm, send_idx, recv_idx, op)`` with ``op`` "add" (disjoint
+    contributions) or "set" (fold-out: the complete result replaces).
+    """
+    nranks = needed.shape[0]
+    p2 = 1
+    while p2 * 2 <= nranks:
+        p2 *= 2
+    extras = nranks - p2
+
+    def eff(u):
+        return u - p2 if u >= p2 else u
+
+    contrib = contrib.copy()
+    stage_kinds = ([("fold_in",)] if extras else []) \
+        + [("hyper", k) for k in range(p2.bit_length() - 1)] \
+        + ([("fold_out",)] if extras else [])
+
+    stages = []
+    stats = []
+    for kind in stage_kinds:
+        sends = []                      # (src, dst, box mask, op)
+        if kind[0] == "fold_in":
+            filt = needed.any(axis=0)
+            for e in range(p2, nranks):
+                sends.append((e, e - p2, contrib[e] & filt, "add"))
+        elif kind[0] == "hyper":
+            k = kind[1]
+            for r in range(p2):
+                t = r ^ (1 << k)
+                group = [u for u in range(nranks)
+                         if eff(u) % (2 << k) == t % (2 << k)]
+                filt = needed[group].any(axis=0)
+                sends.append((r, t, contrib[r] & filt, "add"))
+        else:                           # fold_out
+            for e in range(p2, nranks):
+                sends.append((e - p2, e, contrib[e - p2] & needed[e],
+                              "set"))
+
+        if not sends:
+            continue
+        maxlen = max(1, max(int(m.sum()) for (_, _, m, _) in sends))
+        send_idx = np.full((nranks, maxlen), -1, np.int32)
+        recv_idx = np.full((nranks, maxlen), -1, np.int32)
+        perm = []
+        op = sends[0][3]
+        for (src, dst, m, _) in sends:
+            ids = np.nonzero(m)[0].astype(np.int32)
+            send_idx[src, :len(ids)] = ids
+            recv_idx[dst, :len(ids)] = ids
+            perm.append((src, dst))
+        for (src, dst, m, _) in sends:
+            contrib[dst] |= m
+        stages.append((tuple(perm), send_idx, recv_idx, op))
+        stats.append({"stage": kind[0], "boxes": maxlen,
+                      "ranks": len(sends)})
+    return stages, stats
+
+
 class DistributedFMMRunner:
     """Set up and drive a distributed (counting) FMM over *mesh*.
 
     Mirrors ``boxtree/distributed/__init__.py:269-310``; instead of MPI
     ranks with local trees, devices of a 1D mesh own DFS segments of the
     (replicated) global tree and work is pre-sliced per device.
+
+    :arg communicate_mpoles: "hypercube" (default) runs the sparse
+        relevance-filtered exchange (`_mpole_exchange_schedule`);
+        "allreduce" runs a dense ``psum`` (the reference's
+        ``communicate_mpoles_via_allreduce`` debug path,
+        ``boxtree/distributed/calculation.py:288-294``).
     """
 
-    def __init__(self, mesh, traversal, cost_per_box=None):
+    def __init__(self, mesh, traversal, cost_per_box=None,
+                 communicate_mpoles="hypercube"):
+        if communicate_mpoles not in ("hypercube", "allreduce"):
+            raise ValueError(f"bad communicate_mpoles: "
+                             f"{communicate_mpoles}")
+        self.communicate_mpoles = communicate_mpoles
         if isinstance(mesh, int):
             devs = np.array(jax.devices()[:mesh])
             mesh = Mesh(devs, ("ranks",))
@@ -135,6 +219,25 @@ class DistributedFMMRunner:
         self.resp_masks = shard(np.stack(
             [m.responsible_boxes for m in self.box_masks]))
 
+        # sparse multipole-exchange schedule (hypercube flavor)
+        if communicate_mpoles == "hypercube" and nranks > 1:
+            needed = np.stack(
+                [m.multipole_src_boxes for m in self.box_masks])
+            contrib = np.stack(
+                [m.responsible_boxes | m.ancestor_boxes
+                 for m in self.box_masks])
+            stages, self.mpole_comm_stats = _mpole_exchange_schedule(
+                needed, contrib, tree.nboxes)
+            self._mpole_perms = tuple(s[0] for s in stages)
+            self._mpole_ops = tuple(s[3] for s in stages)
+            self._mpole_tables = tuple(
+                (shard(s[1]), shard(s[2])) for s in stages)
+        else:
+            self.mpole_comm_stats = []
+            self._mpole_perms = ()
+            self._mpole_ops = ()
+            self._mpole_tables = ()
+
         # host metadata for the stages
         self._lsb = tree.level_start_box_nrs
         self._step = self._build_step()
@@ -158,20 +261,41 @@ class DistributedFMMRunner:
             return dst.at[jnp.where(valid, tgt, nboxes)].add(
                 jnp.where(valid, vals, 0), mode="drop")
 
-        def step(resp_mask, e1, e2, e3, e4, totp_local, weights):
+        mpole_perms = self._mpole_perms
+        mpole_ops = self._mpole_ops
+        use_hypercube = bool(mpole_perms)
+
+        def step(resp_mask, e1, e2, e3, e4, totp_local, mpole_tables,
+                 weights):
             resp_mask = resp_mask[0]
             e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
             totp_local = totp_local[0]
 
-            # P2M from responsible sources only, then allreduce (the
-            # dense communicate_mpoles path)
+            # P2M from responsible sources only
             w_mine = jnp.where(resp_mask[box_of_src], weights, 0)
             mp = jnp.zeros(nboxes, weights.dtype).at[box_of_src].add(
                 w_mine)
             for lev in range(nlevels - 1, 2, -1):
                 ids = jnp.arange(lsb[lev], lsb[lev + 1])
                 mp = mp.at[parents[ids]].add(mp[ids])
-            mp = jax.lax.psum(mp, axis)
+
+            # communicate_mpoles: sparse relevance-filtered hypercube
+            # exchange, or the dense-psum debug path
+            if use_hypercube:
+                for (send_idx, recv_idx), perm, op in zip(
+                        mpole_tables, mpole_perms, mpole_ops):
+                    si = send_idx[0].astype(jnp.int64)
+                    ri = recv_idx[0].astype(jnp.int64)
+                    buf = jnp.where(si >= 0, mp[jnp.clip(si, 0)], 0)
+                    recv = jax.lax.ppermute(buf, axis, perm)
+                    safe = jnp.where(ri >= 0, ri, nboxes)
+                    if op == "add":
+                        mp = mp.at[safe].add(
+                            jnp.where(ri >= 0, recv, 0), mode="drop")
+                    else:
+                        mp = mp.at[safe].set(recv, mode="drop")
+            else:
+                mp = jax.lax.psum(mp, axis)
 
             # direct sums need true per-box source weights (replicated)
             box_sums = jnp.zeros(nboxes, weights.dtype).at[
@@ -203,13 +327,18 @@ class DistributedFMMRunner:
             pot = jnp.where(resp_mask[box_of_tgt], pot, 0)
             return jax.lax.psum(pot, axis)
 
-        from jax.experimental.shard_map import shard_map
-        spec = P(axis, *([None]))
+        try:
+            from jax import shard_map
+        except ImportError:               # older jax
+            from jax.experimental.shard_map import shard_map
+        table_specs = tuple(
+            (P(axis, None), P(axis, None)) for _ in self._mpole_tables)
         return jax.jit(shard_map(
             step, mesh=self.mesh,
             in_specs=(P(axis, None), P(axis, None, None),
                       P(axis, None, None), P(axis, None, None),
-                      P(axis, None, None), P(axis, None), P()),
+                      P(axis, None, None), P(axis, None), table_specs,
+                      P()),
             out_specs=P()))
 
     # }}}
@@ -219,5 +348,6 @@ class DistributedFMMRunner:
         target order (mirrors ``distributed/__init__.py:301-310``)."""
         w = jnp.asarray(source_weights)[self.tree.user_source_ids]
         pot = self._step(self.resp_masks, self.e1, self.e2, self.e3,
-                         self.e4, self.totp_boxes_local, w)
+                         self.e4, self.totp_boxes_local,
+                         self._mpole_tables, w)
         return pot[self.tree.sorted_target_ids]

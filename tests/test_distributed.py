@@ -67,11 +67,17 @@ def test_box_masks(trav):
                 assert bm.ancestor_boxes[b]
 
 
-@pytest.mark.parametrize("nranks", [1, 2, 8])
-def test_distributed_counting_fmm(trav, nranks):
+@pytest.mark.parametrize("nranks,communicate_mpoles", [
+    (1, "hypercube"), (2, "hypercube"), (8, "hypercube"),
+    # 3 ranks exercises the fold-in/fold-out stages of the schedule
+    (3, "hypercube"), (8, "allreduce"),
+])
+def test_distributed_counting_fmm(trav, nranks, communicate_mpoles):
     # Config E oracle: distributed counting FMM == nsources, exactly
+    # (both multipole-exchange flavors, like test_distributed.py:154-160)
     tree = trav.tree
-    runner = DistributedFMMRunner(nranks, trav)
+    runner = DistributedFMMRunner(
+        nranks, trav, communicate_mpoles=communicate_mpoles)
     pot = np.asarray(runner.drive_dfmm(np.ones(tree.nsources)))
     assert pot.shape == (tree.ntargets,)
     assert (pot == tree.nsources).all(), \
