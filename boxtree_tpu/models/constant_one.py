@@ -46,6 +46,11 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
         self.dtype = dtype
         tree = traversal.tree
 
+        # owning box of every output slot and an optional output mask;
+        # the filtered-target subclasses below override these
+        self._out_box_map = tree.box_id_of_target
+        self._out_mask = None
+
         # host-side level boundaries for the sequential up/down passes
         self._lsb = tree.level_start_box_nrs
         self._ls_totp = np.asarray(
@@ -65,7 +70,14 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
     local_expansion_zeros = multipole_expansion_zeros
 
     def output_zeros(self):
-        return jnp.zeros(self.tree.ntargets, dtype=self.dtype)
+        return jnp.zeros(self._out_box_map.shape[0], dtype=self.dtype)
+
+    def _to_outputs(self, per_box_vals):
+        """Distribute per-box values to the output slots."""
+        vals = per_box_vals[self._out_box_map]
+        if self._out_mask is not None:
+            vals = jnp.where(self._out_mask, vals, 0)
+        return vals
 
     # }}}
 
@@ -109,10 +121,10 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
         rows = csr_edge_rows(neighbor_sources_starts, nedges)
         row_sums = segment_sum(box_sums[neighbor_sources_lists], rows,
                                target_boxes.shape[0])
-        # distribute to each target particle via its owning box's row
-        prow = self._tgt_row_of_box[self.tree.box_id_of_target]
-        vals = jnp.where(prow >= 0, row_sums[jnp.clip(prow, 0)], 0)
-        return vals.astype(self.dtype)
+        # distribute to each output slot via its owning box's row
+        pot_box = jnp.zeros(self.tree.nboxes, self.dtype).at[
+            target_boxes].set(row_sums)
+        return self._to_outputs(pot_box)
 
     def multipole_to_local(self, level_start_target_or_target_parent_box_nrs,
                            target_or_target_parent_boxes, starts, lists,
@@ -134,7 +146,7 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
             tb = target_boxes_by_source_level[level]
             contrib = segment_sum(mpole_exps[ssn.lists], rows, tb.shape[0])
             pot_box = pot_box.at[tb].add(contrib)
-        return pot_box[self.tree.box_id_of_target]
+        return self._to_outputs(pot_box)
 
     def form_locals(self, level_start_target_or_target_parent_box_nrs,
                     target_or_target_parent_boxes, starts, lists,
@@ -158,7 +170,49 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
 
     def eval_locals(self, level_start_target_box_nrs, target_boxes,
                     local_exps):
-        return local_exps[self.tree.box_id_of_target]
+        return self._to_outputs(local_exps)
 
     def finalize_potentials(self, potentials):
         return potentials
+
+
+class ConstantOneExpansionWranglerWithFilteredTargetsInTreeOrder(
+        ConstantOneExpansionWrangler):
+    """Evaluate only the targets kept by a
+    :class:`~boxtree_tpu.tree.filtering.FilteredTargetListsInTreeOrder`
+    (mirrors the reference test wrangler, ``test/test_fmm.py:103-124``):
+    outputs are sized ``nfiltered_targets``; ``reorder_potentials``
+    scatters them back into user target order (zeros elsewhere)."""
+
+    def __init__(self, tree_indep, traversal, filtered_targets):
+        super().__init__(tree_indep, traversal)
+        self.filtered_targets = filtered_targets
+        unf = filtered_targets.unfiltered_from_filtered_target_indexes
+        self._unfiltered = unf.astype(jnp.int64)
+        self._out_box_map = traversal.tree.box_id_of_target[
+            self._unfiltered]
+
+    def reorder_potentials(self, potentials):
+        tree_order = jnp.zeros(self.tree.ntargets, potentials.dtype).at[
+            self._unfiltered].set(potentials)
+        return tree_order[self.tree.sorted_target_ids]
+
+
+class ConstantOneExpansionWranglerWithFilteredTargetsInUserOrder(
+        ConstantOneExpansionWrangler):
+    """Evaluate only the targets kept by a
+    :class:`~boxtree_tpu.tree.filtering.FilteredTargetListsInUserOrder`
+    (mirrors ``test/test_fmm.py:127-140``): outputs stay sized
+    ``ntargets`` in tree order, zero at filtered-out targets."""
+
+    def __init__(self, tree_indep, traversal, filtered_targets):
+        super().__init__(tree_indep, traversal)
+        self.filtered_targets = filtered_targets
+        tree = traversal.tree
+        # tree-order membership mask from the per-box user-id CSR
+        member_user = np.zeros(tree.ntargets, bool)
+        member_user[np.asarray(filtered_targets.target_lists)] = True
+        tree_pos = np.asarray(tree.sorted_target_ids)  # user -> tree pos
+        member_tree = np.zeros(tree.ntargets, bool)
+        member_tree[tree_pos[member_user]] = True
+        self._out_mask = jnp.asarray(member_tree)

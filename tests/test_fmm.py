@@ -82,3 +82,41 @@ def test_fmm_completeness_small_and_shallow():
     # single-box tree: everything flows through list 1
     run_completeness(2, 20, None)
     run_completeness(2, 40, 40)
+
+
+@pytest.mark.parametrize("filter_kind", ["user", "tree"])
+def test_fmm_completeness_filtered_targets(filter_kind):
+    """Constant-one completeness with target filtering (mirrors the
+    reference's filter_kind rows, ``test/test_fmm.py:246-310``): flagged
+    targets get exactly nsources, filtered-out targets get 0."""
+    from boxtree_tpu.tree.filtering import ParticleListFilter
+    from boxtree_tpu.models.constant_one import (
+        ConstantOneExpansionWranglerWithFilteredTargetsInTreeOrder,
+        ConstantOneExpansionWranglerWithFilteredTargetsInUserOrder,
+    )
+
+    rng = np.random.default_rng(17)
+    dims, nsources, ntargets = 2, 2500, 2000
+    sources = make_normal_particle_array(nsources, dims, np.float64, 3)
+    targets = make_uniform_particle_array(ntargets, dims, np.float64, 4)
+    tree = build_tree(sources, targets=targets, max_particles_in_box=30)
+    trav = build_traversal(tree)
+    flags = rng.integers(0, 2, ntargets).astype(np.int8)
+
+    plfilt = ParticleListFilter()
+    ti = ConstantOneTreeIndependentDataForWrangler()
+    if filter_kind == "user":
+        ft = plfilt.filter_target_lists_in_user_order(tree, flags)
+        wrangler = \
+            ConstantOneExpansionWranglerWithFilteredTargetsInUserOrder(
+                ti, trav, ft)
+    else:
+        ft = plfilt.filter_target_lists_in_tree_order(tree, flags)
+        wrangler = \
+            ConstantOneExpansionWranglerWithFilteredTargetsInTreeOrder(
+                ti, trav, ft)
+
+    pot = np.asarray(drive_fmm(wrangler, [np.ones(nsources)]))
+    assert pot.shape == (ntargets,)
+    assert (pot[flags > 0] == nsources).all()
+    assert (pot[flags == 0] == 0).all()
