@@ -358,12 +358,21 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         tb, sb = self.tgt_blocks, self.src_blocks
         nedges = int(lists.shape[0])
         rows = csr_rows(starts, nedges)
-        q = sb.gather_values(jnp.real(
-            src_weights.astype(self.dtype))).astype(tb.points.dtype)
+        qc = src_weights.astype(self.dtype)
+        if jnp.iscomplexobj(qc):
+            # complex charges run as two real channels through the kernel
+            q = jnp.stack(
+                [sb.gather_values(jnp.real(qc)).astype(tb.points.dtype),
+                 sb.gather_values(jnp.imag(qc)).astype(tb.points.dtype)],
+                axis=-1)
+        else:
+            q = sb.gather_values(qc).astype(tb.points.dtype)
         interpret = jax.devices()[0].platform != "tpu"
         vals = p2p_edges(
             target_boxes[rows], lists, tb.points, sb.points, q, sb.mask,
             kind=self._p2p_pallas_kind, interpret=interpret)
+        if jnp.iscomplexobj(qc):
+            vals = vals[..., 0] + 1j * vals[..., 1]
         pot_rows = jnp.zeros((target_boxes.shape[0] + 1, tb.pmax),
                              vals.dtype)
         pot_rows = pot_rows.at[rows].add(vals)

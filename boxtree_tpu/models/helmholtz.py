@@ -158,7 +158,15 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
         full = jnp.concatenate([neg[..., ::-1], base], axis=-1)
         phase = jnp.exp(conj_phase * 1j * jnp.asarray(self._ns)
                         * th[..., None])
-        return full.astype(jnp.complex128) * phase, ok
+        out = full.astype(jnp.complex128) * phase
+        if kind == "J":
+            # exact r == 0 limit: J_n(0) = [n == 0] (the H-kind callers
+            # mask by *ok* instead; J-kind results are used unguarded by
+            # _p2m_terms/_l2p_eval, so a particle exactly at its box
+            # center must get the one-hot limit, not J_n(k * r_safe)
+            one_hot = jnp.zeros(out.shape[-1:], out.dtype).at[p].set(1.0)
+            out = jnp.where(ok[..., None], out, one_hot)
+        return out, ok
 
     def _p2m_terms(self, rel, q):
         vals, _ = self._basis(rel, "J", -1)

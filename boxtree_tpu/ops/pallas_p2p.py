@@ -34,7 +34,7 @@ def _p2p_kernel(tgt_idx_ref, src_idx_ref, tgt_pts_ref, src_pts_ref,
     del tgt_idx_ref, src_idx_ref  # consumed by the index maps
     tgt = tgt_pts_ref[0]                     # (P, d)
     src = src_pts_ref[0]                     # (P, d)
-    q = q_ref[0]                             # (P,)
+    q = q_ref[0]                             # (P, C)
     valid = mask_ref[0]                      # (P,)
 
     diff = tgt[:, None, :] - src[None, :, :]
@@ -58,12 +58,19 @@ def p2p_edges(tgt_idx, src_idx, tgt_points, src_points, q_blocks,
 
     :arg tgt_idx, src_idx: ``int32 [nedges]`` box ids per List-1 edge.
     :arg tgt_points, src_points: ``(nboxes, P, d)`` particle blocks.
-    :arg q_blocks: ``(nboxes, P)`` real source weights.
+    :arg q_blocks: ``(nboxes, P)`` or ``(nboxes, P, C)`` real source
+        weight channels (complex charges run as two channels; the kernel
+        evaluates all channels from one pass over the geometry).
     :arg src_mask: ``(nboxes, P)`` bool validity.
-    :returns: ``(nedges, P)`` potentials at the target block lanes.
+    :returns: ``(nedges, P)`` / ``(nedges, P, C)`` potentials at the
+        target block lanes.
     """
     nedges = tgt_idx.shape[0]
     _, p, d = tgt_points.shape
+    squeeze = q_blocks.ndim == 2
+    if squeeze:
+        q_blocks = q_blocks[..., None]
+    c = q_blocks.shape[-1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -71,15 +78,16 @@ def p2p_edges(tgt_idx, src_idx, tgt_points, src_points, q_blocks,
         in_specs=[
             pl.BlockSpec((1, p, d), lambda i, t, s: (t[i], 0, 0)),
             pl.BlockSpec((1, p, d), lambda i, t, s: (s[i], 0, 0)),
-            pl.BlockSpec((1, p), lambda i, t, s: (s[i], 0)),
+            pl.BlockSpec((1, p, c), lambda i, t, s: (s[i], 0, 0)),
             pl.BlockSpec((1, p), lambda i, t, s: (s[i], 0)),
         ],
-        out_specs=pl.BlockSpec((1, p), lambda i, t, s: (i, 0)),
+        out_specs=pl.BlockSpec((1, p, c), lambda i, t, s: (i, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_p2p_kernel, kind=kind),
-        out_shape=jax.ShapeDtypeStruct((nedges, p), tgt_points.dtype),
+        out_shape=jax.ShapeDtypeStruct((nedges, p, c), tgt_points.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tgt_idx.astype(jnp.int32), src_idx.astype(jnp.int32),
       tgt_points, src_points, q_blocks, src_mask)
+    return out[..., 0] if squeeze else out

@@ -151,6 +151,12 @@ class DistributedFMMRunner:
             raise ValueError(f"bad communicate_mpoles: "
                              f"{communicate_mpoles}")
         self.communicate_mpoles = communicate_mpoles
+        if traversal.from_sep_close_smaller_starts is not None:
+            raise NotImplementedError(
+                "DistributedFMMRunner does not yet drive traversals with "
+                "target extents (close halves of Lists 3/4 would be "
+                "silently dropped); call traversal.merge_close_lists() "
+                "or merge_close_lists(traversal) first")
         if isinstance(mesh, int):
             devs = np.array(jax.devices()[:mesh])
             mesh = Mesh(devs, ("ranks",))

@@ -1205,8 +1205,24 @@ class FMMTraversalBuilder:
 
     def __init__(self, actx=None, well_sep_is_n_away=1,
                  from_sep_smaller_crit=None):
-        if not isinstance(well_sep_is_n_away, int):
-            well_sep_is_n_away, from_sep_smaller_crit = 1, None
+        if isinstance(actx, int):
+            # no array-context argument: the positional form is
+            # (well_sep_is_n_away[, from_sep_smaller_crit])
+            if from_sep_smaller_crit is not None:
+                raise TypeError(
+                    "FMMTraversalBuilder: pass the array context first "
+                    "or use keyword arguments")
+            actx, well_sep_is_n_away, from_sep_smaller_crit = (
+                None, actx,
+                None if well_sep_is_n_away == 1 else well_sep_is_n_away)
+        if not isinstance(well_sep_is_n_away, int) or well_sep_is_n_away < 1:
+            raise TypeError(
+                f"well_sep_is_n_away must be a positive int, got "
+                f"{well_sep_is_n_away!r}")
+        if from_sep_smaller_crit not in (
+                None, "static_linf", "precise_linf", "static_l2"):
+            raise ValueError(
+                f"bad from_sep_smaller_crit: {from_sep_smaller_crit!r}")
         self.well_sep_is_n_away = well_sep_is_n_away
         self.from_sep_smaller_crit = from_sep_smaller_crit
 
