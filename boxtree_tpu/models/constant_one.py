@@ -175,6 +175,60 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
     def finalize_potentials(self, potentials):
         return potentials
 
+    # {{{ edge-based protocol (used by the distributed runner)
+
+    #: no per-operator grouping needed for the counting kernel
+    m2l_plan = None
+
+    def potential_box_map(self):
+        """Box id owning each output-potential slot."""
+        return self._out_box_map
+
+    def _edge_scatter(self, tgt_e, src_e, valid_e, per_src_box):
+        valid = (tgt_e >= 0) & (src_e >= 0)
+        if valid_e is not None:
+            valid = valid & valid_e
+        vals = jnp.where(valid, per_src_box[jnp.clip(src_e, 0)], 0)
+        nboxes = self.tree.nboxes
+        safe = jnp.where(valid, tgt_e, nboxes)
+        return jnp.zeros(nboxes, self.dtype).at[safe].add(
+            vals, mode="drop")
+
+    def eval_direct_edges(self, tgt_e, src_e, valid_e, src_weights):
+        box_sums = self._box_source_sums(src_weights)
+        return self._to_outputs(
+            self._edge_scatter(tgt_e, src_e, valid_e, box_sums))
+
+    def eval_multipoles_edges(self, tgt_e, src_e, valid_e, mpole_exps):
+        return self._to_outputs(
+            self._edge_scatter(tgt_e, src_e, valid_e, mpole_exps))
+
+    def form_locals_edges(self, tgt_e, src_e, valid_e, src_weights):
+        box_sums = self._box_source_sums(src_weights)
+        return self._edge_scatter(tgt_e, src_e, valid_e, box_sums)
+
+    def multipole_to_local_edges(self, tgt_e, src_e, group_sizes,
+                                 mpole_exps):
+        return self._edge_scatter(tgt_e, src_e, None, mpole_exps)
+
+    def refine_locals_rows(self, rows_boxes, local_exps):
+        """Downward pass restricted to the boxes in *rows_boxes* (padded
+        with -1) — the distributed per-rank responsible+ancestor chain."""
+        tree = self.tree
+        parents = tree.box_parent_ids
+        levels = tree.box_levels
+        ids = jnp.clip(rows_boxes, 0)
+        valid = rows_boxes >= 0
+        for lev in range(1, tree.nlevels):
+            sel = valid & (levels[ids] == lev)
+            contrib = jnp.where(sel, local_exps[parents[ids]], 0)
+            local_exps = local_exps.at[
+                jnp.where(sel, ids, tree.nboxes)].add(
+                    contrib, mode="drop")
+        return local_exps
+
+    # }}}
+
 
 class ConstantOneExpansionWranglerWithFilteredTargetsInTreeOrder(
         ConstantOneExpansionWrangler):

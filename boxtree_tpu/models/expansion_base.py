@@ -5,8 +5,18 @@ a small set of kernel hooks.  The machinery handles:
 
 - per-box particle blocks and chunked CSR-edge evaluation (P2P/M2P/P2L
   run as fixed-shape batched kernels over edge chunks inside ``lax.scan``),
-- M2M/L2L with per-(level, child-digit) dense operator stacks,
-- M2L batched by translation class (dense matmuls per class — MXU work).
+- M2M/L2L as ONE grouped matmul per level (boxes sorted by child digit,
+  ``jax.lax.ragged_dot`` — no redundant per-digit matmuls),
+- M2L as ONE grouped matmul over all (level, translation class) runs
+  (edges pre-sorted by operator; MXU work with a tiny compile graph).
+
+Every interaction-list stage also has an ``*_edges`` form taking flat
+(target box, source box) edge arrays instead of CSR lists; the
+distributed runner (:mod:`boxtree_tpu.parallel.distributed`) drives those
+directly with its per-rank edge partitions, so any wrangler built on this
+base distributes without extra code — the analogue of the reference's
+``DistributedExpansionWranglerMixin`` (``boxtree/distributed/
+calculation.py:53-416``) falling out of the edge-based design.
 
 Subclasses provide (for a coefficient vector of length ``ncoeff``):
 
@@ -33,13 +43,21 @@ from jax import lax
 
 from boxtree_tpu.fmm.drive import ExpansionWranglerInterface
 from boxtree_tpu.models.particle_blocks import (
-    M2LClassPlan,
+    M2LPlan,
     ParticleBlocks,
     csr_rows,
+    grouped_matmul,
 )
 from boxtree_tpu.traversal.build import _offsets
 
 _EDGE_CHUNK = 4096
+
+
+def _digit_groups(digits, nchild):
+    """Stable sort order + per-digit group sizes for a host digit array."""
+    order = np.argsort(digits, kind="stable")
+    sizes = np.bincount(digits, minlength=nchild).astype(np.int32)
+    return order, sizes
 
 
 class ExpansionWranglerBase(ExpansionWranglerInterface):
@@ -99,24 +117,28 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         root = float(np.asarray(tree.root_extent))
         self.root_extent = root
 
-        # M2L plan + per-(level, class) operators
+        # M2L plan + operator table (one entry per used (level, class))
         n = traversal.well_sep_is_n_away
         offs = _offsets(tree.dimensions, 2 * n + 1, min_inf_norm=n)
-        self.m2l_plan = M2LClassPlan(traversal, offs)
-        self._m2l_ops = {}
-        for (lev, _t, _s, class_slices) in self.m2l_plan.levels:
-            size = root / (1 << lev)
-            ops = {}
-            for c in class_slices:
+        self.m2l_plan = M2LPlan(traversal, offs)
+        if self.m2l_plan.nops:
+            ops = []
+            for (lev, c) in self.m2l_plan.used:
+                size = root / (1 << lev)
                 # translation t = c_tgt - c_src = offset * box_size
                 t = self.m2l_plan.offsets[c].astype(np.float64) * size
-                ops[c] = jnp.asarray(self._m2l_matrix(t).astype(self.dtype))
-            self._m2l_ops[lev] = ops
+                ops.append(self._m2l_matrix(t).T)      # transposed: rows
+            self._m2l_opsT = jnp.asarray(
+                np.stack(ops).astype(self.dtype))
+        else:
+            self._m2l_opsT = jnp.zeros(
+                (0, self.ncoeff, self.ncoeff), self.dtype)
 
-        # per-(level, digit) M2M / L2L operator stacks
+        # per-(level, digit) M2M / L2L operator stacks (transposed for
+        # row-vector application) + digit-sorted box plans
         nchild = 2 ** self.dim
-        self._m2m_ops = {}
-        self._l2l_ops = {}
+        self._m2m_opsT = {}
+        self._l2l_opsT = {}
         for lev in range(1, tree.nlevels):
             size = root / (1 << lev)
             m2m, l2l = [], []
@@ -126,16 +148,47 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                     for ax in range(self.dim)])
                 child_off = sign * (size / 2)   # c_child - c_parent
                 # M2M translation: t = c_parent - c_child
-                m2m.append(self._m2m_matrix(-child_off))
+                m2m.append(self._m2m_matrix(-child_off).T)
                 # L2L translation: t = c_child - c_parent
-                l2l.append(self._l2l_matrix(child_off))
-            self._m2m_ops[lev] = jnp.asarray(
+                l2l.append(self._l2l_matrix(child_off).T)
+            self._m2m_opsT[lev] = jnp.asarray(
                 np.stack(m2m).astype(self.dtype))
-            self._l2l_ops[lev] = jnp.asarray(
+            self._l2l_opsT[lev] = jnp.asarray(
                 np.stack(l2l).astype(self.dtype))
 
-        self.box_digit = (tree.box_morton_prefixes
-                          & (nchild - 1)).astype(jnp.int32)
+        box_digit = (np.asarray(tree.box_morton_prefixes)
+                     & (nchild - 1)).astype(np.int32)
+        self.box_digit = jnp.asarray(box_digit)
+        parents = np.asarray(tree.box_parent_ids)
+        lsb = np.asarray(self._lsb)
+
+        # upward (M2M) plan: per level, boxes sorted by child digit
+        self._m2m_plan = {}
+        for lev in range(tree.nlevels - 1, 2, -1):
+            ids = np.arange(lsb[lev], lsb[lev + 1])
+            if len(ids) == 0:
+                continue
+            order, sizes = _digit_groups(box_digit[ids], nchild)
+            ids = ids[order]
+            self._m2m_plan[lev] = (jnp.asarray(ids.astype(np.int32)),
+                                   jnp.asarray(parents[ids].astype(
+                                       np.int32)),
+                                   jnp.asarray(sizes))
+
+        # downward (L2L) plan: per level, totp rows sorted by digit
+        totp = np.asarray(traversal.target_or_target_parent_boxes)
+        self._l2l_plan = {}
+        for lev in range(1, tree.nlevels):
+            r0, r1 = int(self._ls_totp[lev]), int(self._ls_totp[lev + 1])
+            if r1 == r0:
+                continue
+            ids = totp[r0:r1]
+            order, sizes = _digit_groups(box_digit[ids], nchild)
+            ids = ids[order]
+            self._l2l_plan[lev] = (jnp.asarray(ids.astype(np.int32)),
+                                   jnp.asarray(parents[ids].astype(
+                                       np.int32)),
+                                   jnp.asarray(sizes))
 
     # {{{ kernel hooks
 
@@ -178,6 +231,11 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     def output_zeros(self):
         return jnp.zeros(self.tree.ntargets, self.dtype)
 
+    def potential_box_map(self):
+        """Box id owning each output-potential slot (used by the
+        distributed runner for responsibility masking)."""
+        return self.tree.box_id_of_target
+
     def reorder_sources(self, source_array):
         return jnp.asarray(source_array)[self.tree.user_source_ids]
 
@@ -208,6 +266,13 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         valid = jnp.pad(jnp.ones(nedges, bool), (0, npad - nedges))
         return padded, valid, npad // chunk
 
+    @staticmethod
+    def _sanitize_edges(tgt_e, src_e, valid_e):
+        valid = (tgt_e >= 0) & (src_e >= 0)
+        if valid_e is not None:
+            valid = valid & valid_e
+        return jnp.clip(tgt_e, 0), jnp.clip(src_e, 0), valid
+
     # }}}
 
     # {{{ P2M
@@ -233,39 +298,50 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     def coarsen_multipoles(self, level_start_source_parent_box_nrs,
                            source_parent_boxes, mpoles):
         tree = self.tree
-        parents = tree.box_parent_ids
-        nchild = 2 ** self.dim
         for lev in range(tree.nlevels - 1, 2, -1):
-            b0, b1 = self._lsb[lev], self._lsb[lev + 1]
-            ids = jnp.arange(b0, b1)
-            mp = mpoles[ids]
-            ops = self._m2m_ops[lev]
-            dig = self.box_digit[ids]
-            shifted = jnp.zeros_like(mp)
-            for d in range(nchild):
-                sel = (dig == d)[:, None]
-                shifted = shifted + jnp.where(sel, mp @ ops[d].T, 0)
-            mpoles = mpoles.at[parents[ids]].add(shifted)
+            plan = self._m2m_plan.get(lev)
+            if plan is None:
+                continue
+            ids, par, sizes = plan
+            shifted = grouped_matmul(mpoles[ids], self._m2m_opsT[lev],
+                                     sizes)
+            mpoles = mpoles.at[par].add(shifted)
         return mpoles
 
     def refine_locals(self, level_start_target_or_target_parent_box_nrs,
                       target_or_target_parent_boxes, local_exps):
         tree = self.tree
-        parents = tree.box_parent_ids
-        nchild = 2 ** self.dim
         for lev in range(1, tree.nlevels):
-            r0, r1 = int(self._ls_totp[lev]), int(self._ls_totp[lev + 1])
-            if r1 == r0:
+            plan = self._l2l_plan.get(lev)
+            if plan is None:
                 continue
-            ids = target_or_target_parent_boxes[r0:r1]
-            par_loc = local_exps[parents[ids]]
-            ops = self._l2l_ops[lev]
-            dig = self.box_digit[ids]
-            shifted = jnp.zeros_like(par_loc)
-            for d in range(nchild):
-                sel = (dig == d)[:, None]
-                shifted = shifted + jnp.where(sel, par_loc @ ops[d].T, 0)
+            ids, par, sizes = plan
+            shifted = grouped_matmul(local_exps[par],
+                                     self._l2l_opsT[lev], sizes)
             local_exps = local_exps.at[ids].add(shifted)
+        return local_exps
+
+    def refine_locals_rows(self, rows_boxes, local_exps):
+        """Downward L2L restricted to the boxes in *rows_boxes* (padded
+        with -1); used by the distributed runner's per-rank
+        responsible+ancestor chains."""
+        tree = self.tree
+        parents = tree.box_parent_ids
+        levels = tree.box_levels
+        nchild = 2 ** self.dim
+        ids = jnp.clip(rows_boxes, 0)
+        valid = rows_boxes >= 0
+        dig = self.box_digit[ids]
+        for lev in range(1, tree.nlevels):
+            sel = valid & (levels[ids] == lev)
+            par_loc = local_exps[parents[ids]]
+            opsT = self._l2l_opsT[lev]
+            for d in range(nchild):
+                seld = sel & (dig == d)
+                contrib = jnp.where(seld[:, None], par_loc @ opsT[d], 0)
+                local_exps = local_exps.at[
+                    jnp.where(seld, ids, tree.nboxes)].add(
+                        contrib, mode="drop")
         return local_exps
 
     # }}}
@@ -275,15 +351,24 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     def multipole_to_local(self, level_start_target_or_target_parent_box_nrs,
                            target_or_target_parent_boxes, starts, lists,
                            mpole_exps):
+        plan = self.m2l_plan
+        return self.multipole_to_local_edges(
+            plan.tgt, plan.src, plan.group_sizes, mpole_exps)
+
+    def multipole_to_local_edges(self, tgt_e, src_e, group_sizes,
+                                 mpole_exps):
+        """M2L over flat edge arrays pre-sorted by operator id (see
+        :class:`~boxtree_tpu.models.particle_blocks.M2LPlan`); edges
+        padded with -1 targets are dropped."""
+        nboxes = self.tree.nboxes
         local_exps = self.local_expansion_zeros()
-        for (lev, tgt, src, class_slices) in self.m2l_plan.levels:
-            mp = mpole_exps[src]
-            out = jnp.zeros_like(mp)
-            ops = self._m2l_ops[lev]
-            for c, (s0, s1) in class_slices.items():
-                out = out.at[s0:s1].set(mp[s0:s1] @ ops[c].T)
-            local_exps = local_exps.at[tgt].add(out)
-        return local_exps
+        if tgt_e.shape[0] == 0:
+            return local_exps
+        mp = mpole_exps[jnp.clip(src_e, 0)]
+        mp = jnp.where((tgt_e >= 0)[:, None], mp, 0)
+        out = grouped_matmul(mp, self._m2l_opsT, group_sizes)
+        safe = jnp.where(tgt_e >= 0, tgt_e, nboxes)
+        return local_exps.at[safe].add(out, mode="drop")
 
     # }}}
 
@@ -297,7 +382,6 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     def eval_direct(self, target_boxes, neighbor_sources_starts,
                     neighbor_sources_lists, src_weight_vecs):
         src_weights, = src_weight_vecs
-        tree = self.tree
         nedges = int(neighbor_sources_lists.shape[0])
         if nedges == 0:
             return self.output_zeros()
@@ -310,9 +394,17 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 neighbor_sources_lists, src_weights)
 
         rows = csr_rows(neighbor_sources_starts, nedges)
+        return self.eval_direct_edges(
+            target_boxes[rows], neighbor_sources_lists, None, src_weights)
+
+    def eval_direct_edges(self, tgt_e, src_e, valid_e, src_weights):
+        """List-1 P2P over flat (target box, source box) edges; returns
+        per-target-particle potentials."""
+        tree = self.tree
+        tb, sb = self.tgt_blocks, self.src_blocks
+        tgt_e, src_e, valid = self._sanitize_edges(tgt_e, src_e, valid_e)
         q_blocks = self.src_blocks.gather_values(
             src_weights.astype(self.dtype))
-        tb, sb = self.tgt_blocks, self.src_blocks
 
         if self.dipole_vec is None:
             def edge_potential(t_box, s_box):
@@ -328,28 +420,25 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                     (self._dip_blocks[s_box].astype(
                         sb.points.dtype),))[1]
 
-        (tgt_rows, srcs, rows_p), valid, nchunks = self._pad_edges(
-            target_boxes[rows], neighbor_sources_lists, rows)
+        (tgts, srcs), pad_valid, nchunks = self._pad_edges(
+            tgt_e, src_e)
+        valid = jnp.pad(valid, (0, pad_valid.shape[0] - valid.shape[0])) \
+            & pad_valid
 
-        pot_rows = jnp.zeros((target_boxes.shape[0] + 1, tb.pmax),
-                             self.dtype)
+        pot_box = jnp.zeros((tree.nboxes + 1, tb.pmax), self.dtype)
 
         def body(carry, inp):
-            pot_rows = carry
-            tr, sr, rr, vv = inp
+            pot_box = carry
+            tr, sr, vv = inp
             vals = jax.vmap(edge_potential)(tr, sr)
-            safe = jnp.where(vv, rr, target_boxes.shape[0])
-            return pot_rows.at[safe].add(vals, mode="drop"), None
+            safe = jnp.where(vv, tr, tree.nboxes)
+            return pot_box.at[safe].add(vals, mode="drop"), None
 
-        pot_rows, _ = lax.scan(
-            body, pot_rows,
-            (tgt_rows.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
-             rows_p.reshape(nchunks, -1), valid.reshape(nchunks, -1)))
-
-        pot_box = jnp.zeros((tree.nboxes, tb.pmax), self.dtype)
-        pot_box = pot_box.at[target_boxes].set(
-            pot_rows[:target_boxes.shape[0]])
-        return self._target_block_to_particles(pot_box)
+        pot_box, _ = lax.scan(
+            body, pot_box,
+            (tgts.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
+             valid.reshape(nchunks, -1)))
+        return self._target_block_to_particles(pot_box[:tree.nboxes])
 
     def _eval_direct_pallas(self, target_boxes, starts, lists,
                             src_weights):
@@ -387,36 +476,50 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     def eval_multipoles(self, target_boxes_by_source_level,
                         from_sep_smaller_by_level, mpole_exps):
-        tree = self.tree
-        tb = self.tgt_blocks
-        pot_box = jnp.zeros((tree.nboxes + 1, tb.pmax), self.dtype)
-
+        tgt_parts, src_parts = [], []
         for level, ssn in enumerate(from_sep_smaller_by_level):
             if ssn.count == 0:
                 continue
             nedges = int(ssn.lists.shape[0])
             rows = csr_rows(ssn.starts, nedges)
-            tgt_boxes = target_boxes_by_source_level[level][rows]
+            tgt_parts.append(target_boxes_by_source_level[level][rows])
+            src_parts.append(ssn.lists)
+        if not tgt_parts:
+            return self.output_zeros()
+        return self.eval_multipoles_edges(
+            jnp.concatenate(tgt_parts), jnp.concatenate(src_parts),
+            None, mpole_exps)
 
-            def edge_eval(t_box, s_box):
-                rel = (tb.points[t_box].T
-                       - self.centers[:, s_box][:, None])   # (d, P)
-                return self._m2p_eval(rel, mpole_exps[s_box])
+    def eval_multipoles_edges(self, tgt_e, src_e, valid_e, mpole_exps):
+        """List-3 M2P over flat edges (level-agnostic: the evaluation
+        only needs the source box's center); returns per-target-particle
+        potentials."""
+        tree = self.tree
+        tb = self.tgt_blocks
+        tgt_e, src_e, valid = self._sanitize_edges(tgt_e, src_e, valid_e)
 
-            (tgts, srcs), valid, nchunks = self._pad_edges(
-                tgt_boxes, ssn.lists)
+        def edge_eval(t_box, s_box):
+            rel = (tb.points[t_box].T
+                   - self.centers[:, s_box][:, None])   # (d, P)
+            return self._m2p_eval(rel, mpole_exps[s_box])
 
-            def body(carry, inp):
-                pot_box = carry
-                tr, sr, vv = inp
-                vals = jax.vmap(edge_eval)(tr, sr)
-                safe = jnp.where(vv, tr, tree.nboxes)
-                return pot_box.at[safe].add(vals, mode="drop"), None
+        (tgts, srcs), pad_valid, nchunks = self._pad_edges(tgt_e, src_e)
+        valid = jnp.pad(valid, (0, pad_valid.shape[0] - valid.shape[0])) \
+            & pad_valid
 
-            pot_box, _ = lax.scan(
-                body, pot_box,
-                (tgts.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
-                 valid.reshape(nchunks, -1)))
+        pot_box = jnp.zeros((tree.nboxes + 1, tb.pmax), self.dtype)
+
+        def body(carry, inp):
+            pot_box = carry
+            tr, sr, vv = inp
+            vals = jax.vmap(edge_eval)(tr, sr)
+            safe = jnp.where(vv, tr, tree.nboxes)
+            return pot_box.at[safe].add(vals, mode="drop"), None
+
+        pot_box, _ = lax.scan(
+            body, pot_box,
+            (tgts.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
+             valid.reshape(nchunks, -1)))
 
         return self._target_block_to_particles(pot_box[:tree.nboxes])
 
@@ -428,14 +531,19 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                     target_or_target_parent_boxes, starts, lists,
                     src_weight_vecs):
         src_weights, = src_weight_vecs
-        tree = self.tree
-        local_exps = self.local_expansion_zeros()
         nedges = int(lists.shape[0])
         if nedges == 0:
-            return local_exps
-
+            return self.local_expansion_zeros()
         rows = csr_rows(starts, nedges)
+        return self.form_locals_edges(
+            target_or_target_parent_boxes[rows], lists, None, src_weights)
+
+    def form_locals_edges(self, tgt_e, src_e, valid_e, src_weights):
+        """List-4 P2L over flat edges; returns local-expansion
+        contributions."""
+        tree = self.tree
         sb = self.src_blocks
+        tgt_e, src_e, valid = self._sanitize_edges(tgt_e, src_e, valid_e)
         q_blocks = sb.gather_values(src_weights.astype(self.dtype))
 
         if self.dipole_vec is None:
@@ -456,11 +564,11 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 return jnp.sum(
                     jnp.where(sb.mask[s_box][:, None], terms, 0), axis=0)
 
-        (tgts, srcs), valid, nchunks = self._pad_edges(
-            target_or_target_parent_boxes[rows], lists)
+        (tgts, srcs), pad_valid, nchunks = self._pad_edges(tgt_e, src_e)
+        valid = jnp.pad(valid, (0, pad_valid.shape[0] - valid.shape[0])) \
+            & pad_valid
 
-        loc_pad = jnp.concatenate(
-            [local_exps, jnp.zeros((1, self.ncoeff), self.dtype)])
+        loc_pad = jnp.zeros((tree.nboxes + 1, self.ncoeff), self.dtype)
 
         def body(carry, inp):
             loc = carry

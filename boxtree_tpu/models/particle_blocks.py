@@ -77,20 +77,52 @@ def csr_rows(starts, nedges):
         jnp.arange(nedges, dtype=jnp.int64), side="right") - 1)
 
 
-class M2LClassPlan:
-    """Per-level, per-translation-class execution plan for M2L.
+def grouped_matmul(lhs, ops, group_sizes):
+    """``out[i] = lhs[i] @ ops[g(i)]`` where rows of each group are
+    contiguous (MegaBlocks-style grouped GEMM; one MXU-batched
+    ``jax.lax.ragged_dot``).  Complex operands decompose into real
+    ragged_dots, which keeps the op TPU-lowerable."""
+    lc = jnp.iscomplexobj(lhs)
+    oc = jnp.iscomplexobj(ops)
+    if not (lc or oc):
+        return jax.lax.ragged_dot(lhs, ops, group_sizes)
+    rd = jax.lax.ragged_dot
+    if lc and oc:
+        lr, li = jnp.real(lhs), jnp.imag(lhs)
+        opr, opi = jnp.real(ops), jnp.imag(ops)
+        return ((rd(lr, opr, group_sizes) - rd(li, opi, group_sizes))
+                + 1j * (rd(lr, opi, group_sizes)
+                        + rd(li, opr, group_sizes)))
+    if lc:
+        return (rd(jnp.real(lhs), ops, group_sizes)
+                + 1j * rd(jnp.imag(lhs), ops, group_sizes))
+    return (rd(lhs, jnp.real(ops), group_sizes)
+            + 1j * rd(lhs, jnp.imag(ops), group_sizes))
 
-    Mirrors the role of ``boxtree/translation_classes.py``: each List-2
-    (box, box) pair is classified by its integer translation vector
-    ``cell(target) - cell(source)`` (same level), and edges are re-sorted
-    so that each class is a contiguous run — letting the M2L apply run as
-    one dense (nedges_c, ncoeff) x (ncoeff, ncoeff) matmul per class.
 
-    .. attribute:: levels
+class M2LPlan:
+    """Flattened, operator-grouped M2L execution plan.
 
-        list of ``(level, tgt_boxes, src_boxes, class_slices)`` where
-        ``class_slices`` maps class id -> (start, stop) into the edge
-        arrays.
+    Plays the role of ``boxtree/translation_classes.py``: every List-2
+    (box, box) pair — across *all* levels — is classified by its integer
+    translation vector ``cell(target) - cell(source)``, and the edges are
+    sorted so each (level, class) operator's edges form one contiguous
+    run.  The whole M2L stage then runs as ONE grouped matmul
+    (:func:`grouped_matmul`) instead of one XLA op per (level, class).
+
+    .. attribute:: used
+
+        list of ``(level, class_id)`` pairs actually present; defines the
+        operator-table order wranglers must build.
+
+    .. attribute:: tgt, src
+
+        (E,) int32 device arrays of edge target/source boxes, sorted by
+        operator id.
+
+    .. attribute:: group_sizes
+
+        (nops,) int32 device array of edges per operator.
     """
 
     def __init__(self, traversal, offsets):
@@ -101,44 +133,51 @@ class M2LClassPlan:
         self.nclasses = len(self.offsets)
         d = tree.dimensions
 
-        # classify on host (one-time setup)
+        # host-side classification machinery (one-time setup)
         from boxtree_tpu.ops import morton
-        cells = np.asarray(morton.deinterleave(
+        self._cells = np.asarray(morton.deinterleave(
             tree.box_morton_prefixes, d))          # (d, nboxes)
-        levels = np.asarray(tree.box_levels)
+        self._levels = np.asarray(tree.box_levels)
+        self._radius = int(np.abs(self.offsets).max())
+        width = 2 * self._radius + 1
+        self._weights = width ** np.arange(d)
+        self._table = np.full(width ** d, -1, np.int64)
+        self._table[(self.offsets + self._radius) @ self._weights] = \
+            np.arange(self.nclasses)
+
         totp = np.asarray(traversal.target_or_target_parent_boxes)
         starts = np.asarray(traversal.from_sep_siblings_starts)
         lists = np.asarray(traversal.from_sep_siblings_lists)
-        ls_totp = np.asarray(
-            traversal.level_start_target_or_target_parent_box_nrs)
+        counts = np.diff(starts)
+        rows = np.repeat(np.arange(len(counts)), counts)
+        tgt = totp[rows]
+        src = lists
 
-        # offset -> class id lookup (dense table over the offset window)
-        radius = int(np.abs(self.offsets).max())
-        width = 2 * radius + 1
-        weights = width ** np.arange(d)
-        table = np.full(width ** d, -1, np.int64)
-        table[(self.offsets + radius) @ weights] = np.arange(self.nclasses)
+        opkey = self._opkey(tgt, src)
+        self._used_keys = np.unique(opkey)
+        self.used = [(int(k) // self.nclasses, int(k) % self.nclasses)
+                     for k in self._used_keys]
+        self.nops = len(self._used_keys)
 
-        self.levels = []
-        for lev in range(tree.nlevels):
-            r0, r1 = int(ls_totp[lev]), int(ls_totp[lev + 1])
-            e0, e1 = int(starts[r0]), int(starts[r1])
-            if e1 == e0:
-                continue
-            rows = np.searchsorted(
-                starts, np.arange(e0, e1), side="right") - 1
-            tgt = totp[rows]
-            src = lists[e0:e1]
-            dvec = (cells[:, tgt] - cells[:, src]).T   # (nedges, d)
-            cls = table[(dvec + radius) @ weights]
-            assert (cls >= 0).all(), "List-2 edge outside translation window"
-            order = np.argsort(cls, kind="stable")
-            tgt, src, cls = tgt[order], src[order], cls[order]
-            class_slices = {}
-            bounds = np.searchsorted(cls, np.arange(self.nclasses + 1))
-            for c in range(self.nclasses):
-                if bounds[c + 1] > bounds[c]:
-                    class_slices[c] = (int(bounds[c]), int(bounds[c + 1]))
-            self.levels.append((lev, jnp.asarray(tgt.astype(np.int32)),
-                                jnp.asarray(src.astype(np.int32)),
-                                class_slices))
+        opid = np.searchsorted(self._used_keys, opkey)
+        order = np.argsort(opid, kind="stable")
+        self.tgt = jnp.asarray(tgt[order].astype(np.int32))
+        self.src = jnp.asarray(src[order].astype(np.int32))
+        self.group_sizes = jnp.asarray(np.bincount(
+            opid, minlength=self.nops).astype(np.int32))
+
+    def _opkey(self, tgt, src):
+        dvec = (self._cells[:, tgt] - self._cells[:, src]).T
+        cls = self._table[(dvec + self._radius) @ self._weights]
+        assert (cls >= 0).all(), "List-2 edge outside translation window"
+        return self._levels[tgt].astype(np.int64) * self.nclasses + cls
+
+    def classify(self, tgt, src):
+        """Operator ids (indices into :attr:`used`) for host edge arrays;
+        every edge must use an operator present in the global plan."""
+        opkey = self._opkey(np.asarray(tgt), np.asarray(src))
+        opid = np.searchsorted(self._used_keys, opkey)
+        ok = (opid < self.nops) & (self._used_keys[
+            np.clip(opid, 0, self.nops - 1)] == opkey)
+        assert ok.all(), "edge uses an operator absent from the plan"
+        return opid

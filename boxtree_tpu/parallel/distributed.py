@@ -10,24 +10,29 @@ segment, and the FMM runs SPMD under ``shard_map``:
   relevance-filtered hypercube exchange (Lashuk et al.) of
   :func:`_mpole_exchange_schedule` — the analogue of the reference's
   ``communicate_mpoles`` (``boxtree/distributed/calculation.py:271-416``)
-  with ``ppermute`` rounds instead of MPI messages — or, with
+  with ``ppermute`` rounds of ``(nboxes_sent, ncoeff)`` expansion blocks
+  instead of MPI messages (level-sliced ``_slice_mpoles``/
+  ``_update_mpoles``, ``calculation.py:147-202``) — or, with
   ``communicate_mpoles="allreduce"``, one dense ``psum``
   (``calculation.py:288-294``),
 - interaction-list work is divided by *row ownership*: each device gets
-  the (zero-padded) slice of every list whose target row it owns, so
-  per-device list work scales ~1/nranks with static SPMD shapes,
+  the (zero-padded) slice of every list whose target row it owns, driven
+  through the wrangler's ``*_edges`` stage forms, so per-device list work
+  scales ~1/nranks with static SPMD shapes,
 - the downward pass runs redundantly on the (shared) ancestor chains of
   each device's segment, so no communication is needed below the
   multipole exchange; potentials combine with a final masked ``psum``.
 
-The evaluation here uses the counting (constant-one) kernel — the
-reference's distributed correctness oracle
-(``test/test_distributed.py:182-269``); kernel-general distributed
-wranglers plug in the same edge partition.
+Any wrangler built on :class:`~boxtree_tpu.models.expansion_base.
+ExpansionWranglerBase` (native Laplace/Helmholtz) plugs in via
+*wrangler_factory* — the analogue of the reference's
+``DistributedFMMLibExpansionWrangler``
+(``boxtree/distributed/calculation.py:419-453``); the default is the
+counting (constant-one) kernel, the reference's distributed correctness
+oracle (``test/test_distributed.py:182-269``).
 """
 
 from __future__ import annotations
-
 
 
 import jax
@@ -131,13 +136,28 @@ def _mpole_exchange_schedule(needed, contrib, nboxes):
     return stages, stats
 
 
+def _default_wrangler_factory(traversal):
+    from boxtree_tpu.models.constant_one import (
+        ConstantOneExpansionWrangler,
+        ConstantOneTreeIndependentDataForWrangler,
+    )
+    return ConstantOneExpansionWrangler(
+        ConstantOneTreeIndependentDataForWrangler(), traversal)
+
+
 class DistributedFMMRunner:
-    """Set up and drive a distributed (counting) FMM over *mesh*.
+    """Set up and drive a distributed FMM over *mesh*.
 
     Mirrors ``boxtree/distributed/__init__.py:269-310``; instead of MPI
     ranks with local trees, devices of a 1D mesh own DFS segments of the
-    (replicated) global tree and work is pre-sliced per device.
+    (replicated) global tree and interaction-list work is pre-sliced per
+    device.
 
+    :arg wrangler_factory: ``traversal -> wrangler``; the wrangler must
+        provide the ``*_edges`` stage forms (any
+        :class:`~boxtree_tpu.models.expansion_base.ExpansionWranglerBase`
+        subclass, or the counting wrangler).  Defaults to the counting
+        kernel.
     :arg communicate_mpoles: "hypercube" (default) runs the sparse
         relevance-filtered exchange (`_mpole_exchange_schedule`);
         "allreduce" runs a dense ``psum`` (the reference's
@@ -145,8 +165,8 @@ class DistributedFMMRunner:
         ``boxtree/distributed/calculation.py:288-294``).
     """
 
-    def __init__(self, mesh, traversal, cost_per_box=None,
-                 communicate_mpoles="hypercube"):
+    def __init__(self, mesh, traversal, wrangler_factory=None,
+                 cost_per_box=None, communicate_mpoles="hypercube"):
         if communicate_mpoles not in ("hypercube", "allreduce"):
             raise ValueError(f"bad communicate_mpoles: "
                              f"{communicate_mpoles}")
@@ -167,6 +187,10 @@ class DistributedFMMRunner:
         (self.axis_name,) = mesh.axis_names
         nranks = mesh.devices.size
 
+        if wrangler_factory is None:
+            wrangler_factory = _default_wrangler_factory
+        self.wrangler = wrangler_factory(traversal)
+
         if cost_per_box is None:
             from boxtree_tpu.cost.model import FMMCostModel
             orders = {lev: 3 for lev in range(tree.nlevels)}
@@ -179,7 +203,9 @@ class DistributedFMMRunner:
         # per-rank flattened edge lists, padded and stacked
         tb = np.asarray(traversal.target_boxes)
         totp = np.asarray(traversal.target_or_target_parent_boxes)
+        m2l_plan = getattr(self.wrangler, "m2l_plan", None)
         e1, e2, e3, e4 = [], [], [], []
+        e2_gs = []
         for r in range(nranks):
             m = self.box_masks[r]
             local_rows = m.responsible_boxes | m.ancestor_boxes
@@ -187,9 +213,21 @@ class DistributedFMMRunner:
                 traversal.neighbor_source_boxes_starts,
                 traversal.neighbor_source_boxes_lists, tb,
                 m.responsible_boxes))
-            e2.append(_csr_to_edges(
+            edges2 = _csr_to_edges(
                 traversal.from_sep_siblings_starts,
-                traversal.from_sep_siblings_lists, totp, local_rows))
+                traversal.from_sep_siblings_lists, totp, local_rows)
+            if m2l_plan is not None and len(edges2):
+                # sort this rank's List-2 edges by the global operator
+                # order so the M2L grouped matmul applies per rank
+                opid = m2l_plan.classify(edges2[:, 0], edges2[:, 1])
+                order = np.argsort(opid, kind="stable")
+                edges2 = edges2[order]
+                e2_gs.append(np.bincount(
+                    opid, minlength=m2l_plan.nops).astype(np.int32))
+            else:
+                e2_gs.append(np.zeros(
+                    max(1, getattr(m2l_plan, "nops", 1) or 1), np.int32))
+            e2.append(edges2)
             e4.append(_csr_to_edges(
                 traversal.from_sep_bigger_starts,
                 traversal.from_sep_bigger_lists, totp, local_rows))
@@ -212,9 +250,17 @@ class DistributedFMMRunner:
                                       *([None] * (arr.ndim - 1)))))
 
         self.e1 = shard(_pad_stack(e1, -1))
-        self.e2 = shard(_pad_stack(e2, -1))
         self.e3 = shard(_pad_stack(e3, -1))
         self.e4 = shard(_pad_stack(e4, -1))
+        # List-2 padding edges fold into the final operator group (they
+        # are masked out by their -1 target before the matmul)
+        e2_stack = _pad_stack(e2, -1)
+        gs_stack = np.stack(e2_gs)
+        pad_counts = e2_stack.shape[1] - np.array(
+            [len(a) for a in e2], np.int32)
+        gs_stack[:, -1] += pad_counts
+        self.e2 = shard(e2_stack)
+        self.e2_group_sizes = shard(gs_stack)
 
         totp_rows = []
         for r in range(nranks):
@@ -244,93 +290,76 @@ class DistributedFMMRunner:
             self._mpole_ops = ()
             self._mpole_tables = ()
 
-        # host metadata for the stages
-        self._lsb = tree.level_start_box_nrs
         self._step = self._build_step()
 
     # {{{ SPMD step
 
     def _build_step(self):
         tree = self.tree
-        lsb = self._lsb
         nboxes = tree.nboxes
-        nlevels = tree.nlevels
-        parents = tree.box_parent_ids
-        levels = tree.box_levels
         box_of_src = tree.box_id_of_source
-        box_of_tgt = tree.box_id_of_target
         axis = self.axis_name
-
-        def edge_scatter_add(dst, edges, vals):
-            tgt = edges[:, 0].astype(jnp.int64)
-            valid = edges[:, 0] >= 0
-            return dst.at[jnp.where(valid, tgt, nboxes)].add(
-                jnp.where(valid, vals, 0), mode="drop")
+        wrangler = self.wrangler
+        pot_box_map = wrangler.potential_box_map()
 
         mpole_perms = self._mpole_perms
         mpole_ops = self._mpole_ops
         use_hypercube = bool(mpole_perms)
 
-        def step(resp_mask, e1, e2, e3, e4, totp_local, mpole_tables,
-                 weights):
+        def exchange_mpoles(mp, mpole_tables):
+            """Sparse relevance-filtered hypercube exchange of
+            (nboxes_sent, ncoeff) expansion blocks, or dense psum."""
+            if not use_hypercube:
+                return jax.lax.psum(mp, axis)
+            trail = (1,) * (mp.ndim - 1)
+            for (send_idx, recv_idx), perm, op in zip(
+                    mpole_tables, mpole_perms, mpole_ops):
+                si = send_idx[0].astype(jnp.int64)
+                ri = recv_idx[0].astype(jnp.int64)
+                buf = jnp.where((si >= 0).reshape(si.shape + trail),
+                                mp[jnp.clip(si, 0)], 0)
+                recv = jax.lax.ppermute(buf, axis, perm)
+                safe = jnp.where(ri >= 0, ri, nboxes)
+                if op == "add":
+                    mp = mp.at[safe].add(
+                        jnp.where((ri >= 0).reshape(ri.shape + trail),
+                                  recv, 0), mode="drop")
+                else:
+                    mp = mp.at[safe].set(recv, mode="drop")
+            return mp
+
+        def step(resp_mask, e1, e2, e2_gs, e3, e4, totp_local,
+                 mpole_tables, weights):
             resp_mask = resp_mask[0]
             e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
+            e2_gs = e2_gs[0]
             totp_local = totp_local[0]
 
-            # P2M from responsible sources only
+            # P2M + M2M from responsible sources only; every rank's
+            # partial multipole tree covers its responsible+ancestor
+            # chain (disjoint contributions across ranks)
             w_mine = jnp.where(resp_mask[box_of_src], weights, 0)
-            mp = jnp.zeros(nboxes, weights.dtype).at[box_of_src].add(
-                w_mine)
-            for lev in range(nlevels - 1, 2, -1):
-                ids = jnp.arange(lsb[lev], lsb[lev + 1])
-                mp = mp.at[parents[ids]].add(mp[ids])
+            mp = wrangler.form_multipoles(None, None, (w_mine,))
+            mp = wrangler.coarsen_multipoles(None, None, mp)
 
-            # communicate_mpoles: sparse relevance-filtered hypercube
-            # exchange, or the dense-psum debug path
-            if use_hypercube:
-                for (send_idx, recv_idx), perm, op in zip(
-                        mpole_tables, mpole_perms, mpole_ops):
-                    si = send_idx[0].astype(jnp.int64)
-                    ri = recv_idx[0].astype(jnp.int64)
-                    buf = jnp.where(si >= 0, mp[jnp.clip(si, 0)], 0)
-                    recv = jax.lax.ppermute(buf, axis, perm)
-                    safe = jnp.where(ri >= 0, ri, nboxes)
-                    if op == "add":
-                        mp = mp.at[safe].add(
-                            jnp.where(ri >= 0, recv, 0), mode="drop")
-                    else:
-                        mp = mp.at[safe].set(recv, mode="drop")
-            else:
-                mp = jax.lax.psum(mp, axis)
+            mp = exchange_mpoles(mp, mpole_tables)
 
-            # direct sums need true per-box source weights (replicated)
-            box_sums = jnp.zeros(nboxes, weights.dtype).at[
-                box_of_src].add(weights)
+            # per-rank edge slices drive the kernel stages
+            pot = wrangler.eval_direct_edges(
+                e1[:, 0], e1[:, 1], None, weights)
+            pot = pot + wrangler.eval_multipoles_edges(
+                e3[:, 0], e3[:, 1], None, mp)
 
-            src_gather = jnp.clip(e1[:, 1], 0)
-            pot_box = edge_scatter_add(
-                jnp.zeros(nboxes, weights.dtype), e1,
-                box_sums[src_gather])
-            pot_box = edge_scatter_add(
-                pot_box, e3, mp[jnp.clip(e3[:, 1], 0)])
-
-            loc = edge_scatter_add(
-                jnp.zeros(nboxes, weights.dtype), e2,
-                mp[jnp.clip(e2[:, 1], 0)])
-            loc = edge_scatter_add(
-                loc, e4, box_sums[jnp.clip(e4[:, 1], 0)])
+            loc = wrangler.multipole_to_local_edges(
+                e2[:, 0], e2[:, 1], e2_gs, mp)
+            loc = loc + wrangler.form_locals_edges(
+                e4[:, 0], e4[:, 1], None, weights)
 
             # downward pass along this rank's responsible+ancestor chain
-            ids_l = jnp.clip(totp_local, 0)
-            valid_l = totp_local >= 0
-            for lev in range(1, nlevels):
-                sel = valid_l & (levels[ids_l] == lev)
-                contrib = jnp.where(sel, loc[parents[ids_l]], 0)
-                loc = loc.at[jnp.where(sel, ids_l, nboxes)].add(
-                    contrib, mode="drop")
+            loc = wrangler.refine_locals_rows(totp_local, loc)
 
-            pot = (pot_box + loc)[box_of_tgt]
-            pot = jnp.where(resp_mask[box_of_tgt], pot, 0)
+            pot = pot + wrangler.eval_locals(None, None, loc)
+            pot = jnp.where(resp_mask[pot_box_map], pot, 0)
             return jax.lax.psum(pot, axis)
 
         try:
@@ -339,21 +368,24 @@ class DistributedFMMRunner:
             from jax.experimental.shard_map import shard_map
         table_specs = tuple(
             (P(axis, None), P(axis, None)) for _ in self._mpole_tables)
+        # check_vma off: the wrangler's lax.scan carries start replicated
+        # and become device-varying, which the static vma check rejects
         return jax.jit(shard_map(
             step, mesh=self.mesh,
             in_specs=(P(axis, None), P(axis, None, None),
+                      P(axis, None, None), P(axis, None),
                       P(axis, None, None), P(axis, None, None),
-                      P(axis, None, None), P(axis, None), table_specs,
-                      P()),
-            out_specs=P()))
+                      P(axis, None), table_specs, P()),
+            out_specs=P(), check_vma=False))
 
     # }}}
 
     def drive_dfmm(self, source_weights):
-        """Run the distributed counting FMM; returns potentials in user
-        target order (mirrors ``distributed/__init__.py:301-310``)."""
-        w = jnp.asarray(source_weights)[self.tree.user_source_ids]
-        pot = self._step(self.resp_masks, self.e1, self.e2, self.e3,
-                         self.e4, self.totp_boxes_local,
-                         self._mpole_tables, w)
-        return pot[self.tree.sorted_target_ids]
+        """Run the distributed FMM; returns potentials in user target
+        order (mirrors ``distributed/__init__.py:301-310``)."""
+        w = self.wrangler.reorder_sources(jnp.asarray(source_weights))
+        pot = self._step(self.resp_masks, self.e1, self.e2,
+                         self.e2_group_sizes, self.e3, self.e4,
+                         self.totp_boxes_local, self._mpole_tables, w)
+        pot = self.wrangler.reorder_potentials(pot)
+        return self.wrangler.finalize_potentials(pot)

@@ -262,9 +262,9 @@ def _gen_list4(rows_pfx, prefixes, box_flags, offs, *, lb, dimensions,
     return block
 
 
-def _gen_list1_target_side(rows_pfx, row_ids, prefixes, box_flags, offs,
+def _gen_list1_target_side(rows_pfx, row_boxes, prefixes, box_flags, offs,
                            *, lt, dimensions, lsb):
-    """(rows, K) int64 keys row<<32|src for source levels <= lt."""
+    """(rows, K) int64 keys tgt_box<<32|src for source levels <= lt."""
     cells = morton.deinterleave(rows_pfx, dimensions)
     out = []
     for ls in range(lt + 1):
@@ -278,7 +278,8 @@ def _gen_list1_target_side(rows_pfx, row_ids, prefixes, box_flags, offs,
         valid = found & is_src & touch
         keys = jnp.where(
             valid,
-            (row_ids[:, None] << np.int64(32)) | box_id.astype(jnp.int64),
+            (row_boxes[:, None] << np.int64(32))
+            | box_id.astype(jnp.int64),
             _INVALID_KEY)
         out.append(keys)
     return jnp.concatenate(out, axis=1)
@@ -296,12 +297,13 @@ def _gen_list1_source_side(rows_pfx, src_ids, prefixes, box_flags,
         found, box_id = _lookup(prefixes[lsb[lt]:lsb[lt + 1]], lsb[lt],
                                 cand, lt)
         idc = jnp.where(found, box_id, 0)
-        row = tgt_row_of_box[idc].astype(jnp.int64)
+        is_tgt = tgt_row_of_box[idc] >= 0
         touch = _touch(cand, lt, cells[:, :, None], ls)
-        valid = found & (row >= 0) & touch & emitter_is_src[:, None]
-        keys = jnp.where(valid,
-                         (row << np.int64(32)) | src_ids[:, None],
-                         _INVALID_KEY)
+        valid = found & is_tgt & touch & emitter_is_src[:, None]
+        keys = jnp.where(
+            valid,
+            (box_id.astype(jnp.int64) << np.int64(32)) | src_ids[:, None],
+            _INVALID_KEY)
         out.append(keys)
     return jnp.concatenate(out, axis=1)
 
@@ -323,16 +325,18 @@ def _gen_list3(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
         found, box_id = _lookup(prefixes[lsb[lt]:lsb[lt + 1]], lsb[lt],
                                 cand, lt)
         idc = jnp.where(found, box_id, 0)
-        row = tgt_row_of_box[idc].astype(jnp.int64)
+        is_tgt = tgt_row_of_box[idc] >= 0
         if lt < ls - 1:
             enters = _touch(cand, lt, parent_cells[:, :, None], ls - 1)
         else:
             enters = jnp.ones(cand.shape[1:], bool)
         not_touch_w = ~_touch(cand, lt, cells[:, :, None], ls)
-        valid = (found & (row >= 0) & enters & not_touch_w
+        valid = (found & is_tgt & enters & not_touch_w
                  & w_has_src[:, None])
-        keys = jnp.where(valid, (row << np.int64(32)) | w_ids[:, None],
-                         _INVALID_KEY)
+        keys = jnp.where(
+            valid,
+            (box_id.astype(jnp.int64) << np.int64(32)) | w_ids[:, None],
+            _INVALID_KEY)
         out.append(keys)
     return jnp.concatenate(out, axis=1)
 
@@ -374,7 +378,7 @@ def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
         found, box_id = _lookup(prefixes[lsb[lt]:lsb[lt + 1]], lsb[lt],
                                 cand, lt)
         idc = jnp.where(found, box_id, 0)
-        row = tgt_row_of_box[idc].astype(jnp.int64)
+        is_tgt = tgt_row_of_box[idc] >= 0
         b_c = _cells_center(cand, lt, bbox_min, root_extent)
         if crit == "precise_linf":
             b_ext_c = 0.5 * (tbb_min[:, idc] + tbb_max[:, idc])
@@ -414,10 +418,12 @@ def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
             classify = ~meets_w | w_forced[:, None]
         else:
             classify = meets_w & ~w_forced[:, None]
-        valid = (found & (row >= 0) & not_touch_w & chain & classify
+        valid = (found & is_tgt & not_touch_w & chain & classify
                  & w_gate[:, None])
-        keys = jnp.where(valid, (row << np.int64(32)) | w_ids[:, None],
-                         _INVALID_KEY)
+        keys = jnp.where(
+            valid,
+            (box_id.astype(jnp.int64) << np.int64(32)) | w_ids[:, None],
+            _INVALID_KEY)
         out.append(keys)
     return jnp.concatenate(out, axis=1)
 
@@ -434,7 +440,7 @@ def _gen_list4_close(rows_pfx, b_ids, prefixes, box_flags, tgt_row_of_box,
     cells = morton.deinterleave(rows_pfx, d)
     rows = rows_pfx.shape[0]
     b_c = _cells_center(cells, lb, bbox_min, root_extent)
-    row_b = tgt_row_of_box[jnp.clip(b_ids, 0)].astype(jnp.int64)
+    b_is_tgt = tgt_row_of_box[jnp.clip(b_ids, 0)] >= 0
     wl_max = lb - 1 if n_away == 1 else lb
     out = []
     for wl in range(1, wl_max + 1):
@@ -449,10 +455,10 @@ def _gen_list4_close(rows_pfx, b_ids, prefixes, box_flags, tgt_row_of_box,
         fails_b = ~_meets_sep_bigger(b_c[:, :, None], lb, s_c, wl,
                                      root_extent, sof)
         valid = (found & is_src & not_touch_b & fails_b
-                 & (row_b >= 0)[:, None])
+                 & b_is_tgt[:, None])
         keys = jnp.where(
             valid,
-            (row_b[:, None] << np.int64(32)) | box_id.astype(jnp.int64),
+            (b_ids[:, None] << np.int64(32)) | box_id.astype(jnp.int64),
             _INVALID_KEY)
         out.append(keys)
     if not out:
@@ -559,10 +565,20 @@ def _starts_of_rows(rows_sorted, nrows):
             jnp.int32)
 
 
+def _starts_of_box_keys(boxes_sorted, target_boxes, nboxes):
+    """CSR starts over target_boxes rows for keys carrying *box ids*
+    (valid keys' boxes all appear in target_boxes, which is ascending,
+    so box order == row order)."""
+    bounds = jnp.concatenate(
+        [target_boxes.astype(jnp.int64),
+         jnp.full(1, nboxes, jnp.int64)])
+    return jnp.searchsorted(boxes_sorted, bounds).astype(jnp.int32)
+
+
 # {{{ count passes (one compilation each)
 
 def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
-                  child_ids, *, dimensions, n_away, lsb, fast,
+                  child_rows, *, dimensions, n_away, lsb, fast,
                   src_levels=None, ext=False, bbox_min=None,
                   root_extent=None, sof=None):
     """Per-level generator triples (slnws, list2, list4) over box-id rows.
@@ -577,11 +593,11 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
     def make(lev):
         if fast:
             gen_s = partial(nbr.fgen_slnws, ntable=ntable, dimensions=d)
-            gen_2 = partial(nbr.fgen_list2, ntable=ntable, parents=parents,
-                            child_ids=child_ids, prefixes=prefixes,
-                            dimensions=d)
+            gen_2 = partial(nbr.fgen_list2, ntable=ntable,
+                            child_rows=child_rows, parents=parents,
+                            prefixes=prefixes, dimensions=d)
             gen_4 = partial(nbr.fgen_list4, ntable=ntable, parents=parents,
-                            box_flags=box_flags, prefixes=prefixes,
+                            prefixes=prefixes,
                             lb=lev, dimensions=d, k_pad=k_pad4,
                             src_levels=src_levels)
             return gen_s, gen_2, gen_4
@@ -611,14 +627,14 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
                                    "ls_totp", "fast", "src_levels", "ext"))
 def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                 child_ids, bbox_min, root_extent, sof, *, dimensions,
+                 child_rows, bbox_min, root_extent, sof, *, dimensions,
                  n_away, lsb, ls_totp, fast, src_levels=None, ext=False):
     """Per-row counts for slnws / List 2 / List 4 (+ their totals)."""
     nlevels = len(lsb) - 1
     nboxes = lsb[-1]
     ntotp = ls_totp[-1]
     make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
-                         child_ids, dimensions=dimensions, n_away=n_away,
+                         child_rows, dimensions=dimensions, n_away=n_away,
                          lsb=lsb, fast=fast, src_levels=src_levels,
                          ext=ext, bbox_min=bbox_min,
                          root_extent=root_extent, sof=sof)
@@ -660,7 +676,7 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
     def l1_tgt(lt):
         if fast:
             return partial(nbr.fgen_list1_target_side, ntable=ntable,
-                           parents=parents, box_flags=box_flags,
+                           parents=parents,
                            prefixes=prefixes, lt=lt, dimensions=d,
                            src_levels=src_levels)
         g = partial(_gen_list1_target_side, prefixes=prefixes,
@@ -673,7 +689,6 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
         if fast:
             return partial(nbr.fgen_list1_source_side, ntable=ntable,
                            parents=parents, box_flags=box_flags,
-                           tgt_row_of_box=tgt_row_of_box,
                            prefixes=prefixes, ls=ls, dimensions=d,
                            tgt_levels=tgt_levels)
         g = partial(_gen_list1_source_side, prefixes=prefixes,
@@ -697,7 +712,6 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
         if fast:
             return partial(nbr.fgen_list3, ntable=ntable, parents=parents,
                            box_flags=box_flags,
-                           tgt_row_of_box=tgt_row_of_box,
                            prefixes=prefixes, ls=ls, dimensions=d,
                            tgt_levels=tgt_levels)
         g = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
@@ -744,8 +758,8 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         if r1 == r0:
             continue
         rows = target_boxes[r0:r1]
-        row_ids = r0 + jnp.arange(r1 - r0, dtype=jnp.int64)
-        l1_count = _count_keys(l1_tgt(lt), rows, (row_ids,), l1_count)
+        l1_count = _count_keys(l1_tgt(lt), rows,
+                               (rows.astype(jnp.int64),), l1_count)
     for ls in range(1, nlevels):
         if src_levels is not None and not src_levels[ls]:
             continue
@@ -763,7 +777,8 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         w_ids = ids_l.astype(jnp.int64)
         gen = l3g(ls)
-        row_counts = jnp.zeros(ntarget_boxes + 1, jnp.int32)
+        nboxes = lsb[-1]
+        box_counts = jnp.zeros(nboxes + 1, jnp.int32)
         padded, nchunks = _pad_rows(ids_l, _ROW_CHUNK)
         wid_pad, _ = _pad_rows(w_ids, _ROW_CHUNK)
         vrow = jnp.arange(padded.shape[0]) < ids_l.shape[0]
@@ -772,16 +787,16 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             rows, wi, vr = inp
             keys = jnp.where(vr[:, None], g(rows, wi), _INVALID_KEY)
             valid = keys != _INVALID_KEY
-            trow = (keys >> np.int64(32)).astype(jnp.int64)
+            tbox = (keys >> np.int64(32)).astype(jnp.int64)
             return carry.at[
-                jnp.where(valid, trow, ntarget_boxes)].add(
+                jnp.where(valid, tbox, nboxes)].add(
                     1, mode="drop"), None
 
-        row_counts, _ = lax.scan(
-            body, row_counts,
+        box_counts, _ = lax.scan(
+            body, box_counts,
             (padded.reshape(nchunks, -1), wid_pad.reshape(nchunks, -1),
              vrow.reshape(nchunks, -1)))
-        row_counts = row_counts[:-1]
+        row_counts = box_counts[target_boxes]
         l3_totals.append(row_counts.sum().astype(jnp.int64))
         l3_nonempty.append((row_counts > 0).sum().astype(jnp.int64))
 
@@ -813,14 +828,14 @@ def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
                                    "ls_totp", "totals", "fast",
                                    "src_levels", "ext"))
 def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                        child_ids, slnws_counts, l2_counts, l4_counts,
+                        child_rows, slnws_counts, l2_counts, l4_counts,
                         bbox_min, root_extent, sof, *,
                         dimensions, n_away, lsb, ls_totp, totals, fast,
                         src_levels=None, ext=False):
     nlevels = len(lsb) - 1
     slnws_total, l2_total, l4_total = totals
     make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
-                         child_ids, dimensions=dimensions, n_away=n_away,
+                         child_rows, dimensions=dimensions, n_away=n_away,
                          lsb=lsb, fast=fast, src_levels=src_levels,
                          ext=ext, bbox_min=bbox_min,
                          root_extent=root_extent, sof=sof)
@@ -868,6 +883,8 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
         ext_data=ext_data, crit=crit, min_nsources=min_nsources)
 
+    nboxes = lsb[-1]
+
     # List 1
     l1_buf = jnp.zeros(l1_total, jnp.int64)
     off = jnp.int64(0)
@@ -876,9 +893,8 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         if r1 == r0:
             continue
         rows = target_boxes[r0:r1]
-        row_ids = r0 + jnp.arange(r1 - r0, dtype=jnp.int64)
-        l1_buf, off = _fill_keys(l1_tgt(lt), rows, (row_ids,), l1_buf,
-                                 off)
+        l1_buf, off = _fill_keys(l1_tgt(lt), rows,
+                                 (rows.astype(jnp.int64),), l1_buf, off)
     for ls in range(1, nlevels):
         if src_levels is not None and not src_levels[ls]:
             continue
@@ -887,7 +903,8 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         l1_buf, off = _fill_keys(l1_src(ls), ids_l, (src_ids,), l1_buf,
                                  off)
     l1_keys = lax.sort(l1_buf)
-    l1_starts = _starts_of_rows(l1_keys >> np.int64(32), ntarget_boxes)
+    l1_starts = _starts_of_box_keys(l1_keys >> np.int64(32),
+                                    target_boxes, nboxes)
     l1_lists = (l1_keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
 
     # List 3 per source level, with device-side empty-row compression
@@ -906,7 +923,8 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         buf = jnp.zeros(total, jnp.int64)
         buf, _ = _fill_keys(l3g(ls), ids_l, (w_ids,), buf, jnp.int64(0))
         keys = lax.sort(buf)
-        starts = _starts_of_rows(keys >> np.int64(32), ntarget_boxes)
+        starts = _starts_of_box_keys(keys >> np.int64(32),
+                                     target_boxes, nboxes)
         lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
         row_counts = starts[1:] - starts[:-1]
         ne_rows = _mask_to_list(row_counts > 0, total=nne)
@@ -922,7 +940,8 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         off = jnp.int64(0)
         buf, off = run(buf, off)
         keys = lax.sort(buf)
-        starts = _starts_of_rows(keys >> np.int64(32), ntarget_boxes)
+        starts = _starts_of_box_keys(keys >> np.int64(32),
+                                     target_boxes, nboxes)
         lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
         return starts, lists
 
@@ -968,7 +987,8 @@ def _pack_totals(*vals):
 
 
 def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
-                    debug=False, _from_sep_smaller_min_nsources_cumul=None):
+                    debug=False, _from_sep_smaller_min_nsources_cumul=None,
+                    source_boxes_mask=None, source_parent_boxes_mask=None):
     """Build an :class:`FMMTraversalInfo` for *tree*.
 
     Mirrors ``FMMTraversalBuilder.__call__``
@@ -976,6 +996,15 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     extents (which produce the "close" halves of Lists 3 and 4); source
     extents are rejected like the reference does
     (``boxtree/traversal.py:2002-2006``).
+
+    :arg source_boxes_mask: optional (nboxes,) bool mask; only masked
+        boxes enter ``source_boxes`` (restricting P2M in the distributed
+        FMM, ``boxtree/traversal.py:332-338``).  Interaction lists are
+        unaffected, exactly like the reference.
+    :arg source_parent_boxes_mask: same for ``source_parent_boxes``
+        (restricting M2M, ``boxtree/traversal.py:340-347``).  Unlike the
+        reference, ``target_boxes`` is never masked, even when sources
+        are targets.
     """
     if tree.sources_have_extent:
         raise ValueError("source extents not supported in traversal "
@@ -1021,11 +1050,22 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
             int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
         return lst, level_starts
 
-    source_boxes, ls_src = make_list(src_mask)
-    source_parent_boxes, ls_srcp = make_list(src_parent_mask)
+    src_list_mask = src_mask
+    if source_boxes_mask is not None:
+        src_list_mask = src_mask & np.asarray(source_boxes_mask, bool)
+    src_parent_list_mask = src_parent_mask
+    if source_parent_boxes_mask is not None:
+        src_parent_list_mask = src_parent_mask & np.asarray(
+            source_parent_boxes_mask, bool)
+
+    source_boxes, ls_src = make_list(src_list_mask)
+    source_parent_boxes, ls_srcp = make_list(src_parent_list_mask)
     target_or_target_parent_boxes, ls_totp = make_list(totp_mask)
     if getattr(tree, "sources_are_targets", True):
-        target_boxes, ls_tgt = source_boxes, ls_src
+        if source_boxes_mask is None:
+            target_boxes, ls_tgt = source_boxes, ls_src
+        else:
+            target_boxes, ls_tgt = make_list(src_mask)
     else:
         target_boxes, ls_tgt = make_list(tgt_mask)
 
@@ -1038,19 +1078,26 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     # }}}
 
     # neighbor table (fast path) — only the 1-away window is tabulated;
-    # the with-extent lists always use the generic Morton-search path
+    # the with-extent lists always use the generic Morton-search path.
+    # Entries pack the IS_SOURCE / is-target-row bits (see neighbors.py).
     fast = (n_away == 1) and not ext
+    parents_dev = tree.box_parent_ids
+    child_rows_dev = jnp.asarray(tree.box_child_ids).T.astype(jnp.int32)
     if fast:
+        if nboxes >= (1 << 29):
+            raise NotImplementedError(
+                "packed neighbor table supports < 2^29 boxes")
         ntable = nbr.build_neighbor_table(
             prefixes, tree.box_parent_ids, tree.box_child_ids,
+            flags_dev, jnp.asarray(tgt_row_of_box >= 0),
             dimensions=d, lsb=lsb)
     else:
         ntable = jnp.zeros((1, 1), jnp.int32)
-    parents_dev = tree.box_parent_ids
-    child_ids_dev = tree.box_child_ids
 
-    # which levels carry source / target boxes at all (static skips)
-    src_levels = tuple(ls_src[i + 1] > ls_src[i] for i in range(nlevels))
+    # which levels carry source / target boxes at all (static skips) —
+    # from the UNMASKED flags: interaction lists ignore the masks
+    src_level_counts = _level_counts_of_mask(src_mask, lsb)
+    src_levels = tuple(c > 0 for c in src_level_counts)
     tgt_levels = tuple(ls_tgt[i + 1] > ls_tgt[i] for i in range(nlevels))
 
     # geometry / extent data for the with-extent criteria
@@ -1073,7 +1120,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     (slnws_counts, l2_counts, l4_counts, slnws_tot, l2_tot,
      l4_tot) = _counts_pass(
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
-        parents_dev, child_ids_dev, bbox_min_dev, root_extent_dev,
+        parents_dev, child_rows_dev, bbox_min_dev, root_extent_dev,
         sof_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
         fast=fast, src_levels=src_levels, ext=ext)
     l1_tot, l3_tot, l3_ne, l3c_tot, l4c_tot = _edge_counts_pass(
@@ -1097,7 +1144,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     ((slnws_starts, slnws_lists), (l2_starts, l2_lists),
      (l4_starts, l4_lists)) = _fill_rowlists_pass(
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
-        parents_dev, child_ids_dev, slnws_counts, l2_counts, l4_counts,
+        parents_dev, child_rows_dev, slnws_counts, l2_counts, l4_counts,
         bbox_min_dev, root_extent_dev, sof_dev,
         dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
         totals=(slnws_total, l2_total, l4_total), fast=fast,

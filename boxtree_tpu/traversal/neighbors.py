@@ -14,6 +14,15 @@ with two gathers per entry via the parent's table::
 Every list candidate is then one table gather plus pure integer
 arithmetic (candidate *cells* are reconstructed from static column
 offsets, so adjacency predicates need no further memory access).
+
+The table entries additionally pack the two predicate bits every list
+needs — IS_SOURCE_BOX and "is a target-list row" — into spare high bits
+of the int32 id (bits 29/30; box ids are < 2^29).  This makes candidate
+filtering *zero extra gathers*: the per-candidate ``box_flags[cand]`` /
+``tgt_row_of_box[cand]`` random gathers of the naive formulation (the
+round-1 bottleneck, doc/PERF.md) disappear, and edge keys are emitted in
+box-id space (``tgt_box << 32 | src``) so no row translation is needed
+until the final CSR starts computation.
 """
 
 from __future__ import annotations
@@ -30,6 +39,12 @@ from boxtree_tpu.tree.containers import box_flags_enum
 _F = box_flags_enum
 _INVALID_KEY = np.int64(np.iinfo(np.int64).max)
 
+#: packed neighbor-table layout: low 29 bits id, bit 29 IS_SOURCE_BOX,
+#: bit 30 "row of target_boxes"; -1 = absent
+ID_MASK = np.int32((1 << 29) - 1)
+SRC_BIT = np.int32(1 << 29)
+TGT_BIT = np.int32(1 << 30)
+
 
 def _offsets1(dimensions):
     from boxtree_tpu.traversal.build import _offsets
@@ -37,9 +52,11 @@ def _offsets1(dimensions):
 
 
 @partial(jax.jit, static_argnames=("dimensions", "lsb"))
-def build_neighbor_table(prefixes, parents, child_ids, *, dimensions, lsb):
-    """(nboxes, 3^d) same-level neighbor box ids (-1 where absent);
-    column order matches ``_offsets(d, 1)``, center column = self."""
+def build_neighbor_table(prefixes, parents, child_ids, box_flags,
+                         tgt_box_mask, *, dimensions, lsb):
+    """(nboxes, 3^d) same-level neighbor entries (-1 where absent);
+    column order matches ``_offsets(d, 1)``, center column = self.
+    Entries pack the candidate-filter bits (see module doc)."""
     d = dimensions
     offs = _offsets1(d)                      # (m, d) numpy
     m = offs.shape[0]
@@ -71,7 +88,13 @@ def build_neighbor_table(prefixes, parents, child_ids, *, dimensions, lsb):
             cand = jnp.where((pn >= 0) & (cand > 0), cand, -1)
             cols.append(cand.astype(jnp.int32))
         table = table.at[b0:b1].set(jnp.stack(cols, axis=1))
-    return table
+
+    # pack the predicate bits (single pass over the finished table)
+    idx = jnp.clip(table, 0).astype(jnp.int64)
+    bits = (jnp.where((box_flags[idx] & _F.IS_SOURCE_BOX) != 0,
+                      SRC_BIT, 0)
+            | jnp.where(tgt_box_mask[idx], TGT_BIT, 0)).astype(jnp.int32)
+    return jnp.where(table >= 0, table | bits, table)
 
 
 # {{{ helpers shared by the fast generators
@@ -110,12 +133,15 @@ def fgen_slnws(rows, ntable, *, dimensions):
     m = 3 ** dimensions
     t = ntable[jnp.clip(rows, 0).astype(jnp.int64)]
     keep = np.arange(m) != m // 2
-    return t[:, keep]
+    t = t[:, keep]
+    return jnp.where(t >= 0, t & ID_MASK, -1)
 
 
-def fgen_list2(rows, ntable, parents, child_ids, prefixes, *, dimensions):
+def fgen_list2(rows, ntable, child_rows, parents, prefixes, *, dimensions):
     """Children of parent's neighbors that are >1 away: candidate cell
-    offsets are fully static per (neighbor column, child digit)."""
+    offsets are fully static per (neighbor column, child digit); each
+    neighbor's children come from ONE row gather of the transposed
+    child table instead of 2^d scalar gathers."""
     d = dimensions
     m = 3 ** d
     nchild = 2 ** d
@@ -128,8 +154,9 @@ def fgen_list2(rows, ntable, parents, child_ids, prefixes, *, dimensions):
     out = []
     for j in range(m):
         pnj = pn[:, j]
+        ch = child_rows[jnp.clip(pnj, 0) & ID_MASK]         # (B, nchild)
         for q in range(nchild):
-            cand = child_ids[q, jnp.clip(pnj, 0).astype(jnp.int64)]
+            cand = ch[:, q]
             q_bits = np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
             off = (2 * offs[j] + q_bits)[:, None] - r_bits  # (d, B)
             wellsep = (jnp.abs(off) > 1).any(axis=0)
@@ -146,7 +173,7 @@ def _ancestors(rows, parents, nsteps):
     return out
 
 
-def fgen_list4(rows, ntable, parents, box_flags, prefixes, *, lb,
+def fgen_list4(rows, ntable, parents, prefixes, *, lb,
                dimensions, k_pad, src_levels=None):
     """List 4 at target level lb: non-center neighbors of each strict
     ancestor (levels lb-1 .. 1) that are source boxes, not touching the
@@ -164,8 +191,7 @@ def fgen_list4(rows, ntable, parents, box_flags, prefixes, *, lb,
             continue
         a = anc[lb - wl]
         cand = ntable[a][:, keep]                           # (B, m-1)
-        is_src = (box_flags[jnp.clip(cand, 0).astype(jnp.int64)]
-                  & _F.IS_SOURCE_BOX) != 0
+        is_src = (cand & SRC_BIT) != 0
         # candidate cell = (own cell >> (lb-wl)) + delta
         low_b = _low_bits(cells, lb - wl)                   # vs own box
         off = offs[:, None, :][:, :, keep]                  # (d, 1, m-1)
@@ -174,7 +200,7 @@ def fgen_list4(rows, ntable, parents, box_flags, prefixes, *, lb,
         low_p = _low_bits(cells >> np.int64(1), lb - 1 - wl)
         enters = _touch_off(off, wl, low_p[:, :, None], lb - 1)
         valid = (cand >= 0) & is_src & not_touch_b & enters
-        chunks.append(jnp.where(valid, cand, -1))
+        chunks.append(jnp.where(valid, cand & ID_MASK, -1))
     if not chunks:
         return jnp.full((rows.shape[0], k_pad), -1, jnp.int32)
     block = jnp.concatenate(chunks, axis=1)
@@ -186,10 +212,11 @@ def fgen_list4(rows, ntable, parents, box_flags, prefixes, *, lb,
     return block
 
 
-def fgen_list1_target_side(rows, row_ids, ntable, parents, box_flags,
+def fgen_list1_target_side(rows, row_boxes, ntable, parents,
                            prefixes, *, lt, dimensions, src_levels=None):
-    """Keys (row<<32|src) for source boxes at levels <= lt touching each
-    target box: the full neighbor-table rows of the ancestor chain."""
+    """Keys (tgt_box<<32|src) for source boxes at levels <= lt touching
+    each target box: the full neighbor-table rows of the ancestor
+    chain."""
     d = dimensions
     offs = jnp.asarray(_offsets1(d).T)                      # (d, m)
     cells = morton.deinterleave(
@@ -200,15 +227,14 @@ def fgen_list1_target_side(rows, row_ids, ntable, parents, box_flags,
         if src_levels is not None and not src_levels[ls]:
             continue
         cand = ntable[anc[lt - ls]]                         # (B, m)
-        is_src = (box_flags[jnp.clip(cand, 0).astype(jnp.int64)]
-                  & _F.IS_SOURCE_BOX) != 0
+        is_src = (cand & SRC_BIT) != 0
         low = _low_bits(cells, lt - ls)
         touch = _touch_off(offs[:, None, :], ls, low[:, :, None], lt)
         valid = (cand >= 0) & is_src & touch
         keys = jnp.where(
             valid,
-            (row_ids.astype(jnp.int64)[:, None] << np.int64(32))
-            | cand.astype(jnp.int64),
+            (row_boxes.astype(jnp.int64)[:, None] << np.int64(32))
+            | (cand & ID_MASK).astype(jnp.int64),
             _INVALID_KEY)
         out.append(keys)
     if not out:
@@ -217,8 +243,7 @@ def fgen_list1_target_side(rows, row_ids, ntable, parents, box_flags,
 
 
 def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
-                           tgt_row_of_box, prefixes, *, ls, dimensions,
-                           tgt_levels=None):
+                           prefixes, *, ls, dimensions, tgt_levels=None):
     """Keys for target boxes at levels strictly coarser than ls."""
     d = dimensions
     offs = jnp.asarray(_offsets1(d).T)
@@ -232,14 +257,14 @@ def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
         if tgt_levels is not None and not tgt_levels[lt]:
             continue
         cand = ntable[anc[ls - lt]]
-        row = tgt_row_of_box[jnp.clip(cand, 0).astype(jnp.int64)]
+        is_tgt = (cand & TGT_BIT) != 0
         low = _low_bits(cells, ls - lt)
         touch = _touch_off(offs[:, None, :], lt, low[:, :, None], ls)
-        valid = ((cand >= 0) & (row >= 0) & touch
+        valid = ((cand >= 0) & is_tgt & touch
                  & emitter_is_src[:, None])
         keys = jnp.where(
             valid,
-            (row.astype(jnp.int64) << np.int64(32))
+            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32))
             | src_ids.astype(jnp.int64)[:, None],
             _INVALID_KEY)
         out.append(keys)
@@ -248,9 +273,9 @@ def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
     return jnp.concatenate(out, axis=1)
 
 
-def fgen_list3(rows, w_ids, ntable, parents, box_flags, tgt_row_of_box,
-               prefixes, *, ls, dimensions, tgt_levels=None):
-    """Keys (row<<32|w) for List 3 at source level ls: coarser target
+def fgen_list3(rows, w_ids, ntable, parents, box_flags, prefixes, *, ls,
+               dimensions, tgt_levels=None):
+    """Keys (tgt_box<<32|w) for List 3 at source level ls: coarser target
     boxes in the neighbor windows of parent(w)'s ancestor chain, with
     parent(w) touching them but w itself not."""
     d = dimensions
@@ -267,7 +292,7 @@ def fgen_list3(rows, w_ids, ntable, parents, box_flags, tgt_row_of_box,
         if tgt_levels is not None and not tgt_levels[lt]:
             continue
         cand = ntable[anc[ls - 1 - lt]]                     # (B, m)
-        row = tgt_row_of_box[jnp.clip(cand, 0).astype(jnp.int64)]
+        is_tgt = (cand & TGT_BIT) != 0
         if lt < ls - 1:
             low_p = _low_bits(pcells, ls - 1 - lt)
             enters = _touch_off(offs[:, None, :], lt,
@@ -279,11 +304,11 @@ def fgen_list3(rows, w_ids, ntable, parents, box_flags, tgt_row_of_box,
         # anc of w at lt is the same as anc of parent at lt (lt <= ls-1)
         not_touch_w = ~_touch_off(offs[:, None, :], lt,
                                   low_w[:, :, None], ls)
-        valid = ((cand >= 0) & (row >= 0) & enters & not_touch_w
+        valid = ((cand >= 0) & is_tgt & enters & not_touch_w
                  & w_has_src[:, None])
         keys = jnp.where(
             valid,
-            (row.astype(jnp.int64) << np.int64(32))
+            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32))
             | w_ids.astype(jnp.int64)[:, None],
             _INVALID_KEY)
         out.append(keys)

@@ -84,6 +84,34 @@ def test_distributed_counting_fmm(trav, nranks, communicate_mpoles):
         f"{(pot != tree.nsources).sum()} mismatched targets"
 
 
+@pytest.mark.parametrize("communicate_mpoles", ["hypercube", "allreduce"])
+def test_distributed_laplace_fmm(communicate_mpoles):
+    # Config E oracle with a REAL kernel: the distributed 3D Laplace FMM
+    # must match the single-device drive_fmm result to ~1e-13 on the
+    # 8-device mesh, both multipole-exchange flavors — mirrors
+    # test/test_distributed.py:69-151 (rel err < 1e-14 across MPI ranks).
+    from boxtree_tpu.fmm import drive_fmm
+    from boxtree_tpu.models.laplace import make_laplace_wrangler
+
+    rng = np.random.default_rng(5)
+    n = 600
+    pts = rng.random((3, n))
+    tree = build_tree(pts, max_particles_in_box=20)
+    trav3 = build_traversal(tree)
+    q = rng.standard_normal(n)
+
+    w = make_laplace_wrangler(trav3, order=8)
+    ref = np.asarray(drive_fmm(w, (q,)))
+
+    runner = DistributedFMMRunner(
+        8, trav3,
+        wrangler_factory=lambda t: make_laplace_wrangler(t, order=8),
+        communicate_mpoles=communicate_mpoles)
+    pot = np.asarray(runner.drive_dfmm(q))
+    err = np.abs(pot - ref).max() / np.abs(ref).max()
+    assert err < 1e-13, err
+
+
 def test_distributed_matches_single_device():
     # distributed result == single-device wrangler result, split src/tgt
     sources = make_normal_particle_array(3000, 2, np.float64, seed=6)
