@@ -71,8 +71,13 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     #: derivatives of the hooks w.r.t. the source positions)
     _supports_dipoles = True
 
+    #: set True by kernels whose operator/basis hooks implement the
+    #: per-level rscale normalization (see :meth:`level_to_rscale`)
+    _supports_rscale = False
+
     def __init__(self, tree_indep, traversal, dipole_vec=None,
-                 dipoles_already_reordered=False):
+                 dipoles_already_reordered=False, level_to_order=None,
+                 rscale=None):
         """:arg dipole_vec: optional ``(dim, nsources)`` array (user order
         unless *dipoles_already_reordered*).  When given, the sources are
         dipoles: the potential of source ``y`` with FMM weight ``w`` is
@@ -81,11 +86,64 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         ``boxtree/pyfmmlib_integration.py:495-511``; constructor
         ``:285,370-385``).  Implemented for every kernel at once by
         JVP-ing the P2M/P2L/P2P hooks in the per-source dipole direction.
+
+        :arg level_to_order: optional ``level -> order`` callable (the
+        reference's ``fmm_level_to_order``,
+        ``boxtree/pyfmmlib_integration.py:331-368``).  Expansions are
+        stored at the maximum order with the per-level tail masked to
+        zero (static shapes), and translation operators are truncated to
+        the participating levels' orders.
+
+        :arg rscale: per-level expansion scaling for deep-tree numerical
+        stability (``level_to_rscale``,
+        ``boxtree/pyfmmlib_integration.py:393-402``): ``None`` (off),
+        ``"auto"`` (``min(root_extent * 2^-level, 1)``), or an
+        (nlevels,) array.  Scaled expansions keep every coefficient
+        O(1): all basis evaluations run in box-size-normalized
+        coordinates and the translation operators absorb the diagonal
+        ``rscale^n`` rescaling.
         """
         super().__init__(tree_indep, traversal)
         tree = traversal.tree
         self.dim = tree.dimensions
         self.ncoeff = self._ncoeff()
+
+        # {{{ per-level orders and rscale
+
+        nlevels = tree.nlevels
+        root_f = float(np.asarray(tree.root_extent))
+        if level_to_order is not None:
+            self.level_orders = np.array(
+                [int(level_to_order(lev)) for lev in range(nlevels)])
+            degrees = np.asarray(self._coeff_orders())
+            mask = degrees[None, :] <= self.level_orders[:, None]
+            self._coeff_mask = jnp.asarray(mask)
+            self._coeff_mask_np = mask
+        else:
+            self.level_orders = None
+            self._coeff_mask = None
+            self._coeff_mask_np = None
+
+        if rscale is None:
+            self._rscale_np = None
+            self._scale_of_level = None
+        else:
+            if not self._supports_rscale:
+                raise NotImplementedError(
+                    f"{type(self).__name__} does not implement rscale")
+            if isinstance(rscale, str):
+                if rscale != "auto":
+                    raise ValueError(f"bad rscale: {rscale!r}")
+                rs = np.minimum(
+                    root_f * 2.0 ** -np.arange(nlevels), 1.0)
+            else:
+                rs = np.asarray(rscale, np.float64)
+                if rs.shape != (nlevels,):
+                    raise ValueError("rscale must have shape (nlevels,)")
+            self._rscale_np = rs
+            self._scale_of_level = jnp.asarray(rs)
+
+        # }}}
 
         self.src_blocks = ParticleBlocks(tree, "source")
         if tree.sources_are_targets:
@@ -117,6 +175,17 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         root = float(np.asarray(tree.root_extent))
         self.root_extent = root
 
+        def r_of(lev):
+            return (1.0 if self._rscale_np is None
+                    else float(self._rscale_np[lev]))
+
+        def trunc(mat, lev_rows, lev_cols):
+            if self._coeff_mask_np is None:
+                return mat
+            keep = np.outer(self._coeff_mask_np[lev_rows],
+                            self._coeff_mask_np[lev_cols])
+            return np.where(keep, mat, 0)
+
         # M2L plan + operator table (one entry per used (level, class))
         n = traversal.well_sep_is_n_away
         offs = _offsets(tree.dimensions, 2 * n + 1, min_inf_norm=n)
@@ -127,7 +196,8 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 size = root / (1 << lev)
                 # translation t = c_tgt - c_src = offset * box_size
                 t = self.m2l_plan.offsets[c].astype(np.float64) * size
-                ops.append(self._m2l_matrix(t).T)      # transposed: rows
+                mat = trunc(self._m2l_matrix(t, r_of(lev)), lev, lev)
+                ops.append(mat.T)                      # transposed: rows
             self._m2l_opsT = jnp.asarray(
                 np.stack(ops).astype(self.dtype))
         else:
@@ -148,9 +218,15 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                     for ax in range(self.dim)])
                 child_off = sign * (size / 2)   # c_child - c_parent
                 # M2M translation: t = c_parent - c_child
-                m2m.append(self._m2m_matrix(-child_off).T)
+                m2m.append(trunc(
+                    self._m2m_matrix(-child_off, r_of(lev),
+                                     r_of(lev - 1)),
+                    lev - 1, lev).T)
                 # L2L translation: t = c_child - c_parent
-                l2l.append(self._l2l_matrix(child_off).T)
+                l2l.append(trunc(
+                    self._l2l_matrix(child_off, r_of(lev - 1),
+                                     r_of(lev)),
+                    lev, lev - 1).T)
             self._m2m_opsT[lev] = jnp.asarray(
                 np.stack(m2m).astype(self.dtype))
             self._l2l_opsT[lev] = jnp.asarray(
@@ -195,28 +271,40 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     def _ncoeff(self):
         raise NotImplementedError
 
+    def _coeff_orders(self):
+        """(ncoeff,) int array: minimal expansion order containing each
+        coefficient (drives per-level order truncation)."""
+        return np.zeros(self.ncoeff, np.int64)
+
     def _p2m_terms(self, rel, q):
+        """*rel* arrives pre-divided by the box's rscale."""
         raise NotImplementedError
 
     def _l2p_eval(self, rel, loc):
+        """*rel* arrives pre-divided by the box's rscale."""
         raise NotImplementedError
 
-    def _m2p_eval(self, rel, mp):
+    def _m2p_eval(self, rel, mp, scale=1.0):
+        """*rel* pre-divided by *scale* (the source box's rscale); the
+        hook applies any residual scale factor of the scaled basis."""
         raise NotImplementedError
 
-    def _p2l_terms(self, rel, q):
+    def _p2l_terms(self, rel, q, scale=1.0):
+        """*rel* pre-divided by *scale* (the target box's rscale)."""
         raise NotImplementedError
 
     def _p2p(self, tgt_pts, src_pts, src_valid, q):
         raise NotImplementedError
 
-    def _m2m_matrix(self, t):
+    def _m2m_matrix(self, t, r_child=1.0, r_parent=1.0):
+        """Operator on rscaled expansions (identity scaling when both
+        r args are 1)."""
         raise NotImplementedError
 
-    def _l2l_matrix(self, t):
+    def _l2l_matrix(self, t, r_parent=1.0, r_child=1.0):
         raise NotImplementedError
 
-    def _m2l_matrix(self, t):
+    def _m2l_matrix(self, t, r=1.0):
         raise NotImplementedError
 
     # }}}
@@ -282,14 +370,25 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         src_weights, = src_weight_vecs
         tree = self.tree
         rel = tree.sources - self.centers[:, tree.box_id_of_source]
+        if self._scale_of_level is not None:
+            s = self._scale_of_level[tree.box_levels[
+                tree.box_id_of_source]]
+            rel = rel / s
+        else:
+            s = None
         if self.dipole_vec is None:
             terms = self._p2m_terms(rel, src_weights)  # (nsources, K)
         else:
+            dip = self.dipole_vec.astype(rel.dtype)
+            if s is not None:
+                dip = dip / s                      # chain rule d(rel/s)
             _, terms = jax.jvp(
-                lambda r: self._p2m_terms(r, src_weights),
-                (rel,), (self.dipole_vec.astype(rel.dtype),))
+                lambda r: self._p2m_terms(r, src_weights), (rel,), (dip,))
         mp = self.multipole_expansion_zeros()
-        return mp.at[tree.box_id_of_source].add(terms)
+        mp = mp.at[tree.box_id_of_source].add(terms)
+        if self._coeff_mask is not None:
+            mp = mp * self._coeff_mask[tree.box_levels]
+        return mp
 
     # }}}
 
@@ -497,11 +596,15 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         tree = self.tree
         tb = self.tgt_blocks
         tgt_e, src_e, valid = self._sanitize_edges(tgt_e, src_e, valid_e)
+        levels = self.tree.box_levels
 
         def edge_eval(t_box, s_box):
             rel = (tb.points[t_box].T
                    - self.centers[:, s_box][:, None])   # (d, P)
-            return self._m2p_eval(rel, mpole_exps[s_box])
+            if self._scale_of_level is None:
+                return self._m2p_eval(rel, mpole_exps[s_box])
+            s = self._scale_of_level[levels[s_box]]
+            return self._m2p_eval(rel / s, mpole_exps[s_box], s)
 
         (tgts, srcs), pad_valid, nchunks = self._pad_edges(tgt_e, src_e)
         valid = jnp.pad(valid, (0, pad_valid.shape[0] - valid.shape[0])) \
@@ -545,22 +648,30 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         sb = self.src_blocks
         tgt_e, src_e, valid = self._sanitize_edges(tgt_e, src_e, valid_e)
         q_blocks = sb.gather_values(src_weights.astype(self.dtype))
+        levels = self.tree.box_levels
+
+        def tgt_scale(t_box):
+            if self._scale_of_level is None:
+                return jnp.float64(1.0)
+            return self._scale_of_level[levels[t_box]]
 
         if self.dipole_vec is None:
             def edge_coeffs(t_box, s_box):
+                s = tgt_scale(t_box)
                 rel = (sb.points[s_box].T
-                       - self.centers[:, t_box][:, None])     # (d, P)
-                terms = self._p2l_terms(rel, q_blocks[s_box])  # (P, K)
+                       - self.centers[:, t_box][:, None]) / s  # (d, P)
+                terms = self._p2l_terms(rel, q_blocks[s_box], s)  # (P, K)
                 return jnp.sum(
                     jnp.where(sb.mask[s_box][:, None], terms, 0), axis=0)
         else:
             def edge_coeffs(t_box, s_box):
+                s = tgt_scale(t_box)
                 rel = (sb.points[s_box].T
-                       - self.centers[:, t_box][:, None])     # (d, P)
+                       - self.centers[:, t_box][:, None]) / s  # (d, P)
                 _, terms = jax.jvp(
-                    lambda r: self._p2l_terms(r, q_blocks[s_box]),
+                    lambda r: self._p2l_terms(r, q_blocks[s_box], s),
                     (rel,),
-                    (self._dip_blocks[s_box].T.astype(rel.dtype),))
+                    (self._dip_blocks[s_box].T.astype(rel.dtype) / s,))
                 return jnp.sum(
                     jnp.where(sb.mask[s_box][:, None], terms, 0), axis=0)
 
@@ -581,7 +692,10 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             body, loc_pad,
             (tgts.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
              valid.reshape(nchunks, -1)))
-        return loc_pad[:tree.nboxes]
+        loc = loc_pad[:tree.nboxes]
+        if self._coeff_mask is not None:
+            loc = loc * self._coeff_mask[tree.box_levels]
+        return loc
 
     # }}}
 
@@ -591,6 +705,9 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                     local_exps):
         tree = self.tree
         rel = tree.targets - self.centers[:, tree.box_id_of_target]
+        if self._scale_of_level is not None:
+            rel = rel / self._scale_of_level[tree.box_levels[
+                tree.box_id_of_target]]
         return self._l2p_eval(rel, local_exps[tree.box_id_of_target])
 
     # }}}

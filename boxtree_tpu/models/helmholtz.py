@@ -130,13 +130,15 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
             vals = sp.hankel1(dn, self.k * rd)
         return vals * np.exp(-1j * dn * ad)
 
-    def _m2m_matrix(self, t):      # base: t = new - old; Graf d = old-new
+    def _m2m_matrix(self, t, r_child=1.0, r_parent=1.0):
+        # base: t = new - old; Graf d = old - new (rscale unsupported)
         return self._graf_matrix(-np.asarray(t), "J")
 
-    def _l2l_matrix(self, t):
+    def _l2l_matrix(self, t, r_parent=1.0, r_child=1.0):
         return self._graf_matrix(-np.asarray(t), "J")
 
-    def _m2l_matrix(self, t):      # base: t = c_tgt - c_src; d = src-tgt
+    def _m2l_matrix(self, t, r=1.0):
+        # base: t = c_tgt - c_src; d = src - tgt (rscale unsupported)
         return self._graf_matrix(-np.asarray(t), "H")
 
     # }}}
@@ -176,11 +178,11 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
         vals, _ = self._basis(rel, "J", +1)
         return jnp.sum(loc * vals, axis=-1)
 
-    def _m2p_eval(self, rel, mp):
+    def _m2p_eval(self, rel, mp, scale=1.0):
         vals, ok = self._basis(rel.astype(jnp.float64), "H", +1)
         return jnp.where(ok, jnp.sum(mp * vals, axis=-1), 0)
 
-    def _p2l_terms(self, rel, q):
+    def _p2l_terms(self, rel, q, scale=1.0):
         vals, ok = self._basis(rel.astype(jnp.float64), "H", -1)
         terms = (0.25j) * q.astype(self.dtype)[..., None] * vals
         return jnp.where(ok[..., None], terms, 0)

@@ -75,6 +75,7 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
 
     dtype = np.complex128
     _p2p_pallas_kind = "log"
+    _supports_rscale = True
 
     def __init__(self, tree_indep, traversal, **kwargs):
         self.order = tree_indep.order
@@ -82,6 +83,9 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
 
     def _ncoeff(self):
         return self.order + 1
+
+    def _coeff_orders(self):
+        return np.arange(self.order + 1)
 
     # {{{ host operators (complex translation z)
 
@@ -125,14 +129,33 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
     def _z(t):
         return complex(t[0], t[1])
 
-    def _m2m_matrix(self, t):         # base convention: t = new - old
-        return self._m2m_host(-self._z(t))
+    # rscaled operators: coefficients are stored as a~_k = a_k / r^k
+    # (b~_l = b_l r^l), which keeps every entry O(1) on deep trees; the
+    # log-kernel a_0 row needs an explicit + log(r) correction
+    # (the role of pyfmmlib's rscale arguments,
+    # boxtree/pyfmmlib_integration.py:393-402).
 
-    def _l2l_matrix(self, t):
-        return self._l2l_host(-self._z(t))
+    def _m2m_matrix(self, t, r_child=1.0, r_parent=1.0):
+        # base convention: t = new - old
+        a = self._m2m_host(-self._z(t) / r_parent)
+        if r_child != r_parent:
+            a = a * (r_child / r_parent) ** np.arange(
+                self.order + 1)[None, :]
+        return a
 
-    def _m2l_matrix(self, t):         # base convention: t = c_tgt - c_src
-        return self._m2l_host(-self._z(t))
+    def _l2l_matrix(self, t, r_parent=1.0, r_child=1.0):
+        b = self._l2l_host(-self._z(t) / r_parent)
+        if r_child != r_parent:
+            b = b * ((r_child / r_parent) ** np.arange(
+                self.order + 1))[:, None]
+        return b
+
+    def _m2l_matrix(self, t, r=1.0):
+        # base convention: t = c_tgt - c_src
+        m = self._m2l_host(-self._z(t) / r)
+        if r != 1.0:
+            m[0, 0] += np.log(r)
+        return m
 
     # }}}
 
@@ -157,22 +180,22 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
             acc = acc + loc[..., ell] * wp
         return acc
 
-    def _m2p_eval(self, rel, mp):
+    def _m2p_eval(self, rel, mp, scale=1.0):
         w = rel[0] + 1j * rel[1]
         ws = jnp.where(w == 0, 1.0, w)
         winv = 1.0 / ws
-        acc = mp[0] * jnp.log(ws)
+        acc = mp[0] * (jnp.log(ws) + jnp.log(scale))
         wp = jnp.ones_like(w)
         for k in range(1, self.ncoeff):
             wp = wp * winv
             acc = acc + mp[k] * wp
         return acc
 
-    def _p2l_terms(self, rel, q):
+    def _p2l_terms(self, rel, q, scale=1.0):
         z0 = rel[0] + 1j * rel[1]
         z0s = jnp.where(z0 == 0, 1.0, z0)
         z0inv = 1.0 / z0s
-        coeffs = [q * jnp.log(-z0s)]
+        coeffs = [q * (jnp.log(-z0s) + jnp.log(scale))]
         zp = jnp.ones_like(z0)
         for ell in range(1, self.ncoeff):
             zp = zp * z0inv
@@ -199,6 +222,7 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
 
     dtype = np.complex128
     _p2p_pallas_kind = "coulomb"
+    _supports_rscale = True
 
     def __init__(self, tree_indep, traversal, **kwargs):
         self.order = tree_indep.order
@@ -207,38 +231,54 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
     def _ncoeff(self):
         return sh.ncoeffs(self.order)
 
-    # {{{ host operators
+    def _coeff_orders(self):
+        return self.tree_indep.nm_n
 
-    def _m2m_matrix(self, t):
+    # {{{ host operators
+    #
+    # rscaled coefficients: M~_n = M_n / r^n, L~_n = L_n r^n — every
+    # translation argument is divided by the participating rscale, with
+    # diagonal (r_child/r_parent)^n column/row corrections (the solid
+    # harmonics are homogeneous, so scaling is exact).
+
+    def _m2m_matrix(self, t, r_child=1.0, r_parent=1.0):
         p = self.order
         ti = self.tree_indep
-        rb = np.conj(sh.regular(-np.asarray(t)[:, None], p)[0])
+        rb = np.conj(sh.regular(
+            -np.asarray(t)[:, None] / r_parent, p)[0])
         j = ti.nm_n[:, None] - ti.nm_n[None, :]
         k = ti.nm_m[:, None] - ti.nm_m[None, :]
         valid = (j >= 0) & (np.abs(k) <= j)
         jj = np.where(valid, j, 0)
         kk = np.where(valid, k, 0)
-        return np.where(valid, rb[jj * jj + jj + kk], 0)
+        mat = np.where(valid, rb[jj * jj + jj + kk], 0)
+        if r_child != r_parent:
+            mat = mat * (r_child / r_parent) ** ti.nm_n[None, :]
+        return mat
 
-    def _l2l_matrix(self, t):
+    def _l2l_matrix(self, t, r_parent=1.0, r_child=1.0):
         p = self.order
         ti = self.tree_indep
-        rb = np.conj(sh.regular(np.asarray(t)[:, None], p)[0])
+        rb = np.conj(sh.regular(
+            np.asarray(t)[:, None] / r_parent, p)[0])
         j = ti.nm_n[None, :] - ti.nm_n[:, None]
         k = ti.nm_m[None, :] - ti.nm_m[:, None]
         valid = (j >= 0) & (np.abs(k) <= j)
         jj = np.where(valid, j, 0)
         kk = np.where(valid, k, 0)
-        return np.where(valid, rb[jj * jj + jj + kk], 0)
+        mat = np.where(valid, rb[jj * jj + jj + kk], 0)
+        if r_child != r_parent:
+            mat = mat * ((r_child / r_parent) ** ti.nm_n)[:, None]
+        return mat
 
-    def _m2l_matrix(self, t):
+    def _m2l_matrix(self, t, r=1.0):
         p = self.order
         ti = self.tree_indep
-        sb = sh.irregular(np.asarray(t)[:, None], 2 * p)[0]
+        sb = sh.irregular(np.asarray(t)[:, None] / r, 2 * p)[0]
         n_sum = ti.nm_n[:, None] + ti.nm_n[None, :]
         m_sum = ti.nm_m[:, None] + ti.nm_m[None, :]
         sign = (-1.0) ** ti.nm_n[:, None]
-        return sign * sb[n_sum * n_sum + n_sum + m_sum]
+        return sign * sb[n_sum * n_sum + n_sum + m_sum] / r
 
     # }}}
 
@@ -257,16 +297,16 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
         r = sh.regular(rel, self.order, xp=jnp)
         return jnp.sum(jnp.conj(r) * loc, axis=-1)
 
-    def _m2p_eval(self, rel, mp):
+    def _m2p_eval(self, rel, mp, scale=1.0):
         rel_s, ok = self._safe(rel)
         s = sh.irregular(rel_s, self.order, xp=jnp)
-        return jnp.where(ok, jnp.sum(s * mp, axis=-1), 0)
+        return jnp.where(ok, jnp.sum(s * mp, axis=-1), 0) / scale
 
-    def _p2l_terms(self, rel, q):
+    def _p2l_terms(self, rel, q, scale=1.0):
         rel_s, ok = self._safe(rel)
         s = sh.irregular(rel_s, self.order, xp=jnp)
         return jnp.where(ok[..., None],
-                         s * q.astype(self.dtype)[..., None], 0)
+                         s * q.astype(self.dtype)[..., None], 0) / scale
 
     def _p2p(self, tgt_pts, src_pts, src_valid, q):
         diff = tgt_pts[:, None, :] - src_pts[None, :, :]
@@ -280,11 +320,20 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
 # }}}
 
 
-def make_laplace_wrangler(traversal, order, **kwargs):
+def make_laplace_wrangler(traversal, order=None, *, level_to_order=None,
+                          **kwargs):
     """Convenience factory choosing the wrangler by dimension.
 
-    Keyword arguments (e.g. ``dipole_vec``) are forwarded to the wrangler
+    Pass either a global *order* or a *level_to_order* callable (the
+    reference's ``fmm_level_to_order``); other keyword arguments (e.g.
+    ``dipole_vec``, ``rscale``) are forwarded to the wrangler
     constructor."""
+    if (order is None) == (level_to_order is None):
+        raise TypeError("pass exactly one of order / level_to_order")
+    if level_to_order is not None:
+        order = max(int(level_to_order(lev))
+                    for lev in range(traversal.tree.nlevels))
+        kwargs["level_to_order"] = level_to_order
     dim = traversal.tree.dimensions
     ti = LaplaceTreeIndependentDataForWrangler(dim, order)
     if dim == 2:

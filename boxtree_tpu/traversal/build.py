@@ -514,6 +514,56 @@ def _fill_rowlist(gen, rows_pfx, row_base, starts, out):
     return out
 
 
+_L2_PARENT_CHUNK = 8192
+
+
+def _count_l2_parent(gen, prows, box_counts):
+    """Scatter-add List-2 candidate counts per child box; *gen* is the
+    parent-side generator (``nbr.fgen_list2_parent``)."""
+    nboxes = box_counts.shape[0] - 1
+    padded, nchunks = _pad_rows(prows, _L2_PARENT_CHUNK)
+    vrow = jnp.arange(padded.shape[0]) < prows.shape[0]
+
+    def body(carry, inp):
+        rows, vr = inp
+        cand, own = gen(rows)
+        cnt = (cand >= 0).sum(axis=2).astype(jnp.int32)
+        safe = jnp.where(vr[:, None] & (own > 0), own, nboxes)
+        return carry.at[safe].add(cnt, mode="drop"), None
+
+    box_counts, _ = lax.scan(
+        body, box_counts,
+        (padded.reshape(nchunks, -1), vrow.reshape(nchunks, -1)))
+    return box_counts
+
+
+def _fill_l2_parent(gen, prows, starts_by_box, out):
+    """Direct-position fill of List 2 from the parent-side generator:
+    each child row appears in exactly one generator slot, so the in-row
+    rank is a plain cumsum (no sort).  *starts_by_box* maps box id ->
+    CSR start (-1 for boxes that are not List-2 rows)."""
+    total = out.shape[0]
+    padded, nchunks = _pad_rows(prows, _L2_PARENT_CHUNK)
+    vrow = jnp.arange(padded.shape[0]) < prows.shape[0]
+
+    def body(carry, inp):
+        out = carry
+        rows, vr = inp
+        cand, own = gen(rows)
+        start = starts_by_box[jnp.clip(own, 0)]         # (B, nchild)
+        valid = ((cand >= 0) & (own > 0)[..., None]
+                 & (start >= 0)[..., None] & vr[:, None, None])
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=2) - 1
+        pos = start.astype(jnp.int64)[..., None] + rank
+        out = out.at[jnp.where(valid, pos, total)].set(cand, mode="drop")
+        return out, None
+
+    out, _ = lax.scan(
+        body, out,
+        (padded.reshape(nchunks, -1), vrow.reshape(nchunks, -1)))
+    return out
+
+
 def _count_keys(gen, rows_pfx, aux, count):
     padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
     nrows = rows_pfx.shape[0]
@@ -640,7 +690,7 @@ def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
                          root_extent=root_extent, sof=sof)
 
     slnws_counts = jnp.zeros(nboxes + 1, jnp.int32)
-    l2_counts = jnp.zeros(ntotp + 1, jnp.int32)
+    l2_counts_rl = jnp.zeros(ntotp + 1, jnp.int32)
     l4_counts = jnp.zeros(ntotp + 1, jnp.int32)
 
     for lev in range(nlevels):
@@ -652,13 +702,28 @@ def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
         if r1 == r0 or lev == 0:
             continue
         rows = totp_boxes[r0:r1]
-        l2_counts = _count_rowlist(gen_2, rows, r0, l2_counts)
+        if not fast:
+            l2_counts_rl = _count_rowlist(gen_2, rows, r0, l2_counts_rl)
         if not (n_away == 1 and lev == 1):
             l4_counts = _count_rowlist(gen_4, rows, r0, l4_counts)
 
-    return (slnws_counts[:-1], l2_counts[:-1], l4_counts[:-1],
-            slnws_counts[:-1].sum(), l2_counts[:-1].sum(),
-            l4_counts[:-1].sum())
+    if fast:
+        # List 2 from the parent side: one table row + 3^d child rows
+        # per parent serve all 2^d children (fgen_list2_parent)
+        gen2p = partial(nbr.fgen_list2_parent, ntable=ntable,
+                        child_rows=child_rows, dimensions=dimensions)
+        l2_box_counts = jnp.zeros(nboxes + 1, jnp.int32)
+        for plev in range(nlevels - 1):
+            prows = jnp.arange(lsb[plev], lsb[plev + 1], dtype=jnp.int32)
+            l2_box_counts = _count_l2_parent(gen2p, prows, l2_box_counts)
+        l2_counts = l2_box_counts[:nboxes][totp_boxes]
+    else:
+        l2_counts = l2_counts_rl[:-1]
+
+    return (slnws_counts[:-1], l2_counts, l4_counts[:-1],
+            slnws_counts[:-1].astype(jnp.int64).sum(),
+            l2_counts.astype(jnp.int64).sum(),
+            l4_counts[:-1].astype(jnp.int64).sum())
 
 
 def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
@@ -857,9 +922,21 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
         if r1 == r0 or lev == 0:
             continue
         rows = totp_boxes[r0:r1]
-        l2_out = _fill_rowlist(gen_2, rows, r0, l2_starts, l2_out)
+        if not fast:
+            l2_out = _fill_rowlist(gen_2, rows, r0, l2_starts, l2_out)
         if not (n_away == 1 and lev == 1):
             l4_out = _fill_rowlist(gen_4, rows, r0, l4_starts, l4_out)
+
+    if fast:
+        nboxes = lsb[-1]
+        ntotp = ls_totp[-1]
+        gen2p = partial(nbr.fgen_list2_parent, ntable=ntable,
+                        child_rows=child_rows, dimensions=dimensions)
+        starts_by_box = jnp.full(nboxes + 1, -1, jnp.int64).at[
+            totp_boxes.astype(jnp.int64)].set(l2_starts[:ntotp])
+        for plev in range(nlevels - 1):
+            prows = jnp.arange(lsb[plev], lsb[plev + 1], dtype=jnp.int32)
+            l2_out = _fill_l2_parent(gen2p, prows, starts_by_box, l2_out)
 
     return ((slnws_starts.astype(jnp.int32), slnws_out),
             (l2_starts.astype(jnp.int32), l2_out),
@@ -1077,6 +1154,23 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     # }}}
 
+    # optional stage timing (BOXTREE_TPU_TRAV_TIMING=1): wall time per
+    # jitted pass, synchronized; for the perf log in doc/PERF.md
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get("BOXTREE_TPU_TRAV_TIMING") == "1"
+
+    def _tic():
+        return _time.perf_counter() if _timing else None
+
+    def _toc(name, t0, *sync):
+        if _timing:
+            jax.block_until_ready(sync)
+            print(f"# trav {name}: {_time.perf_counter() - t0:.3f}s",
+                  flush=True)
+
+    _t = _tic()
+
     # neighbor table (fast path) — only the 1-away window is tabulated;
     # the with-extent lists always use the generic Morton-search path.
     # Entries pack the IS_SOURCE / is-target-row bits (see neighbors.py).
@@ -1093,6 +1187,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
             dimensions=d, lsb=lsb)
     else:
         ntable = jnp.zeros((1, 1), jnp.int32)
+    _toc("neighbor_table", _t, ntable)
 
     # which levels carry source / target boxes at all (static skips) —
     # from the UNMASKED flags: interaction lists ignore the masks
@@ -1116,6 +1211,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         sof_dev = jnp.float64(0)
         ext_data = (z, z, z, bbox_min_dev, root_extent_dev, sof_dev)
 
+    _t = _tic()
+
     # count passes
     (slnws_counts, l2_counts, l4_counts, slnws_tot, l2_tot,
      l4_tot) = _counts_pass(
@@ -1123,6 +1220,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         parents_dev, child_rows_dev, bbox_min_dev, root_extent_dev,
         sof_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
         fast=fast, src_levels=src_levels, ext=ext)
+    _toc("counts_rowlists", _t, slnws_tot)
+    _t = _tic()
     l1_tot, l3_tot, l3_ne, l3c_tot, l4c_tot = _edge_counts_pass(
         prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
         parents_dev, target_or_target_parent_boxes, ext_data,
@@ -1130,6 +1229,9 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         ntarget_boxes=ntarget_boxes, fast=fast, src_levels=src_levels,
         tgt_levels=tgt_levels, ls_totp=ls_totp, ext=ext, crit=crit,
         min_nsources=min_nsources)
+
+    _toc("counts_edges", _t, l1_tot)
+    _t = _tic()
 
     # single host sync for every size
     packed = jax.device_get(_pack_totals(
@@ -1139,6 +1241,9 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         int(packed[i]) for i in range(6))
     l3_totals = tuple(int(x) for x in packed[6:6 + nlevels])
     l3_nonempty = tuple(int(x) for x in packed[6 + nlevels:])
+
+    _toc("host_sync", _t)
+    _t = _tic()
 
     # fill passes
     ((slnws_starts, slnws_lists), (l2_starts, l2_lists),
@@ -1150,6 +1255,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         totals=(slnws_total, l2_total, l4_total), fast=fast,
         src_levels=src_levels, ext=ext)
 
+    _toc("fill_rowlists", _t, slnws_lists, l2_lists, l4_lists)
+    _t = _tic()
     (l1_starts, l1_lists), l3_csr, close_csr = _fill_edges_pass(
         prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
         parents_dev, target_or_target_parent_boxes, ext_data,
@@ -1159,6 +1266,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         src_levels=src_levels, tgt_levels=tgt_levels, ls_totp=ls_totp,
         ext=ext, crit=crit, min_nsources=min_nsources,
         l3c_total=l3c_total, l4c_total=l4c_total)
+
+    _toc("fill_edges", _t, l1_lists)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []

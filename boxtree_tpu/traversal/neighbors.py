@@ -137,6 +137,59 @@ def fgen_slnws(rows, ntable, *, dimensions):
     return jnp.where(t >= 0, t & ID_MASK, -1)
 
 
+def _list2_valid_pairs(dimensions):
+    """For each child digit r: the static list of (neighbor column j,
+    child digit q) whose candidate is well-separated from r — i.e. the
+    List-2 window, enumerated once per *parent*."""
+    d = dimensions
+    offs = _offsets1(d)
+    nchild = 2 ** d
+
+    def bits(q):
+        return np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
+
+    pairs = []
+    for r in range(nchild):
+        lst = []
+        for j in range(len(offs)):
+            for q in range(nchild):
+                off = 2 * offs[j] + bits(q) - bits(r)
+                if (np.abs(off) > 1).any():
+                    lst.append((j, q))
+        pairs.append(lst)
+    return pairs
+
+
+def fgen_list2_parent(prows, ntable, child_rows, *, dimensions):
+    """List-2 candidates enumerated from the PARENT level: one
+    neighbor-table row plus 3^d child-row gathers per parent serve all
+    2^d children (the per-(column, digit) well-separation test is fully
+    static).  Returns ``(cand, own)`` with ``cand`` (B, 2^d, K) candidate
+    box ids (-1 invalid) and ``own`` (B, 2^d) the child boxes owning each
+    candidate row (0 = absent child)."""
+    d = dimensions
+    m = 3 ** d
+    nchild = 2 ** d
+    rows_i = jnp.clip(prows, 0).astype(jnp.int64)
+    pn = ntable[rows_i]                                 # (B, m)
+    own = child_rows[rows_i]                            # (B, nchild)
+
+    cand_jq = {}
+    for j in range(m):
+        pnj = pn[:, j]
+        ch = child_rows[jnp.clip(pnj, 0) & ID_MASK]     # (B, nchild)
+        ok = pnj >= 0
+        for q in range(nchild):
+            c = ch[:, q]
+            cand_jq[(j, q)] = jnp.where(ok & (c > 0), c, -1)
+
+    pairs = _list2_valid_pairs(d)
+    cand = jnp.stack(
+        [jnp.stack([cand_jq[jq] for jq in pairs[r]], axis=1)
+         for r in range(nchild)], axis=1)               # (B, nchild, K)
+    return jnp.where(own[..., None] > 0, cand, -1), own
+
+
 def fgen_list2(rows, ntable, child_rows, parents, prefixes, *, dimensions):
     """Children of parent's neighbors that are >1 away: candidate cell
     offsets are fully static per (neighbor column, child digit); each
