@@ -97,9 +97,10 @@ def _mask_to_list(mask, *, total):
         return jnp.zeros(0, jnp.int32)
     n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int64)) - 1
+    lane = jnp.arange(n, dtype=jnp.int64)
     out = jnp.zeros(total, jnp.int32)
-    return out.at[jnp.where(mask, pos, total)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return out.at[jnp.where(mask, pos, total + lane)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
 
 
 def _pad_rows(arr, chunk):
@@ -501,10 +502,14 @@ def _fill_rowlist(gen, rows_pfx, row_base, starts, out):
         rows, ridx, vr = inp
         cand = gen(rows)
         valid = (cand >= 0) & vr[:, None]
-        rank = jnp.cumsum(valid.astype(jnp.int64), axis=1) - 1
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
         pos = starts[jnp.clip(ridx, 0, starts.shape[0] - 1)].astype(
             jnp.int64)[:, None] + rank
-        out = out.at[jnp.where(valid, pos, total)].set(cand, mode="drop")
+        # unique sentinel per lane keeps the scatter on XLA's
+        # unique-indices fast path (dropped either way)
+        lane = jnp.arange(cand.size, dtype=jnp.int64).reshape(cand.shape)
+        out = out.at[jnp.where(valid, pos, total + lane)].set(
+            cand, mode="drop", unique_indices=True)
         return out, None
 
     out, _ = lax.scan(
@@ -555,7 +560,9 @@ def _fill_l2_parent(gen, prows, starts_by_box, out):
                  & (start >= 0)[..., None] & vr[:, None, None])
         rank = jnp.cumsum(valid.astype(jnp.int32), axis=2) - 1
         pos = start.astype(jnp.int64)[..., None] + rank
-        out = out.at[jnp.where(valid, pos, total)].set(cand, mode="drop")
+        lane = jnp.arange(cand.size, dtype=jnp.int64).reshape(cand.shape)
+        out = out.at[jnp.where(valid, pos, total + lane)].set(
+            cand, mode="drop", unique_indices=True)
         return out, None
 
     out, _ = lax.scan(
@@ -597,7 +604,9 @@ def _fill_keys(gen, rows_pfx, aux, out, offset):
                          _INVALID_KEY).reshape(-1)
         valid = keys != _INVALID_KEY
         pos = offset + jnp.cumsum(valid.astype(jnp.int64)) - 1
-        out = out.at[jnp.where(valid, pos, total)].set(keys, mode="drop")
+        lane = jnp.arange(keys.shape[0], dtype=jnp.int64)
+        out = out.at[jnp.where(valid, pos, total + lane)].set(
+            keys, mode="drop", unique_indices=True)
         return (out, offset + valid.sum()), None
 
     (out, offset), _ = lax.scan(

@@ -146,8 +146,8 @@ def _phase_a(coords, weights, radii, bbox_min_in, root_extent_in,
             [jnp.zeros(1, jnp.int64),
              jnp.cumsum(jnp.where(descending, w_s, 0))])
         cuma = jnp.concatenate(
-            [jnp.zeros(1, jnp.int64),
-             jnp.cumsum(active.astype(jnp.int64))])
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(active.astype(jnp.int32))]).astype(jnp.int64)
         w = cumw[hi] - cumw[lo]
         n_active = cuma[hi] - cuma[lo]
         nonempty_start = is_start & (n_active > 0)
@@ -227,7 +227,6 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
     n = codes_s.shape[0]
     nchild = 2 ** d
     coord_dtype = merged_coords.dtype
-    iota = jnp.arange(n, dtype=jnp.int64)
 
     if has_extents:
         # Re-sort so that every box's own (nonchild) particles precede its
@@ -255,7 +254,6 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
 
     prev_box = jnp.zeros(n, jnp.int32)
     leaf_box = jnp.zeros(n, jnp.int32)
-    rep = jnp.zeros(cap + 1, jnp.int64)
 
     # Per level: detect box starts among active particles, scatter only
     # the (small) per-box representative-particle indices, then *gather*
@@ -276,15 +274,19 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         is_start = active & (diff | ~prev_active)
         seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
-        rep = rep.at[jnp.where(is_start, b0 + seg_id, cap)].set(
-            iota, mode="drop")
-        reps_l = rep[b0:b1]
+        # representative (first) particle of each level-L box: seg_id is
+        # nondecreasing, so a searchsorted replaces a full-length scatter
+        # (XLA TPU scatters are slow)
+        reps_l = jnp.searchsorted(
+            seg_id, jnp.arange(nl, dtype=jnp.int32), side="left"
+            ).astype(jnp.int64)
         nxt_l = jnp.concatenate(
             [reps_l[1:], jnp.full(1, n, jnp.int64)])
 
-        cumact = _exclusive_cumsum(active.astype(jnp.int64))
+        cumact = _exclusive_cumsum(active.astype(jnp.int32)).astype(
+            jnp.int64)
         cumdeep = _exclusive_cumsum(
-            (leaf_level > level).astype(jnp.int64))
+            (leaf_level > level).astype(jnp.int32)).astype(jnp.int64)
         cumul_l = cumact[nxt_l] - cumact[reps_l]
         deeper_l = cumdeep[nxt_l] - cumdeep[reps_l]
 
@@ -330,13 +332,20 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         cumsrc[box_start + box_count_nonchild] - box_source_starts)
 
     pid = config.particle_id_dtype
-    pos_src = cumsrc[:-1]
-    src_scatter = jnp.where(is_source_s, pos_src, nsources)
-    user_source_ids = jnp.zeros(nsources, pid).at[src_scatter].set(
-        order.astype(pid), mode="drop")
-    box_id_of_source = jnp.zeros(nsources, jnp.int32).at[src_scatter].set(
-        leaf_box, mode="drop")
-    sources = merged_coords[:, user_source_ids]
+    if sources_are_targets:
+        # every particle is a source in sorted order: the compaction
+        # scatters collapse to identities
+        user_source_ids = order.astype(pid)
+        box_id_of_source = leaf_box
+        sources = merged_coords[:, user_source_ids]
+    else:
+        pos_src = cumsrc[:-1]
+        src_scatter = jnp.where(is_source_s, pos_src, nsources)
+        user_source_ids = jnp.zeros(nsources, pid).at[src_scatter].set(
+            order.astype(pid), mode="drop", unique_indices=True)
+        box_id_of_source = jnp.zeros(nsources, jnp.int32).at[
+            src_scatter].set(leaf_box, mode="drop", unique_indices=True)
+        sources = merged_coords[:, user_source_ids]
 
     if sources_are_targets:
         box_target_starts = box_source_starts
@@ -344,9 +353,9 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         box_target_counts_nonchild = box_source_counts_nonchild
         targets = sources
         box_id_of_target = box_id_of_source
-        # user target id -> tree order position
+        # user target id -> tree order position (inverse permutation)
         sorted_target_ids = jnp.zeros(nsources, pid).at[order].set(
-            jnp.arange(n, dtype=pid))
+            jnp.arange(n, dtype=pid), unique_indices=True)
     else:
         is_target_s = ~is_source_s
         cumtgt = _exclusive_cumsum(is_target_s.astype(jnp.int64))
@@ -360,12 +369,12 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         tgt_scatter = jnp.where(is_target_s, pos_tgt, ntargets)
         user_target_id = order - nsources
         user_target_ids = jnp.zeros(ntargets, pid).at[tgt_scatter].set(
-            user_target_id.astype(pid), mode="drop")
+            user_target_id.astype(pid), mode="drop", unique_indices=True)
         sorted_target_ids = jnp.zeros(ntargets, pid).at[
             jnp.where(is_target_s, user_target_id, ntargets)].set(
-                pos_tgt.astype(pid), mode="drop")
+                pos_tgt.astype(pid), mode="drop", unique_indices=True)
         box_id_of_target = jnp.zeros(ntargets, jnp.int32).at[
-            tgt_scatter].set(leaf_box, mode="drop")
+            tgt_scatter].set(leaf_box, mode="drop", unique_indices=True)
         targets = merged_coords[:, nsources + user_target_ids]
 
     # }}}
@@ -556,6 +565,18 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         root_extent_in = 1.0
     depth = config.max_morton_depth(dimensions)
 
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get("BOXTREE_TPU_TRAV_TIMING") == "1"
+
+    def _toc(name, t0, *sync):
+        if _timing:
+            jax.block_until_ready(sync)
+            print(f"# build {name}: {_time.perf_counter() - t0:.3f}s",
+                  flush=True)
+
+    _t = _time.perf_counter() if _timing else None
+
     (codes_s, order, leaf_level, counts_and_unfit, bbox_min,
      root_extent) = _phase_a(
         merged, weights, merged_radii, jnp.asarray(bbox_min_in),
@@ -564,7 +585,11 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         adaptive=(kind != "non-adaptive"), use_bbox=bbox is not None,
         has_extents=has_extents, extent_norm=extent_norm)
 
+    _toc("phase_a", _t, codes_s)
+    _t = _time.perf_counter() if _timing else None
     counts_and_unfit = jax.device_get(counts_and_unfit)
+    _toc("host_counts", _t)
+    _t = _time.perf_counter() if _timing else None
     counts, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
     if n_unfit:
         raise MaxLevelsExceeded(
@@ -591,6 +616,8 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
         nsources=nsources, ntargets=ntargets,
         sources_are_targets=sources_are_targets,
         has_extents=has_extents)
+
+    _toc("phase_b", _t, out["box_morton"])
 
     lsb_tuple = tuple(int(x) for x in level_starts)
     if has_extents:
