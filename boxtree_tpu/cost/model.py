@@ -310,10 +310,139 @@ class AbstractFMMCostModel:
         return params
 
 
+class PythonFMMCostModel(AbstractFMMCostModel):
+    """Host (numpy) cost evaluation — the analogue of the reference's
+    pure-Python flavor (``boxtree/cost.py:1264``)."""
+
+    @staticmethod
+    def aggregate_over_boxes(per_box):
+        return float(np.sum(np.asarray(per_box)))
+
+
 class FMMCostModel(AbstractFMMCostModel):
-    """Concrete cost model (the reference splits a device and a pure-
-    Python flavor, ``cost.py:715`` / ``cost.py:1264``; the numpy
-    evaluation here serves as both)."""
+    """Device-side (jnp) cost evaluation — the analogue of the
+    reference's OpenCL flavor (``boxtree/cost.py:715-1257``).  All
+    per-edge and per-box arithmetic runs on device over the traversal's
+    CSR arrays (which already live there); only the tiny per-level
+    operator-cost tables are built on host.  The cost vector stays on
+    device, so large-tree load balancing doesn't bounce through the
+    host."""
+
+    @staticmethod
+    def aggregate_over_boxes(per_box):
+        import jax.numpy as jnp
+        return float(jnp.sum(per_box))
+
+    def _tables(self, tree, level_to_order, c):
+        import jax.numpy as jnp
+        nlevels = tree.nlevels
+        xlat = self.translation_cost_model_factory(
+            tree.dimensions, nlevels).with_orders(level_to_order)
+        levs = range(nlevels)
+
+        def t1(f, cc):
+            return jnp.asarray([float(f(lv)) * cc for lv in levs])
+
+        def t2(f, cc):
+            return jnp.asarray([[float(f(s, t)) * cc for t in levs]
+                                for s in levs])
+
+        return {
+            "p2m": t1(xlat.p2m, c["c_p2m"]),
+            "l2p": t1(xlat.l2p, c["c_l2p"]),
+            "m2p": t1(xlat.m2p, c["c_m2p"]),
+            "p2l": t1(xlat.p2l, c["c_p2l"]),
+            "m2m": t2(xlat.m2m, c["c_m2m"]),
+            "l2l": t2(xlat.l2l, c["c_l2l"]),
+            "m2l": t2(xlat.m2l, c["c_m2l"]),
+        }
+
+    def _stage_terms(self, traversal, level_to_order, c):
+        """Per stage: (box ids, per-term device costs) scatter pairs."""
+        import jax.numpy as jnp
+
+        from boxtree_tpu.models.particle_blocks import csr_rows
+
+        tree = traversal.tree
+        t = self._tables(tree, level_to_order, c)
+        lev = tree.box_levels
+        src_cnt = tree.box_source_counts_nonchild.astype(jnp.float64)
+        tgt_cnt = tree.box_target_counts_nonchild.astype(jnp.float64)
+        parents = tree.box_parent_ids
+        terms = {}
+
+        sb = traversal.source_boxes
+        terms["form_multipoles"] = (sb, src_cnt[sb] * t["p2m"][lev[sb]])
+
+        # M2M: one link per box whose parent is a source-parent box
+        spb_mask = jnp.zeros(tree.nboxes, bool).at[
+            traversal.source_parent_boxes].set(True)
+        ball = jnp.arange(1, tree.nboxes)
+        pball = parents[ball]
+        is_link = spb_mask[pball]
+        terms["coarsen_multipoles"] = (
+            jnp.where(is_link, pball, 0),
+            jnp.where(is_link, t["m2m"][lev[ball], lev[pball]], 0.0))
+
+        l1 = traversal.neighbor_source_boxes_lists
+        rows = csr_rows(traversal.neighbor_source_boxes_starts,
+                        int(l1.shape[0]))
+        tgt = traversal.target_boxes[rows]
+        terms["eval_direct"] = (
+            tgt, tgt_cnt[tgt] * src_cnt[l1] * c["c_p2p"])
+
+        l2 = traversal.from_sep_siblings_lists
+        rows = csr_rows(traversal.from_sep_siblings_starts,
+                        int(l2.shape[0]))
+        tgt = traversal.target_or_target_parent_boxes[rows]
+        terms["multipole_to_local"] = (tgt, t["m2l"][lev[l2], lev[tgt]])
+
+        m2p_idx, m2p_val = [], []
+        for lvl, ssn in enumerate(traversal.from_sep_smaller_by_level):
+            if ssn.count == 0:
+                continue
+            rows = csr_rows(ssn.starts, int(ssn.lists.shape[0]))
+            tb = traversal.target_boxes_sep_smaller_by_source_level[
+                lvl][rows]
+            m2p_idx.append(tb)
+            m2p_val.append(tgt_cnt[tb] * t["m2p"][lvl])
+        terms["eval_multipoles"] = (
+            (jnp.concatenate(m2p_idx), jnp.concatenate(m2p_val))
+            if m2p_idx else
+            (jnp.zeros(0, jnp.int64), jnp.zeros(0, jnp.float64)))
+
+        l4 = traversal.from_sep_bigger_lists
+        rows = csr_rows(traversal.from_sep_bigger_starts,
+                        int(l4.shape[0]))
+        tgt = traversal.target_or_target_parent_boxes[rows]
+        terms["form_locals"] = (tgt, src_cnt[l4] * t["p2l"][lev[tgt]])
+
+        totp = traversal.target_or_target_parent_boxes
+        nonroot = lev[totp] > 0
+        terms["refine_locals"] = (
+            totp, jnp.where(nonroot,
+                            t["l2l"][lev[parents[totp]], lev[totp]], 0.0))
+
+        tb = traversal.target_boxes
+        terms["eval_locals"] = (tb, tgt_cnt[tb] * t["l2p"][lev[tb]])
+        return terms
+
+    def cost_per_stage(self, traversal, level_to_order,
+                       calibration_params=None):
+        c = calibration_params or self.get_unit_calibration_params()
+        terms = self._stage_terms(traversal, level_to_order, c)
+        import jax.numpy as jnp
+        return {k: float(jnp.sum(v)) for k, (_i, v) in terms.items()}
+
+    def cost_per_box(self, traversal, level_to_order,
+                     calibration_params=None):
+        import jax.numpy as jnp
+        c = calibration_params or self.get_unit_calibration_params()
+        terms = self._stage_terms(traversal, level_to_order, c)
+        cost = jnp.zeros(traversal.tree.nboxes, jnp.float64)
+        for idx, val in terms.values():
+            cost = cost.at[idx].add(val)
+        return cost
 
 
-_PythonFMMCostModel = FMMCostModel
+_PythonFMMCostModel = PythonFMMCostModel

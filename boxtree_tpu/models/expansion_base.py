@@ -77,7 +77,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     def __init__(self, tree_indep, traversal, dipole_vec=None,
                  dipoles_already_reordered=False, level_to_order=None,
-                 rscale=None):
+                 rscale=None, dtype=None):
         """:arg dipole_vec: optional ``(dim, nsources)`` array (user order
         unless *dipoles_already_reordered*).  When given, the sources are
         dipoles: the potential of source ``y`` with FMM weight ``w`` is
@@ -104,6 +104,10 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         ``rscale^n`` rescaling.
         """
         super().__init__(tree_indep, traversal)
+        if dtype is not None:
+            # reduced-precision expansions (e.g. complex64 for float32
+            # trees — the float32 FMM path of ``test/test_fmm.py:672``)
+            self.dtype = np.dtype(dtype).type
         tree = traversal.tree
         self.dim = tree.dimensions
         self.ncoeff = self._ncoeff()
@@ -191,13 +195,16 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         offs = _offsets(tree.dimensions, 2 * n + 1, min_inf_norm=n)
         self.m2l_plan = M2LPlan(traversal, offs)
         if self.m2l_plan.nops:
-            ops = []
+            ts, rs, levs = [], [], []
             for (lev, c) in self.m2l_plan.used:
                 size = root / (1 << lev)
                 # translation t = c_tgt - c_src = offset * box_size
-                t = self.m2l_plan.offsets[c].astype(np.float64) * size
-                mat = trunc(self._m2l_matrix(t, r_of(lev)), lev, lev)
-                ops.append(mat.T)                      # transposed: rows
+                ts.append(self.m2l_plan.offsets[c].astype(np.float64)
+                          * size)
+                rs.append(r_of(lev))
+                levs.append(lev)
+            mats = self._m2l_matrices(np.stack(ts), np.asarray(rs))
+            ops = [trunc(m, lev, lev).T for m, lev in zip(mats, levs)]
             self._m2l_opsT = jnp.asarray(
                 np.stack(ops).astype(self.dtype))
         else:
@@ -306,6 +313,13 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     def _m2l_matrix(self, t, r=1.0):
         raise NotImplementedError
+
+    def _m2l_matrices(self, ts, rs):
+        """Batched M2L operator build for (nops, dim) translations;
+        kernels with vectorizable host bases override this (the loop
+        fallback costs ~1 ms per matrix, which adds up at ~2k used
+        (level, class) operators)."""
+        return [self._m2l_matrix(t, float(r)) for t, r in zip(ts, rs)]
 
     # }}}
 
@@ -652,7 +666,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
         def tgt_scale(t_box):
             if self._scale_of_level is None:
-                return jnp.float64(1.0)
+                return 1.0       # weak-typed: no float64 promotion
             return self._scale_of_level[levels[t_box]]
 
         if self.dipole_vec is None:
@@ -709,5 +723,133 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             rel = rel / self._scale_of_level[tree.box_levels[
                 tree.box_id_of_target]]
         return self._l2p_eval(rel, local_exps[tree.box_id_of_target])
+
+    # }}}
+
+    # {{{ local-block stage forms (distributed local trees)
+    #
+    # These mirror the *_edges forms but take explicit per-box particle
+    # blocks instead of the tree's global ParticleBlocks — the
+    # evaluation side of the reference's local trees
+    # (boxtree/distributed/local_tree.py): each rank only holds the
+    # blocks its edge partition touches.  Box indices marked -1 are
+    # dropped.
+
+    def _block_scale(self, gboxes):
+        if self._scale_of_level is None:
+            return None
+        return self._scale_of_level[self.tree.box_levels[
+            jnp.clip(gboxes, 0)]]
+
+    def form_multipoles_blocks(self, gboxes, pts, pmask, q_blocks):
+        """P2M from (nb, pmax, d) blocks owned by global boxes *gboxes*
+        into a global-size multipole array."""
+        tree = self.tree
+        gb = jnp.clip(gboxes, 0).astype(jnp.int64)
+        rel = (pts.transpose(2, 0, 1)
+               - self.centers[:, gb][:, :, None])       # (d, nb, pmax)
+        s = self._block_scale(gboxes)
+        if s is not None:
+            rel = rel / s[None, :, None]
+        terms = self._p2m_terms(rel, q_blocks)          # (nb, pmax, K)
+        keep = pmask & (gboxes >= 0)[:, None]
+        terms = jnp.where(keep[..., None], terms, 0).sum(axis=1)
+        if self._coeff_mask is not None:
+            terms = terms * self._coeff_mask[tree.box_levels[gb]]
+        mp = self.multipole_expansion_zeros()
+        return mp.at[jnp.where(gboxes >= 0, gb, tree.nboxes)].add(
+            terms, mode="drop")
+
+    def _edge_block_scan(self, tgt_rows, src_rows, valid_e, edge_fn,
+                         out):
+        """Chunked scatter-add of per-edge block results at local target
+        rows (rows < 0 dropped)."""
+        valid = (tgt_rows >= 0) & (src_rows >= 0)
+        if valid_e is not None:
+            valid = valid & valid_e
+        (tr, sr), pad_valid, nchunks = self._pad_edges(
+            jnp.clip(tgt_rows, 0), jnp.clip(src_rows, 0))
+        valid = jnp.pad(valid, (0, pad_valid.shape[0] - valid.shape[0])) \
+            & pad_valid
+        nrows = out.shape[0] - 1
+
+        def body(carry, inp):
+            acc = carry
+            t, s, vv = inp
+            vals = jax.vmap(edge_fn)(t, s)
+            safe = jnp.where(vv, t, nrows)
+            return acc.at[safe].add(vals, mode="drop"), None
+
+        out, _ = lax.scan(
+            body, out,
+            (tr.reshape(nchunks, -1), sr.reshape(nchunks, -1),
+             valid.reshape(nchunks, -1)))
+        return out
+
+    def eval_direct_blocks(self, tgt_rows, src_rows, valid_e,
+                           tgt_pts, src_pts, src_pm, q_blocks):
+        """List-1 P2P over edges indexing LOCAL blocks; returns
+        (n_local_tgt_boxes + 1, pmax) block potentials."""
+        def edge_potential(t, s):
+            return self._p2p(tgt_pts[t], src_pts[s], src_pm[s],
+                             q_blocks[s])
+        out = jnp.zeros((tgt_pts.shape[0] + 1, tgt_pts.shape[1]),
+                        self.dtype)
+        return self._edge_block_scan(tgt_rows, src_rows, valid_e,
+                                     edge_potential, out)
+
+    def eval_multipoles_blocks(self, tgt_rows, src_gboxes, valid_e,
+                               tgt_pts, mpole_exps):
+        """List-3 M2P at local target blocks from global source boxes."""
+        levels = self.tree.box_levels
+
+        def edge_eval(t, s):
+            rel = tgt_pts[t].T - self.centers[:, s][:, None]
+            if self._scale_of_level is None:
+                return self._m2p_eval(rel, mpole_exps[s])
+            sc = self._scale_of_level[levels[s]]
+            return self._m2p_eval(rel / sc, mpole_exps[s], sc)
+
+        out = jnp.zeros((tgt_pts.shape[0] + 1, tgt_pts.shape[1]),
+                        self.dtype)
+        return self._edge_block_scan(tgt_rows, src_gboxes, valid_e,
+                                     edge_eval, out)
+
+    def form_locals_blocks(self, tgt_gboxes, src_rows, valid_e,
+                           src_pts, src_pm, q_blocks):
+        """List-4 P2L from local source blocks into global-size local
+        expansions."""
+        tree = self.tree
+        levels = tree.box_levels
+
+        def edge_coeffs(t, s):
+            if self._scale_of_level is None:
+                sc = 1.0         # weak-typed: no float64 promotion
+            else:
+                sc = self._scale_of_level[levels[t]]
+            rel = (src_pts[s].T - self.centers[:, t][:, None]) / sc
+            terms = self._p2l_terms(rel, q_blocks[s], sc)
+            return jnp.sum(
+                jnp.where(src_pm[s][:, None], terms, 0), axis=0)
+
+        out = jnp.zeros((tree.nboxes + 1, self.ncoeff), self.dtype)
+        out = self._edge_block_scan(tgt_gboxes, src_rows, valid_e,
+                                    edge_coeffs, out)
+        loc = out[:tree.nboxes]
+        if self._coeff_mask is not None:
+            loc = loc * self._coeff_mask[tree.box_levels]
+        return loc
+
+    def eval_locals_blocks(self, gboxes, pts, pmask, local_exps):
+        """L2P at (nb, pmax, d) local target blocks; returns (nb, pmax)
+        block potentials."""
+        gb = jnp.clip(gboxes, 0).astype(jnp.int64)
+        rel = (pts.transpose(2, 0, 1)
+               - self.centers[:, gb][:, :, None])       # (d, nb, pmax)
+        s = self._block_scale(gboxes)
+        if s is not None:
+            rel = rel / s[None, :, None]
+        vals = self._l2p_eval(rel, local_exps[gb][:, None, :])
+        return jnp.where(pmask & (gboxes >= 0)[:, None], vals, 0)
 
     # }}}

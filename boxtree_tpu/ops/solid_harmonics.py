@@ -51,12 +51,13 @@ def _harmonics(xp, coords, p, kind):
     u = x + 1j * y
 
     shape = x.shape
+    # complex64 for float32 coords, complex128 for float64
+    cdtype = xp.result_type(x.dtype, xp.complex64)
     vals = [None] * ncoeffs(p)
 
     if kind == "regular":
         # R_m^m chain
-        rmm = xp.ones(shape, dtype=complex) if xp is np \
-            else xp.ones(shape, dtype="complex128")
+        rmm = xp.ones(shape, dtype=cdtype)
         vals[nm_index(0, 0)] = rmm
         for m in range(1, p + 1):
             rmm = u * rmm / (2 * m)
@@ -76,7 +77,7 @@ def _harmonics(xp, coords, p, kind):
     else:
         rinv2 = 1.0 / r2
         rinv = xp.sqrt(rinv2)
-        smm = rinv + 0j
+        smm = rinv.astype(cdtype)
         vals[nm_index(0, 0)] = smm
         for m in range(1, p + 1):
             smm = (2 * m - 1) * u * smm * rinv2

@@ -145,6 +145,66 @@ def _default_wrangler_factory(traversal):
         ConstantOneTreeIndependentDataForWrangler(), traversal)
 
 
+def _build_local_particles(wrangler, box_masks, nranks):
+    """Per-rank local particle blocks (the analogue of the reference's
+    ``generate_local_tree``, ``boxtree/distributed/local_tree.py:198-495``):
+    each rank keeps only the source blocks of its point-source-or-
+    responsible boxes and the target blocks of its responsible boxes,
+    padded to uniform shapes and stacked for sharding.  The global box
+    *skeleton* stays replicated — exactly like the reference's local
+    trees, which keep the full box arrays and reduce the particle sets.
+
+    Returns a dict of host arrays (leading axis = rank).
+    """
+    from boxtree_tpu.tree.containers import box_flags_enum as _F
+    tree = wrangler.tree
+    flags = np.asarray(tree.box_flags)
+    is_src = (flags & _F.IS_SOURCE_BOX) != 0
+    is_tgt = (flags & _F.IS_TARGET_BOX) != 0
+
+    sb, tb = wrangler.src_blocks, wrangler.tgt_blocks
+    src_pts = np.asarray(sb.points)
+    src_mask = np.asarray(sb.mask)
+    src_idx = np.asarray(sb.index)
+    tgt_pts = np.asarray(tb.points)
+    tgt_mask = np.asarray(tb.mask)
+    tgt_idx = np.asarray(tb.index)
+
+    nboxes = tree.nboxes
+    out = {k: [] for k in (
+        "src_boxes", "src_points", "src_pmask", "src_index",
+        "src_row_of_box", "tgt_boxes", "tgt_points", "tgt_pmask",
+        "tgt_index", "tgt_row_of_box")}
+    for r in range(nranks):
+        m = box_masks[r]
+        sboxes = np.nonzero(
+            (m.point_src_boxes | m.responsible_boxes) & is_src)[0]
+        tboxes = np.nonzero(m.responsible_boxes & is_tgt)[0]
+        srow = np.full(nboxes, -1, np.int32)
+        srow[sboxes] = np.arange(len(sboxes), dtype=np.int32)
+        trow = np.full(nboxes, -1, np.int32)
+        trow[tboxes] = np.arange(len(tboxes), dtype=np.int32)
+        out["src_boxes"].append(sboxes.astype(np.int32))
+        out["src_points"].append(src_pts[sboxes])
+        out["src_pmask"].append(src_mask[sboxes])
+        out["src_index"].append(src_idx[sboxes])
+        out["src_row_of_box"].append(srow)
+        out["tgt_boxes"].append(tboxes.astype(np.int32))
+        out["tgt_points"].append(tgt_pts[tboxes])
+        out["tgt_pmask"].append(tgt_mask[tboxes])
+        out["tgt_index"].append(tgt_idx[tboxes])
+        out["tgt_row_of_box"].append(trow)
+
+    stacked = {}
+    for key, arrs in out.items():
+        if key.endswith("row_of_box"):
+            stacked[key] = np.stack(arrs)
+        else:
+            fill = -1 if arrs[0].dtype.kind == "i" else 0
+            stacked[key] = _pad_stack(arrs, fill)
+    return stacked
+
+
 class DistributedFMMRunner:
     """Set up and drive a distributed FMM over *mesh*.
 
@@ -163,10 +223,18 @@ class DistributedFMMRunner:
         "allreduce" runs a dense ``psum`` (the reference's
         ``communicate_mpoles_via_allreduce`` debug path,
         ``boxtree/distributed/calculation.py:288-294``).
+    :arg local_particles: keep only each rank's local particle blocks on
+        device (sources of its point-source/responsible boxes, targets of
+        its responsible boxes) so per-device particle memory scales
+        ~1/nranks — the reference's local trees
+        (``boxtree/distributed/local_tree.py:198-495``).  Requires an
+        :class:`~boxtree_tpu.models.expansion_base.ExpansionWranglerBase`
+        wrangler without dipoles.
     """
 
     def __init__(self, mesh, traversal, wrangler_factory=None,
-                 cost_per_box=None, communicate_mpoles="hypercube"):
+                 cost_per_box=None, communicate_mpoles="hypercube",
+                 local_particles=False):
         if communicate_mpoles not in ("hypercube", "allreduce"):
             raise ValueError(f"bad communicate_mpoles: "
                              f"{communicate_mpoles}")
@@ -190,6 +258,15 @@ class DistributedFMMRunner:
         if wrangler_factory is None:
             wrangler_factory = _default_wrangler_factory
         self.wrangler = wrangler_factory(traversal)
+        self.local_particles = bool(local_particles)
+        if self.local_particles:
+            if not hasattr(self.wrangler, "src_blocks"):
+                raise TypeError(
+                    "local_particles requires an ExpansionWranglerBase "
+                    "wrangler (with particle blocks)")
+            if getattr(self.wrangler, "dipole_vec", None) is not None:
+                raise NotImplementedError(
+                    "local_particles does not support dipoles yet")
 
         if cost_per_box is None:
             from boxtree_tpu.cost.model import FMMCostModel
@@ -290,25 +367,66 @@ class DistributedFMMRunner:
             self._mpole_ops = ()
             self._mpole_tables = ()
 
-        self._step = self._build_step()
+        if self.local_particles:
+            ld = _build_local_particles(self.wrangler, self.box_masks,
+                                        nranks)
+            self._local_src_index = ld["src_index"]       # host copies
+            self._local_src_pmask = ld["src_pmask"]
+
+            # P2M runs only over each rank's *responsible* source boxes
+            # (cross-rank multipole contributions must stay disjoint);
+            # the other local source blocks exist for P2P/P2L only.
+            resp = np.stack([m.responsible_boxes for m in self.box_masks])
+            sbx = ld["src_boxes"]
+            sbx_resp = np.take_along_axis(
+                resp, np.clip(sbx, 0, None), axis=1) & (sbx >= 0)
+            ld["src_p2m_boxes"] = np.where(sbx_resp, sbx, -1)
+
+            # re-map this rank's edge endpoints from global box ids to
+            # local block rows (the reference's local-tree renumbering,
+            # ``boxtree/distributed/local_tree.py:432-457``)
+            srow, trow = ld["src_row_of_box"], ld["tgt_row_of_box"]
+
+            def remap(edges, col_maps):
+                out = []
+                for r, a in enumerate(edges):
+                    if len(a) == 0:
+                        out.append(np.zeros((0, 2), np.int64))
+                        continue
+                    cols = []
+                    for c, cmap in enumerate(col_maps):
+                        cols.append(a[:, c] if cmap is None
+                                    else cmap[r][a[:, c]])
+                    out.append(np.stack(cols, axis=1))
+                return shard(_pad_stack(out, -1))
+
+            self.e1_local = remap(e1, (trow, srow))
+            self.e3_local = remap(e3, (trow, None))
+            self.e4_local = remap(e4, (None, srow))
+            keep = ("src_points", "src_pmask", "src_p2m_boxes",
+                    "tgt_boxes", "tgt_points", "tgt_pmask", "tgt_index")
+            self._local = {k: shard(ld[k]) for k in keep}
+            #: per-rank bytes of the local particle blocks (for the
+            #: memory-scaling assertion in tests)
+            self.local_bytes_per_rank = sum(
+                ld[k][0].nbytes for k in keep)
+            self._shard = shard
+            self._step = self._build_step_local()
+        else:
+            self._step = self._build_step()
 
     # {{{ SPMD step
 
-    def _build_step(self):
-        tree = self.tree
-        nboxes = tree.nboxes
-        box_of_src = tree.box_id_of_source
+    def _make_mpole_exchange(self):
+        """Shared closure: sparse relevance-filtered hypercube exchange
+        of (nboxes_sent, ncoeff) expansion blocks, or dense psum."""
         axis = self.axis_name
-        wrangler = self.wrangler
-        pot_box_map = wrangler.potential_box_map()
-
+        nboxes = self.tree.nboxes
         mpole_perms = self._mpole_perms
         mpole_ops = self._mpole_ops
         use_hypercube = bool(mpole_perms)
 
         def exchange_mpoles(mp, mpole_tables):
-            """Sparse relevance-filtered hypercube exchange of
-            (nboxes_sent, ncoeff) expansion blocks, or dense psum."""
             if not use_hypercube:
                 return jax.lax.psum(mp, axis)
             trail = (1,) * (mp.ndim - 1)
@@ -327,6 +445,16 @@ class DistributedFMMRunner:
                 else:
                     mp = mp.at[safe].set(recv, mode="drop")
             return mp
+
+        return exchange_mpoles
+
+    def _build_step(self):
+        tree = self.tree
+        box_of_src = tree.box_id_of_source
+        axis = self.axis_name
+        wrangler = self.wrangler
+        pot_box_map = wrangler.potential_box_map()
+        exchange_mpoles = self._make_mpole_exchange()
 
         def step(resp_mask, e1, e2, e2_gs, e3, e4, totp_local,
                  mpole_tables, weights):
@@ -378,14 +506,108 @@ class DistributedFMMRunner:
                       P(axis, None), table_specs, P()),
             out_specs=P(), check_vma=False))
 
+    def _build_step_local(self):
+        """SPMD step over per-rank LOCAL particle blocks: each device
+        holds only the source/target blocks of its partition (plus the
+        replicated box skeleton), so particle memory scales ~1/nranks —
+        the evaluation semantics of the reference's local trees
+        (``boxtree/distributed/local_tree.py:198-495`` +
+        ``local_traversal.py:34-62``)."""
+        tree = self.tree
+        axis = self.axis_name
+        wrangler = self.wrangler
+        ntargets = tree.ntargets
+        exchange_mpoles = self._make_mpole_exchange()
+
+        def step(e1, e2, e2_gs, e3, e4, totp_local,
+                 src_pts, src_pm, src_p2m_boxes,
+                 tgt_boxes, tgt_pts, tgt_pm, tgt_idx,
+                 mpole_tables, q_blocks):
+            e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
+            e2_gs = e2_gs[0]
+            totp_local = totp_local[0]
+            src_pts, src_pm = src_pts[0], src_pm[0]
+            src_p2m_boxes = src_p2m_boxes[0]
+            tgt_boxes, tgt_pts = tgt_boxes[0], tgt_pts[0]
+            tgt_pm, tgt_idx = tgt_pm[0], tgt_idx[0]
+            q_blocks = q_blocks[0]
+
+            # upward pass: P2M from this rank's responsible blocks,
+            # M2M along the (replicated) box skeleton, then exchange
+            mp = wrangler.form_multipoles_blocks(
+                src_p2m_boxes, src_pts, src_pm, q_blocks)
+            mp = wrangler.coarsen_multipoles(None, None, mp)
+            mp = exchange_mpoles(mp, mpole_tables)
+
+            # near/far stages over local-row edge slices
+            pot_b = wrangler.eval_direct_blocks(
+                e1[:, 0], e1[:, 1], None, tgt_pts, src_pts, src_pm,
+                q_blocks)
+            pot_b = pot_b + wrangler.eval_multipoles_blocks(
+                e3[:, 0], e3[:, 1], None, tgt_pts, mp)
+
+            loc = wrangler.multipole_to_local_edges(
+                e2[:, 0], e2[:, 1], e2_gs, mp)
+            loc = loc + wrangler.form_locals_blocks(
+                e4[:, 0], e4[:, 1], None, src_pts, src_pm, q_blocks)
+            loc = wrangler.refine_locals_rows(totp_local, loc)
+
+            pot_b = pot_b[:tgt_pts.shape[0]] \
+                + wrangler.eval_locals_blocks(tgt_boxes, tgt_pts,
+                                              tgt_pm, loc)
+
+            # scatter this rank's block potentials to tree target order;
+            # responsible boxes partition the targets, so a psum merges
+            valid = tgt_pm & (tgt_boxes >= 0)[:, None] & (tgt_idx >= 0)
+            safe = jnp.where(valid, tgt_idx.astype(jnp.int64), ntargets)
+            pot = jnp.zeros(ntargets, wrangler.dtype).at[safe].add(
+                jnp.where(valid, pot_b, 0), mode="drop")
+            return jax.lax.psum(pot, axis)
+
+        try:
+            from jax import shard_map
+        except ImportError:               # older jax
+            from jax.experimental.shard_map import shard_map
+        table_specs = tuple(
+            (P(axis, None), P(axis, None)) for _ in self._mpole_tables)
+
+        def spec(ndim):
+            return P(axis, *([None] * (ndim - 1)))
+
+        return jax.jit(shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec(3), spec(3), spec(2), spec(3), spec(3),
+                      spec(2),
+                      spec(4), spec(3), spec(2),
+                      spec(2), spec(4), spec(3), spec(3),
+                      table_specs, spec(3)),
+            out_specs=P(), check_vma=False))
+
     # }}}
 
     def drive_dfmm(self, source_weights):
         """Run the distributed FMM; returns potentials in user target
         order (mirrors ``distributed/__init__.py:301-310``)."""
         w = self.wrangler.reorder_sources(jnp.asarray(source_weights))
-        pot = self._step(self.resp_masks, self.e1, self.e2,
-                         self.e2_group_sizes, self.e3, self.e4,
-                         self.totp_boxes_local, self._mpole_tables, w)
+        if self.local_particles:
+            # ship each rank only its local weight blocks (the analogue
+            # of the reference's per-rank ``distribute_source_weights``,
+            # ``boxtree/distributed/calculation.py:57-94``)
+            wn = np.asarray(w)
+            idx, pm = self._local_src_index, self._local_src_pmask
+            q = np.where(pm & (idx >= 0), wn[np.clip(idx, 0, None)],
+                         0).astype(self.wrangler.dtype)
+            lc = self._local
+            pot = self._step(
+                self.e1_local, self.e2, self.e2_group_sizes,
+                self.e3_local, self.e4_local, self.totp_boxes_local,
+                lc["src_points"], lc["src_pmask"], lc["src_p2m_boxes"],
+                lc["tgt_boxes"], lc["tgt_points"], lc["tgt_pmask"],
+                lc["tgt_index"], self._mpole_tables, self._shard(q))
+        else:
+            pot = self._step(self.resp_masks, self.e1, self.e2,
+                             self.e2_group_sizes, self.e3, self.e4,
+                             self.totp_boxes_local, self._mpole_tables,
+                             w)
         pot = self.wrangler.reorder_potentials(pot)
         return self.wrangler.finalize_potentials(pot)
