@@ -16,10 +16,10 @@ ladder walks down until a size succeeds.
 Env knobs: BENCH_N (default 2e6), BENCH_DIMS (default 3),
 BENCH_MAX_PARTICLES (default 30).
 
-NOTE: on this machine's tunneled v5e, XLA compiles crash for problem
-sizes above ~2e6 points (remote tpu_compile_helper SIGSEGV, independent
-of this code); 2e6 is the largest size that demonstrably compiles, and
-the subprocess ladder guards against regressions.
+The round-1 >2e6 remote-compiler SIGSEGV no longer reproduces with the
+round-2 sort-based traversal fills; 1e7 (the BASELINE metric size) runs
+on the tunneled v5e.  The subprocess ladder still guards against
+regressions by halving n on failure.
 """
 
 import json
@@ -31,6 +31,8 @@ import time
 
 def run_single(n):
     """Executed in a subprocess: benchmark one size, print one line."""
+    os.environ.setdefault("BOXTREE_TPU_CACHE",
+                          os.path.expanduser("~/.cache/jax_tpu"))
     import numpy as np
     import jax
 
@@ -63,7 +65,11 @@ def run_single(n):
 
 
 def main():
-    n = int(float(os.environ.get("BENCH_N", 2e6)))
+    # persistent compile cache: the tunneled TPU's remote compiles are
+    # slow (~6 min warm at 1e7); cached reruns take seconds
+    os.environ.setdefault("BOXTREE_TPU_CACHE",
+                          os.path.expanduser("~/.cache/jax_tpu"))
+    n = int(float(os.environ.get("BENCH_N", 1e7)))
     result = None
     while n >= 250_000:
         proc = subprocess.run(

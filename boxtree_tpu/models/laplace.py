@@ -272,13 +272,21 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
         return mat
 
     def _m2l_matrix(self, t, r=1.0):
-        p = self.order
+        return self._m2l_matrices(np.asarray(t)[None], [r])[0]
+
+    def _m2l_matrices(self, ts, rs):
+        """Batched: ONE solid-harmonics evaluation over all (nops,)
+        translations (the per-matrix python loop costs ~1 ms each)."""
         ti = self.tree_indep
-        sb = sh.irregular(np.asarray(t)[:, None] / r, 2 * p)[0]
+        ts = np.asarray(ts, np.float64)
+        rs = np.asarray(rs, np.float64)
+        sb = sh.irregular(ts.T / rs[None, :], 2 * self.order)
+        # sb: (nops, ncoeff(2p)); per-op operator via shared index map
         n_sum = ti.nm_n[:, None] + ti.nm_n[None, :]
         m_sum = ti.nm_m[:, None] + ti.nm_m[None, :]
         sign = (-1.0) ** ti.nm_n[:, None]
-        return sign * sb[n_sum * n_sum + n_sum + m_sum] / r
+        idx = n_sum * n_sum + n_sum + m_sum
+        return sign[None] * sb[:, idx] / rs[:, None, None]
 
     # }}}
 

@@ -127,50 +127,110 @@ class M2LPlan:
 
     def __init__(self, traversal, offsets):
         """:arg offsets: (nclasses, dim) int array of allowed translation
-        vectors (the List-2 window)."""
+        vectors (the List-2 window).
+
+        Classification, edge sorting, and per-class counting all run ON
+        DEVICE (one packed int64 key sort); only the tiny per-(level,
+        class) histogram crosses to the host.  The tunneled-TPU setup
+        this replaces pulled every CSR array to the host (~50 MB, minutes
+        through the tunnel) to classify with numpy.
+        """
         tree = traversal.tree
         self.offsets = np.asarray(offsets)
         self.nclasses = len(self.offsets)
         d = tree.dimensions
+        nlevels = tree.nlevels
 
-        # host-side classification machinery (one-time setup)
         from boxtree_tpu.ops import morton
-        self._cells = np.asarray(morton.deinterleave(
-            tree.box_morton_prefixes, d))          # (d, nboxes)
-        self._levels = np.asarray(tree.box_levels)
         self._radius = int(np.abs(self.offsets).max())
         width = 2 * self._radius + 1
         self._weights = width ** np.arange(d)
         self._table = np.full(width ** d, -1, np.int64)
         self._table[(self.offsets + self._radius) @ self._weights] = \
             np.arange(self.nclasses)
+        # lazy host-side machinery for classify() (distributed runner)
+        self._cells_np = None
+        self._levels_np = None
+        self._tree = tree
 
-        totp = np.asarray(traversal.target_or_target_parent_boxes)
-        starts = np.asarray(traversal.from_sep_siblings_starts)
-        lists = np.asarray(traversal.from_sep_siblings_lists)
-        counts = np.diff(starts)
-        rows = np.repeat(np.arange(len(counts)), counts)
-        tgt = totp[rows]
-        src = lists
+        lists = traversal.from_sep_siblings_lists
+        nedges = int(lists.shape[0])
+        npossible = nlevels * self.nclasses
 
-        opkey = self._opkey(tgt, src)
-        self._used_keys = np.unique(opkey)
+        if nedges == 0:
+            self.used = []
+            self.nops = 0
+            self._used_keys = np.zeros(0, np.int64)
+            self.tgt = jnp.zeros(0, jnp.int32)
+            self.src = jnp.zeros(0, jnp.int32)
+            self.group_sizes = jnp.zeros(0, jnp.int32)
+            return
+
+        # NOTE: deliberately NOT jitted — eager ops skip both the
+        # (per-tree-shape) compile and any host round trip; each op
+        # dispatches on device data directly.
+        def _classify_dev(prefixes, levels, starts, lists, totp,
+                          table_dev, *, nedges, npossible):
+            rows = csr_rows(starts, nedges)
+            tgt = totp[rows].astype(jnp.int64)
+            src = lists.astype(jnp.int64)
+            cells = morton.deinterleave(prefixes, d)      # (d, nboxes)
+            dvec = cells[:, tgt] - cells[:, src]          # (d, E)
+            idx = (dvec + self._radius).T @ jnp.asarray(
+                self._weights, jnp.int64)
+            in_range = ((dvec + self._radius >= 0)
+                        & (dvec + self._radius < width)).all(axis=0)
+            cls = jnp.where(in_range,
+                            table_dev[jnp.clip(idx, 0, len(
+                                self._table) - 1)], -1)
+            opkey = jnp.where(
+                cls >= 0, levels[tgt] * self.nclasses + cls, npossible)
+            # pack (opkey, edge idx) into one int64: key-only sort
+            bits = max(1, int(nedges - 1).bit_length())
+            packed = (opkey << bits) | jnp.arange(nedges,
+                                                  dtype=jnp.int64)
+            skey = jax.lax.sort(packed)
+            eidx = skey & ((jnp.int64(1) << bits) - 1)
+            okey = skey >> bits
+            # histogram over all statically possible keys
+            bounds = jnp.arange(npossible + 2, dtype=jnp.int64)
+            cuts = jnp.searchsorted(okey, bounds)
+            hist = cuts[1:] - cuts[:-1]                   # (npossible+1,)
+            return (tgt[eidx].astype(jnp.int32),
+                    src[eidx].astype(jnp.int32), hist)
+
+        tgt_s, src_s, hist = _classify_dev(
+            tree.box_morton_prefixes, tree.box_levels,
+            traversal.from_sep_siblings_starts, lists,
+            traversal.target_or_target_parent_boxes,
+            jnp.asarray(self._table), nedges=nedges,
+            npossible=npossible)
+
+        hist = np.asarray(hist)                           # tiny transfer
+        if hist[-1] != 0:
+            raise AssertionError(
+                "List-2 edge outside translation window")
+        used_keys = np.nonzero(hist[:-1])[0]
+        self._used_keys = used_keys.astype(np.int64)
         self.used = [(int(k) // self.nclasses, int(k) % self.nclasses)
-                     for k in self._used_keys]
-        self.nops = len(self._used_keys)
-
-        opid = np.searchsorted(self._used_keys, opkey)
-        order = np.argsort(opid, kind="stable")
-        self.tgt = jnp.asarray(tgt[order].astype(np.int32))
-        self.src = jnp.asarray(src[order].astype(np.int32))
-        self.group_sizes = jnp.asarray(np.bincount(
-            opid, minlength=self.nops).astype(np.int32))
+                     for k in used_keys]
+        self.nops = len(used_keys)
+        self.tgt = tgt_s
+        self.src = src_s
+        self.group_sizes = jnp.asarray(
+            hist[used_keys].astype(np.int32))
 
     def _opkey(self, tgt, src):
-        dvec = (self._cells[:, tgt] - self._cells[:, src]).T
+        if self._cells_np is None:
+            from boxtree_tpu.ops import morton
+            self._cells_np = np.asarray(morton.deinterleave(
+                self._tree.box_morton_prefixes, self._tree.dimensions))
+            self._levels_np = np.asarray(self._tree.box_levels)
+        dvec = (self._cells_np[:, tgt] - self._cells_np[:, src]).T
         cls = self._table[(dvec + self._radius) @ self._weights]
         assert (cls >= 0).all(), "List-2 edge outside translation window"
-        return self._levels[tgt].astype(np.int64) * self.nclasses + cls
+        return self._levels_np[tgt].astype(np.int64) * self.nclasses \
+            + cls
 
     def classify(self, tgt, src):
         """Operator ids (indices into :attr:`used`) for host edge arrays;

@@ -1,5 +1,9 @@
 from boxtree_tpu import config  # noqa: F401
-from boxtree_tpu.traversal.build import FMMTraversalBuilder, build_traversal
+from boxtree_tpu.traversal.build import (
+    FMMTraversalBuilder,
+    build_traversal,
+    merge_close_lists,
+)
 from boxtree_tpu.traversal.containers import BuiltList, FMMTraversalInfo
 
 __all__ = [
@@ -7,4 +11,5 @@ __all__ = [
     "FMMTraversalBuilder",
     "FMMTraversalInfo",
     "build_traversal",
+    "merge_close_lists",
 ]

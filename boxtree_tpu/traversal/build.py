@@ -542,33 +542,119 @@ def _count_l2_parent(gen, prows, box_counts):
     return box_counts
 
 
-def _fill_l2_parent(gen, prows, starts_by_box, out):
-    """Direct-position fill of List 2 from the parent-side generator:
-    each child row appears in exactly one generator slot, so the in-row
-    rank is a plain cumsum (no sort).  *starts_by_box* maps box id ->
-    CSR start (-1 for boxes that are not List-2 rows)."""
-    total = out.shape[0]
-    padded, nchunks = _pad_rows(prows, _L2_PARENT_CHUNK)
+def _fill_rowlist_chunked(gen, rows_pfx, row_base, starts, out,
+                          chunk=_ROW_CHUNK):
+    """CSR fill by per-chunk sort + overlapping window writes.
+
+    Emission over *rows_pfx* is CSR-row-ordered, so each scan chunk's
+    valid candidates form a contiguous CSR segment starting at
+    ``starts[first row of chunk]``.  Per chunk: pack
+    ``(row << 32) | cand`` keys (invalid -> ``_INVALID_KEY``), sort the
+    chunk (valid prefix lands in CSR order), and write the whole sorted
+    chunk — garbage tail included — at the segment start with ONE
+    contiguous ``dynamic_update_slice``.  The scan is sequential, so the
+    next chunk's write overwrites the previous tail; *out* needs
+    ``chunk * K`` slack beyond the list total.
+
+    TPU rationale: data-dependent scatters cost ~12ns/lane and a single
+    global sort pays ~log^2(total) compare passes; chunked sorts pay
+    only ~log^2(chunk) and keep peak memory at O(chunk).
+    """
+    padded, nchunks = _pad_rows(rows_pfx, chunk)
+    nrows = rows_pfx.shape[0]
+    gidx = row_base + jnp.arange(padded.shape[0], dtype=jnp.int64)
+    valid_row = jnp.arange(padded.shape[0]) < nrows
+    mask32 = np.int64(0xFFFFFFFF)
+
+    def body(carry, inp):
+        out = carry
+        rows, ridx, vr = inp
+        cand = gen(rows)
+        valid = (cand >= 0) & vr[:, None]
+        keys = jnp.where(
+            valid, (ridx[:, None] << np.int64(32))
+            | cand.astype(jnp.int64), _INVALID_KEY)
+        skeys = lax.sort(keys.reshape(-1))
+        vals = (skeys & mask32).astype(jnp.int32)
+        w0 = starts[ridx[0]]
+        return lax.dynamic_update_slice(out, vals, (w0,)), None
+
+    out, _ = lax.scan(
+        body, out,
+        (padded.reshape(nchunks, -1), gidx.reshape(nchunks, -1),
+         valid_row.reshape(nchunks, -1)))
+    return out
+
+
+_L2_FILL_CHUNK = 1024
+
+
+def _fill_l2_parent_chunked(gen, prows, child_level_parents, lsb_child,
+                            totp_boxes, is_totp, starts, out):
+    """Chunked-sort CSR fill for the parent-side List-2 generator.
+
+    A chunk of parents covers a contiguous range of *child* boxes (box
+    ids at the child level are assigned in parent order), so its valid
+    candidates again form a contiguous CSR segment; the segment start is
+    found by binary-searching the chunk's first parent into the child
+    level's parent array and that child into ``totp_boxes``.
+    """
+    padded, nchunks = _pad_rows(prows, _L2_FILL_CHUNK)
     vrow = jnp.arange(padded.shape[0]) < prows.shape[0]
+    mask32 = np.int64(0xFFFFFFFF)
 
     def body(carry, inp):
         out = carry
         rows, vr = inp
         cand, own = gen(rows)
-        start = starts_by_box[jnp.clip(own, 0)]         # (B, nchild)
+        own_row = is_totp[jnp.clip(own, 0).astype(jnp.int64)]
         valid = ((cand >= 0) & (own > 0)[..., None]
-                 & (start >= 0)[..., None] & vr[:, None, None])
-        rank = jnp.cumsum(valid.astype(jnp.int32), axis=2) - 1
-        pos = start.astype(jnp.int64)[..., None] + rank
-        lane = jnp.arange(cand.size, dtype=jnp.int64).reshape(cand.shape)
-        out = out.at[jnp.where(valid, pos, total + lane)].set(
-            cand, mode="drop", unique_indices=True)
-        return out, None
+                 & own_row[..., None] & vr[:, None, None])
+        keys = jnp.where(
+            valid, (own.astype(jnp.int64)[..., None] << np.int64(32))
+            | cand.astype(jnp.int64), _INVALID_KEY)
+        skeys = lax.sort(keys.reshape(-1))
+        vals = (skeys & mask32).astype(jnp.int32)
+        # first child box of this chunk's first parent
+        fc = lsb_child + jnp.searchsorted(child_level_parents,
+                                          rows[0].astype(jnp.int64))
+        w0 = starts[jnp.searchsorted(totp_boxes.astype(jnp.int64), fc)]
+        return lax.dynamic_update_slice(out, vals, (w0,)), None
 
     out, _ = lax.scan(
         body, out,
         (padded.reshape(nchunks, -1), vrow.reshape(nchunks, -1)))
     return out
+
+
+def _emit_keys(gen, rows_pfx, aux, buf, base):
+    """Contiguous-write key emission: blocks of pre-packed keys (invalid
+    -> ``_INVALID_KEY``) land at static offsets; one later sort both
+    compacts and row-orders them."""
+    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
+    nrows = rows_pfx.shape[0]
+    aux_p = [_pad_rows(a, _ROW_CHUNK)[0] for a in aux]
+    valid_row = jnp.arange(padded.shape[0]) < nrows
+    k = jax.eval_shape(
+        gen, padded[:_ROW_CHUNK],
+        *[a[:_ROW_CHUNK] for a in aux_p]).shape[1]
+    block = _ROW_CHUNK * k
+
+    def body(carry, inp):
+        buf = carry
+        i, vr = inp[0], inp[-1]
+        keys = jnp.where(vr[:, None], gen(inp[1], *inp[2:-1]),
+                         _INVALID_KEY)
+        buf = lax.dynamic_update_slice(
+            buf, keys.reshape(-1), (base + i * block,))
+        return buf, None
+
+    buf, _ = lax.scan(
+        body, buf,
+        (jnp.arange(nchunks, dtype=jnp.int64),
+         *(a.reshape(nchunks, -1) for a in (padded, *aux_p)),
+         valid_row.reshape(nchunks, -1)))
+    return buf, base + nchunks * block
 
 
 def _count_keys(gen, rows_pfx, aux, count):
@@ -589,31 +675,6 @@ def _count_keys(gen, rows_pfx, aux, count):
               for a in (padded, *aux_p, valid_row)))
     return count
 
-
-def _fill_keys(gen, rows_pfx, aux, out, offset):
-    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
-    nrows = rows_pfx.shape[0]
-    aux_p = [_pad_rows(a, _ROW_CHUNK)[0] for a in aux]
-    valid_row = jnp.arange(padded.shape[0]) < nrows
-    total = out.shape[0]
-
-    def body(carry, inp):
-        out, offset = carry
-        vr = inp[-1]
-        keys = jnp.where(vr[:, None], gen(inp[0], *inp[1:-1]),
-                         _INVALID_KEY).reshape(-1)
-        valid = keys != _INVALID_KEY
-        pos = offset + jnp.cumsum(valid.astype(jnp.int64)) - 1
-        lane = jnp.arange(keys.shape[0], dtype=jnp.int64)
-        out = out.at[jnp.where(valid, pos, total + lane)].set(
-            keys, mode="drop", unique_indices=True)
-        return (out, offset + valid.sum()), None
-
-    (out, offset), _ = lax.scan(
-        body, (out, offset),
-        tuple(a.reshape(nchunks, -1)
-              for a in (padded, *aux_p, valid_row)))
-    return out, offset
 
 # }}}
 
@@ -649,6 +710,15 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
     offs_2 = jnp.asarray(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
     k_pad4 = max(1, offs_n.shape[0] * (nlevels - 1))
 
+    def k_pad4_fast(lev):
+        """Exact per-level List-4 lane count: only ancestor levels that
+        hold source boxes at all contribute (uniform trees concentrate
+        sources on 1-2 deep levels, so this cuts ~3x of the lanes the
+        global pad would spend proving emptiness)."""
+        usable = [wl for wl in range(1, lev)
+                  if src_levels is None or src_levels[wl]]
+        return max(1, offs_n.shape[0] * len(usable))
+
     def make(lev):
         if fast:
             gen_s = partial(nbr.fgen_slnws, ntable=ntable, dimensions=d)
@@ -657,7 +727,8 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                             prefixes=prefixes, dimensions=d)
             gen_4 = partial(nbr.fgen_list4, ntable=ntable, parents=parents,
                             prefixes=prefixes,
-                            lb=lev, dimensions=d, k_pad=k_pad4,
+                            lb=lev, dimensions=d,
+                            k_pad=k_pad4_fast(lev),
                             src_levels=src_levels)
             return gen_s, gen_2, gen_4
         pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
@@ -917,35 +988,71 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
     slnws_starts = _exclusive_cumsum(slnws_counts.astype(jnp.int64))
     l2_starts = _exclusive_cumsum(l2_counts.astype(jnp.int64))
     l4_starts = _exclusive_cumsum(l4_counts.astype(jnp.int64))
-    slnws_out = jnp.zeros(slnws_total, jnp.int32)
-    l2_out = jnp.zeros(l2_total, jnp.int32)
-    l4_out = jnp.zeros(l4_total, jnp.int32)
 
+    # emission plans: (generator, rows, global CSR row base) per level
+    slnws_plan, l2_plan, l4_plan = [], [], []
     for lev in range(nlevels):
         gen_s, gen_2, gen_4 = make(lev)
         ids_l = jnp.arange(lsb[lev], lsb[lev + 1], dtype=jnp.int32)
-        slnws_out = _fill_rowlist(gen_s, ids_l, lsb[lev], slnws_starts,
-                                  slnws_out)
-
+        slnws_plan.append((gen_s, ids_l, lsb[lev]))
         r0, r1 = ls_totp[lev], ls_totp[lev + 1]
         if r1 == r0 or lev == 0:
             continue
         rows = totp_boxes[r0:r1]
         if not fast:
-            l2_out = _fill_rowlist(gen_2, rows, r0, l2_starts, l2_out)
+            l2_plan.append((gen_2, rows, r0))
         if not (n_away == 1 and lev == 1):
-            l4_out = _fill_rowlist(gen_4, rows, r0, l4_starts, l4_out)
+            l4_plan.append((gen_4, rows, r0))
+
+    def run_plan(plan, total, starts):
+        """Chunked-sort CSR fill over the plan's row-ordered emissions;
+        the output carries one-chunk slack for the overlapping window
+        writes (sliced off at the end)."""
+        if total == 0 or not plan:
+            return jnp.zeros(total, jnp.int32)
+        chunks = []
+        for gen, rows, _rb in plan:
+            k = jax.eval_shape(
+                gen, jax.ShapeDtypeStruct((16,), rows.dtype)).shape[1]
+            # keep per-chunk sorts ~1-2M lanes
+            chunks.append(_ROW_CHUNK if k <= 32 else _ROW_CHUNK // 4)
+        slack = max(c * jax.eval_shape(
+            gen, jax.ShapeDtypeStruct((16,), rows.dtype)).shape[1]
+            for c, (gen, rows, _rb) in zip(chunks, plan))
+        out = jnp.zeros(total + slack, jnp.int32)
+        for c, (gen, rows, rb) in zip(chunks, plan):
+            out = _fill_rowlist_chunked(gen, rows, rb, starts, out,
+                                        chunk=c)
+        return out[:total]
+
+    slnws_out = run_plan(slnws_plan, slnws_total, slnws_starts)
+    l4_out = run_plan(l4_plan, l4_total, l4_starts)
 
     if fast:
         nboxes = lsb[-1]
-        ntotp = ls_totp[-1]
         gen2p = partial(nbr.fgen_list2_parent, ntable=ntable,
                         child_rows=child_rows, dimensions=dimensions)
-        starts_by_box = jnp.full(nboxes + 1, -1, jnp.int64).at[
-            totp_boxes.astype(jnp.int64)].set(l2_starts[:ntotp])
-        for plev in range(nlevels - 1):
-            prows = jnp.arange(lsb[plev], lsb[plev + 1], dtype=jnp.int32)
-            l2_out = _fill_l2_parent(gen2p, prows, starts_by_box, l2_out)
+        is_totp = jnp.zeros(nboxes + 1, bool).at[
+            totp_boxes.astype(jnp.int64)].set(True)
+        if l2_total == 0:
+            l2_out = jnp.zeros(0, jnp.int32)
+        else:
+            cs = jax.eval_shape(
+                gen2p, jax.ShapeDtypeStruct(
+                    (_L2_FILL_CHUNK,), jnp.int32))[0].shape
+            slack = _L2_FILL_CHUNK * cs[1] * cs[2]
+            l2_out = jnp.zeros(l2_total + slack, jnp.int32)
+            for plev in range(nlevels - 1):
+                prows = jnp.arange(lsb[plev], lsb[plev + 1],
+                                   dtype=jnp.int32)
+                clp = parents[lsb[plev + 1]:lsb[plev + 2]].astype(
+                    jnp.int64)
+                l2_out = _fill_l2_parent_chunked(
+                    gen2p, prows, clp, lsb[plev + 1], totp_boxes,
+                    is_totp, l2_starts, l2_out)
+            l2_out = l2_out[:l2_total]
+    else:
+        l2_out = run_plan(l2_plan, l2_total, l2_starts)
 
     return ((slnws_starts.astype(jnp.int32), slnws_out),
             (l2_starts.astype(jnp.int32), l2_out),
@@ -971,27 +1078,44 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
 
     nboxes = lsb[-1]
 
+    def emit_plan(plan):
+        """Run a list of (gen, rows, aux) emissions into one padded key
+        buffer; returns the sorted keys (invalid keys sort last, and the
+        ``searchsorted``-based starts stop at the real rows, so no
+        slicing of the key buffer itself is needed)."""
+        size = 0
+        for gen, rows, aux in plan:
+            k = jax.eval_shape(
+                gen, jax.ShapeDtypeStruct((_ROW_CHUNK,), rows.dtype),
+                *[jax.ShapeDtypeStruct((_ROW_CHUNK,), a.dtype)
+                  for a in aux]).shape[1]
+            size += max(1, -(-rows.shape[0] // _ROW_CHUNK)) \
+                * _ROW_CHUNK * k
+        buf = jnp.zeros(size, jnp.int64)
+        base = 0
+        for gen, rows, aux in plan:
+            buf, base = _emit_keys(gen, rows, aux, buf, base)
+        return lax.sort(buf)
+
+    mask32 = np.int64(0xFFFFFFFF)
+
     # List 1
-    l1_buf = jnp.zeros(l1_total, jnp.int64)
-    off = jnp.int64(0)
+    l1_plan = []
     for lt in range(nlevels):
         r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
         if r1 == r0:
             continue
         rows = target_boxes[r0:r1]
-        l1_buf, off = _fill_keys(l1_tgt(lt), rows,
-                                 (rows.astype(jnp.int64),), l1_buf, off)
+        l1_plan.append((l1_tgt(lt), rows, (rows.astype(jnp.int64),)))
     for ls in range(1, nlevels):
         if src_levels is not None and not src_levels[ls]:
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-        src_ids = ids_l.astype(jnp.int64)
-        l1_buf, off = _fill_keys(l1_src(ls), ids_l, (src_ids,), l1_buf,
-                                 off)
-    l1_keys = lax.sort(l1_buf)
+        l1_plan.append((l1_src(ls), ids_l, (ids_l.astype(jnp.int64),)))
+    l1_keys = emit_plan(l1_plan)
     l1_starts = _starts_of_box_keys(l1_keys >> np.int64(32),
                                     target_boxes, nboxes)
-    l1_lists = (l1_keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+    l1_lists = (l1_keys[:l1_total] & mask32).astype(jnp.int32)
 
     # List 3 per source level, with device-side empty-row compression
     l3_out = []
@@ -1005,13 +1129,11 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
                            jnp.zeros(0, jnp.int32)))
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-        w_ids = ids_l.astype(jnp.int64)
-        buf = jnp.zeros(total, jnp.int64)
-        buf, _ = _fill_keys(l3g(ls), ids_l, (w_ids,), buf, jnp.int64(0))
-        keys = lax.sort(buf)
+        keys = emit_plan(
+            [(l3g(ls), ids_l, (ids_l.astype(jnp.int64),))])
         starts = _starts_of_box_keys(keys >> np.int64(32),
                                      target_boxes, nboxes)
-        lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+        lists = (keys[:total] & mask32).astype(jnp.int32)
         row_counts = starts[1:] - starts[:-1]
         ne_rows = _mask_to_list(row_counts > 0, total=nne)
         comp_starts = jnp.concatenate(
@@ -1021,37 +1143,30 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         l3_out.append((comp_starts, lists, ne_rows, tgt_sep))
 
     # close lists (target extents only): one CSR each over target rows
-    def fill_close(total, run):
-        buf = jnp.zeros(total, jnp.int64)
-        off = jnp.int64(0)
-        buf, off = run(buf, off)
-        keys = lax.sort(buf)
+    def fill_close(total, plan):
+        keys = emit_plan(plan)
         starts = _starts_of_box_keys(keys >> np.int64(32),
                                      target_boxes, nboxes)
-        lists = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+        lists = (keys[:total] & mask32).astype(jnp.int32)
         return starts, lists
 
     close_out = None
     if ext:
-        def run_l3c(buf, off):
-            for ls in range(1, nlevels):
-                ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-                buf, off = _fill_keys(l3g(ls, close=True), ids_l,
-                                      (ids_l.astype(jnp.int64),), buf, off)
-            return buf, off
-
-        def run_l4c(buf, off):
-            for lb in range(1, nlevels):
-                r0, r1 = ls_totp[lb], ls_totp[lb + 1]
-                if r1 == r0:
-                    continue
-                rows = totp_boxes[r0:r1]
-                buf, off = _fill_keys(l4cg(lb), rows,
-                                      (rows.astype(jnp.int64),), buf, off)
-            return buf, off
-
-        close_out = (fill_close(l3c_total, run_l3c),
-                     fill_close(l4c_total, run_l4c))
+        l3c_plan = []
+        for ls in range(1, nlevels):
+            ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+            l3c_plan.append((l3g(ls, close=True), ids_l,
+                             (ids_l.astype(jnp.int64),)))
+        l4c_plan = []
+        for lb in range(1, nlevels):
+            r0, r1 = ls_totp[lb], ls_totp[lb + 1]
+            if r1 == r0:
+                continue
+            rows = totp_boxes[r0:r1]
+            l4c_plan.append((l4cg(lb), rows,
+                             (rows.astype(jnp.int64),)))
+        close_out = (fill_close(l3c_total, l3c_plan),
+                     fill_close(l4c_total, l4c_plan))
 
     return (l1_starts, l1_lists), tuple(l3_out), close_out
 
@@ -1277,6 +1392,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         l3c_total=l3c_total, l4c_total=l4c_total)
 
     _toc("fill_edges", _t, l1_lists)
+    _t = _tic()
+    _toc("l3_close_sync", _t, l3_csr, close_csr)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []

@@ -64,8 +64,23 @@ def build_neighbor_table(prefixes, parents, child_ids, box_flags,
     nlevels = len(lsb) - 1
     col_w = 3 ** (d - 1 - np.arange(d))      # column weights (axis 0 slowest)
 
+    # per-box PACKED entries (id | predicate bits); packing during
+    # construction lets the per-level child lookup resolve entry AND
+    # flags in a single scattered gather (gathers are the scarce TPU
+    # resource — this build is one row-gather + one scattered gather
+    # per level instead of 2 scattered gathers per table column)
+    iota = jnp.arange(nboxes, dtype=jnp.int32)
+    ent = (iota
+           | jnp.where((box_flags & _F.IS_SOURCE_BOX) != 0, SRC_BIT, 0)
+           | jnp.where(tgt_box_mask, TGT_BIT, 0)).astype(jnp.int32)
+    # child_entry[digit, parent] -> packed entry of that child (-1 absent)
+    child_ent = jnp.where(
+        child_ids > 0,
+        ent[jnp.clip(child_ids, 0).astype(jnp.int64)],
+        np.int32(-1)).reshape(-1)            # ((2^d) * nboxes,)
+
     table = jnp.full((nboxes, m), -1, jnp.int32)
-    table = table.at[0, m // 2].set(0)
+    table = table.at[0, m // 2].set(ent[0])
 
     for lev in range(1, nlevels):
         b0, b1 = lsb[lev], lsb[lev + 1]
@@ -84,17 +99,12 @@ def build_neighbor_table(prefixes, parents, child_ids, box_flags,
                 digit = digit + (((cells[a] + delta[a]) & 1)
                                  << (d - 1 - a))
             pn = table[par, col]
-            cand = child_ids[digit, jnp.clip(pn, 0)]
-            cand = jnp.where((pn >= 0) & (cand > 0), cand, -1)
-            cols.append(cand.astype(jnp.int32))
+            pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)
+            cand = child_ent[digit * np.int64(nboxes) + pid]
+            cols.append(jnp.where(pn >= 0, cand, np.int32(-1)))
         table = table.at[b0:b1].set(jnp.stack(cols, axis=1))
 
-    # pack the predicate bits (single pass over the finished table)
-    idx = jnp.clip(table, 0).astype(jnp.int64)
-    bits = (jnp.where((box_flags[idx] & _F.IS_SOURCE_BOX) != 0,
-                      SRC_BIT, 0)
-            | jnp.where(tgt_box_mask[idx], TGT_BIT, 0)).astype(jnp.int32)
-    return jnp.where(table >= 0, table | bits, table)
+    return table
 
 
 # {{{ helpers shared by the fast generators

@@ -62,6 +62,23 @@ def _prefix_segments(pfx, n):
     return is_start, lo, hi
 
 
+_SEG_BIG = jnp.int64(1) << 62
+
+
+def _seg_totals(cum_incl, vals, is_start, total):
+    """Per-particle total of *vals* over its equal-prefix segment, using
+    scans only (TPU: data-dependent gathers cost ~20ns/elem, scans ~2ns).
+    The exclusive cumsum at segment starts is monotone, so a reverse
+    ``cummin`` of the marked values finds the *next* segment's start
+    exactly."""
+    excl = cum_incl - vals
+    base = lax.cummax(jnp.where(is_start, excl, jnp.int64(-1)))
+    marked = jnp.where(is_start, excl, _SEG_BIG)
+    nxt = lax.cummin(marked, reverse=True)        # min over k >= i
+    nxt = jnp.concatenate([nxt[1:], jnp.full(1, _SEG_BIG)])  # k > i
+    return jnp.minimum(nxt, total) - base
+
+
 def _stick_levels(coords, radii, bbox_min, root_extent, *, dimensions,
                   depth, extent_norm, stick_out_factor):
     """Deepest level at which every particle (with its radius) still fits
@@ -136,21 +153,29 @@ def _phase_a(coords, weights, radii, bbox_min_in, root_extent_in,
 
     max_weight = jnp.asarray(max_weight, jnp.int64)
 
+    cumw_full = jnp.cumsum(w_s)        # hoisted for the no-extent path
+
     def box_weights(level, active):
         shift = jnp.int64(dimensions) * (jnp.int64(depth) - level)
         pfx = codes_s >> shift
-        is_start, lo, hi = _prefix_segments(pfx, n)
-        # split decision counts only particles still able to descend
-        descending = active & (stick_s > level)
-        cumw = jnp.concatenate(
-            [jnp.zeros(1, jnp.int64),
-             jnp.cumsum(jnp.where(descending, w_s, 0))])
-        cuma = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32),
-             jnp.cumsum(active.astype(jnp.int32))]).astype(jnp.int64)
-        w = cumw[hi] - cumw[lo]
-        n_active = cuma[hi] - cuma[lo]
-        nonempty_start = is_start & (n_active > 0)
+        is_start = jnp.concatenate(
+            [jnp.ones(1, bool), pfx[1:] != pfx[:-1]])
+        if has_extents:
+            # split decision counts only particles still able to descend
+            wm = jnp.where(active & (stick_s > level), w_s, 0)
+            cw = jnp.cumsum(wm)
+            w = _seg_totals(cw, wm, is_start, cw[-1])
+            am = active.astype(jnp.int64)
+            ca = jnp.cumsum(am)
+            n_active = _seg_totals(ca, am, is_start, ca[-1])
+            nonempty_start = is_start & (n_active > 0)
+        else:
+            # particles of a box are assigned together, so a segment is
+            # all-active or all-assigned, and never empty: one hoisted
+            # cumsum serves every level, and scans (not gathers) spread
+            # the segment totals
+            w = _seg_totals(cumw_full, w_s, is_start, cumw_full[-1])
+            nonempty_start = is_start & active
         return nonempty_start, w
 
     counts0 = jnp.zeros(depth + 2, jnp.int64)
@@ -485,6 +510,14 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
     see there for argument semantics.  There is no array-context argument —
     all computation runs under JAX on the default device.
     """
+    # tolerate the reference's OpenCL-era no-op kwargs, but reject
+    # anything else so a typo'd option can't silently vanish
+    for benign in ("wait_for", "allocator", "queue"):
+        kwargs.pop(benign, None)
+    if kwargs:
+        raise TypeError(
+            f"build_tree() got unexpected keyword argument(s): "
+            f"{', '.join(sorted(kwargs))}")
     if kind not in _TREE_KINDS:
         raise ValueError(f"unknown tree kind: '{kind}'")
 
