@@ -19,6 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 @partial(jax.jit, static_argnames=("nboxes", "pmax"))
@@ -77,27 +78,62 @@ def csr_rows(starts, nedges):
         jnp.arange(nedges, dtype=jnp.int64), side="right") - 1)
 
 
-def grouped_matmul(lhs, ops, group_sizes):
+_GMM_TILE = 64
+
+
+def grouped_matmul(lhs, ops, group_sizes, tile=_GMM_TILE):
     """``out[i] = lhs[i] @ ops[g(i)]`` where rows of each group are
-    contiguous (MegaBlocks-style grouped GEMM; one MXU-batched
-    ``jax.lax.ragged_dot``).  Complex operands decompose into real
-    ragged_dots, which keeps the op TPU-lowerable."""
-    lc = jnp.iscomplexobj(lhs)
-    oc = jnp.iscomplexobj(ops)
-    if not (lc or oc):
-        return jax.lax.ragged_dot(lhs, ops, group_sizes)
-    rd = jax.lax.ragged_dot
-    if lc and oc:
-        lr, li = jnp.real(lhs), jnp.imag(lhs)
-        opr, opi = jnp.real(ops), jnp.imag(ops)
-        return ((rd(lr, opr, group_sizes) - rd(li, opi, group_sizes))
-                + 1j * (rd(lr, opi, group_sizes)
-                        + rd(li, opr, group_sizes)))
-    if lc:
-        return (rd(jnp.real(lhs), ops, group_sizes)
-                + 1j * rd(jnp.imag(lhs), ops, group_sizes))
-    return (rd(lhs, jnp.real(ops), group_sizes)
-            + 1j * rd(lhs, jnp.imag(ops), group_sizes))
+    contiguous (MegaBlocks-style grouped GEMM).
+
+    Implemented as a ``lax.scan`` over fixed-size row *tiles*: each tile
+    belongs to exactly one group (groups are padded up to a tile
+    multiple), so the body is ONE (tile, K) x (K, K) matmul with a
+    single operator read per tile — MXU-batched on TPU, and a small,
+    fast-compiling program everywhere.  (``jax.lax.ragged_dot`` is NOT
+    used: its XLA lowering takes essentially unbounded compile time on
+    CPU for K ~ 169 and crashes the tunneled-TPU compiler outright.)
+
+    The static tile count is ``E // tile + ngroups`` (each group wastes
+    at most one partial tile).
+    """
+    e, k = lhs.shape
+    ng = ops.shape[0]
+    if e == 0 or ng == 0:
+        return jnp.zeros((e, ops.shape[2] if ng else k),
+                         jnp.result_type(lhs.dtype, ops.dtype))
+    ntiles = e // tile + ng
+
+    gs = group_sizes.astype(jnp.int64)
+    gstart = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(gs)])    # (ng+1,)
+    tpg = -(-gs // tile)                              # tiles per group
+    tstart = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(tpg)])   # (ng+1,)
+
+    t_ids = jnp.arange(ntiles, dtype=jnp.int64)
+    gid = jnp.clip(
+        jnp.searchsorted(tstart, t_ids, side="right") - 1, 0, ng - 1)
+    local = t_ids - tstart[gid]                       # tile # in group
+    row0 = gstart[gid] + local * tile
+    lanes = jnp.arange(tile, dtype=jnp.int64)
+    rows = row0[:, None] + lanes[None, :]             # (ntiles, tile)
+    valid = rows < gstart[gid + 1][:, None]
+    tiles_lhs = jnp.where(valid[..., None],
+                          lhs[jnp.clip(rows, 0, e - 1)], 0)
+
+    def body(_, inp):
+        lt, g = inp
+        return None, lt @ ops[g]
+
+    _, out_tiles = lax.scan(body, None, (tiles_lhs, gid))
+
+    # inverse map: row r lives at tile tstart[g]+loc//tile, lane loc%tile
+    r_ids = jnp.arange(e, dtype=jnp.int64)
+    rg = jnp.clip(
+        jnp.searchsorted(gstart, r_ids, side="right") - 1, 0, ng - 1)
+    loc = r_ids - gstart[rg]
+    flat = (tstart[rg] + loc // tile) * tile + loc % tile
+    return out_tiles.reshape(ntiles * tile, -1)[flat]
 
 
 class M2LPlan:
