@@ -202,9 +202,6 @@ class M2LPlan:
             self.group_sizes = jnp.zeros(0, jnp.int32)
             return
 
-        # NOTE: deliberately NOT jitted — eager ops skip both the
-        # (per-tree-shape) compile and any host round trip; each op
-        # dispatches on device data directly.
         def _classify_dev(prefixes, levels, starts, lists, totp,
                           table_dev, *, nedges, npossible):
             rows = csr_rows(starts, nedges)
@@ -212,8 +209,12 @@ class M2LPlan:
             src = lists.astype(jnp.int64)
             cells = morton.deinterleave(prefixes, d)      # (d, nboxes)
             dvec = cells[:, tgt] - cells[:, src]          # (d, E)
-            idx = (dvec + self._radius).T @ jnp.asarray(
-                self._weights, jnp.int64)
+            # explicit multiply-add: int64 dot_general is unsupported by
+            # the TPU X64 rewrite
+            idx = jnp.zeros(dvec.shape[1], jnp.int64)
+            for a in range(d):
+                idx = idx + (dvec[a] + self._radius) * int(
+                    self._weights[a])
             in_range = ((dvec + self._radius >= 0)
                         & (dvec + self._radius < width)).all(axis=0)
             cls = jnp.where(in_range,
@@ -235,6 +236,12 @@ class M2LPlan:
             return (tgt[eidx].astype(jnp.int32),
                     src[eidx].astype(jnp.int32), hist)
 
+        # CPU: eager (each op dispatches instantly; a jit would pay a
+        # ~25 s compile per tree shape).  Accelerators: ONE jit — on the
+        # tunneled TPU every *eager* op costs a separate remote compile.
+        if jax.default_backend() != "cpu":
+            _classify_dev = jax.jit(
+                _classify_dev, static_argnames=("nedges", "npossible"))
         tgt_s, src_s, hist = _classify_dev(
             tree.box_morton_prefixes, tree.box_levels,
             traversal.from_sep_siblings_starts, lists,
