@@ -657,25 +657,6 @@ def _emit_keys(gen, rows_pfx, aux, buf, base):
     return buf, base + nchunks * block
 
 
-def _count_keys(gen, rows_pfx, aux, count):
-    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
-    nrows = rows_pfx.shape[0]
-    aux_p = [_pad_rows(a, _ROW_CHUNK)[0] for a in aux]
-    valid_row = jnp.arange(padded.shape[0]) < nrows
-
-    def body(carry, inp):
-        vr = inp[-1]
-        keys = jnp.where(vr[:, None], gen(inp[0], *inp[1:-1]),
-                         _INVALID_KEY)
-        return carry + (keys != _INVALID_KEY).sum(), None
-
-    count, _ = lax.scan(
-        body, count,
-        tuple(a.reshape(nchunks, -1)
-              for a in (padded, *aux_p, valid_row)))
-    return count
-
-
 # }}}
 
 
@@ -711,13 +692,17 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
     k_pad4 = max(1, offs_n.shape[0] * (nlevels - 1))
 
     def k_pad4_fast(lev):
-        """Exact per-level List-4 lane count: only ancestor levels that
-        hold source boxes at all contribute (uniform trees concentrate
-        sources on 1-2 deep levels, so this cuts ~3x of the lanes the
-        global pad would spend proving emptiness)."""
-        usable = [wl for wl in range(1, lev)
-                  if src_levels is None or src_levels[wl]]
-        return max(1, offs_n.shape[0] * len(usable))
+        """Exact per-level List-4 lane count: the parent level
+        contributes a full 3^d row, each deeper ancestor level with
+        sources only its <= 2^d parent-touching window
+        (``nbr._cross_window``)."""
+        k = 0
+        if lev >= 2 and (src_levels is None or src_levels[lev - 1]):
+            k += 3 ** dimensions
+        k += (2 ** dimensions) * len(
+            [wl for wl in range(1, lev - 1)
+             if src_levels is None or src_levels[wl]])
+        return max(1, k)
 
     def make(lev):
         if fast:
@@ -878,92 +863,6 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
     return l1_tgt, l1_src, l3, l4c
 
 
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb", "ls_tgt",
-                                   "ntarget_boxes", "fast", "src_levels",
-                                   "tgt_levels", "ls_totp", "ext", "crit",
-                                   "min_nsources"))
-def _edge_counts_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
-                      ntable, parents, totp_boxes, ext_data, *, dimensions,
-                      n_away, lsb, ls_tgt, ntarget_boxes, fast,
-                      src_levels=None, tgt_levels=None, ls_totp=None,
-                      ext=False, crit=None, min_nsources=0):
-    """Edge totals for List 1 and per-source-level List 3 (+ List-3
-    nonempty-row counts for empty-row compression), plus — for trees with
-    target extents — the close-list totals (Lists 3-close / 4-close)."""
-    nlevels = len(lsb) - 1
-    l1_tgt, l1_src, l3g, l4cg = _edge_gens(
-        prefixes, box_flags, tgt_row_of_box, ntable, parents,
-        dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast,
-        src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
-        ext_data=ext_data, crit=crit, min_nsources=min_nsources)
-
-    l1_count = jnp.int64(0)
-    for lt in range(nlevels):
-        r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
-        if r1 == r0:
-            continue
-        rows = target_boxes[r0:r1]
-        l1_count = _count_keys(l1_tgt(lt), rows,
-                               (rows.astype(jnp.int64),), l1_count)
-    for ls in range(1, nlevels):
-        if src_levels is not None and not src_levels[ls]:
-            continue
-        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-        src_ids = lsb[ls] + jnp.arange(ids_l.shape[0], dtype=jnp.int64)
-        l1_count = _count_keys(l1_src(ls), ids_l, (src_ids,), l1_count)
-
-    l3_totals = []
-    l3_nonempty = []
-    for ls in range(nlevels):
-        if ls == 0:
-            l3_totals.append(jnp.int64(0))
-            l3_nonempty.append(jnp.int64(0))
-            continue
-        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-        w_ids = ids_l.astype(jnp.int64)
-        gen = l3g(ls)
-        nboxes = lsb[-1]
-        box_counts = jnp.zeros(nboxes + 1, jnp.int32)
-        padded, nchunks = _pad_rows(ids_l, _ROW_CHUNK)
-        wid_pad, _ = _pad_rows(w_ids, _ROW_CHUNK)
-        vrow = jnp.arange(padded.shape[0]) < ids_l.shape[0]
-
-        def body(carry, inp, g=gen):
-            rows, wi, vr = inp
-            keys = jnp.where(vr[:, None], g(rows, wi), _INVALID_KEY)
-            valid = keys != _INVALID_KEY
-            tbox = (keys >> np.int64(32)).astype(jnp.int64)
-            return carry.at[
-                jnp.where(valid, tbox, nboxes)].add(
-                    1, mode="drop"), None
-
-        box_counts, _ = lax.scan(
-            body, box_counts,
-            (padded.reshape(nchunks, -1), wid_pad.reshape(nchunks, -1),
-             vrow.reshape(nchunks, -1)))
-        row_counts = box_counts[target_boxes]
-        l3_totals.append(row_counts.sum().astype(jnp.int64))
-        l3_nonempty.append((row_counts > 0).sum().astype(jnp.int64))
-
-    l3c_count = jnp.int64(0)
-    l4c_count = jnp.int64(0)
-    if ext:
-        for ls in range(1, nlevels):
-            ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-            w_ids = ids_l.astype(jnp.int64)
-            l3c_count = _count_keys(l3g(ls, close=True), ids_l, (w_ids,),
-                                    l3c_count)
-        for lb in range(1, nlevels):
-            r0, r1 = ls_totp[lb], ls_totp[lb + 1]
-            if r1 == r0:
-                continue
-            rows = totp_boxes[r0:r1]
-            b_ids = rows.astype(jnp.int64)
-            l4c_count = _count_keys(l4cg(lb), rows, (b_ids,), l4c_count)
-
-    return (l1_count, jnp.stack(l3_totals), jnp.stack(l3_nonempty),
-            l3c_count, l4c_count)
-
 # }}}
 
 
@@ -1060,15 +959,21 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
 
 
 @partial(jax.jit, static_argnames=(
-    "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "l1_total",
-    "l3_totals", "l3_nonempty", "fast", "src_levels", "tgt_levels",
-    "ls_totp", "ext", "crit", "min_nsources", "l3c_total", "l4c_total"))
-def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
-                     ntable, parents, totp_boxes, ext_data, *, dimensions,
-                     n_away, lsb, ls_tgt, ntarget_boxes, l1_total,
-                     l3_totals, l3_nonempty, fast, src_levels=None,
-                     tgt_levels=None, ls_totp=None, ext=False, crit=None,
-                     min_nsources=0, l3c_total=0, l4c_total=0):
+    "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "fast",
+    "src_levels", "tgt_levels", "ls_totp", "ext", "crit", "min_nsources"))
+def _edge_fill_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
+                    ntable, parents, totp_boxes, ext_data, *, dimensions,
+                    n_away, lsb, ls_tgt, ntarget_boxes, fast,
+                    src_levels=None, tgt_levels=None, ls_totp=None,
+                    ext=False, crit=None, min_nsources=0):
+    """Single-enumeration edge-list construction for List 1, the
+    per-source-level List 3, and (with target extents) the close lists:
+    emit every edge key into a padded buffer, sort, and read the CSR
+    starts, totals, and nonempty-row counts straight off the sorted
+    buffer.  Replaces the round-2 counts pass, which re-ran every
+    generator a second time just to size the outputs (doc/PERF.md); the
+    sorted buffers stay on device across the single host totals sync and
+    `_edge_slice_pass` extracts the final static-shape lists."""
     nlevels = len(lsb) - 1
     l1_tgt, l1_src, l3g, l4cg = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
@@ -1097,7 +1002,12 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             buf, base = _emit_keys(gen, rows, aux, buf, base)
         return lax.sort(buf)
 
-    mask32 = np.int64(0xFFFFFFFF)
+    def nvalid(keys):
+        return jnp.searchsorted(keys, _INVALID_KEY).astype(jnp.int64)
+
+    def starts_of(keys):
+        return _starts_of_box_keys(keys >> np.int64(32), target_boxes,
+                                   nboxes)
 
     # List 1
     l1_plan = []
@@ -1113,44 +1023,30 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         l1_plan.append((l1_src(ls), ids_l, (ids_l.astype(jnp.int64),)))
     l1_keys = emit_plan(l1_plan)
-    l1_starts = _starts_of_box_keys(l1_keys >> np.int64(32),
-                                    target_boxes, nboxes)
-    l1_lists = (l1_keys[:l1_total] & mask32).astype(jnp.int32)
+    l1 = (l1_keys, starts_of(l1_keys), nvalid(l1_keys))
 
-    # List 3 per source level, with device-side empty-row compression
-    l3_out = []
+    # List 3 per source level (a level can contribute iff any level at
+    # or below it holds source boxes)
+    dummy = (jnp.full(1, _INVALID_KEY, jnp.int64),
+             jnp.zeros(ntarget_boxes + 1, jnp.int32),
+             jnp.int64(0), jnp.int64(0))
+    l3 = []
     for ls in range(nlevels):
-        total = l3_totals[ls]
-        nne = l3_nonempty[ls]
-        if total == 0:
-            l3_out.append((jnp.zeros(1, jnp.int32),
-                           jnp.zeros(0, jnp.int32),
-                           jnp.zeros(0, jnp.int32),
-                           jnp.zeros(0, jnp.int32)))
+        if ls == 0 or (src_levels is not None
+                       and not any(src_levels[ls:])):
+            l3.append(dummy)
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         keys = emit_plan(
             [(l3g(ls), ids_l, (ids_l.astype(jnp.int64),))])
-        starts = _starts_of_box_keys(keys >> np.int64(32),
-                                     target_boxes, nboxes)
-        lists = (keys[:total] & mask32).astype(jnp.int32)
+        starts = starts_of(keys)
         row_counts = starts[1:] - starts[:-1]
-        ne_rows = _mask_to_list(row_counts > 0, total=nne)
-        comp_starts = jnp.concatenate(
-            [starts[ne_rows.astype(jnp.int64)],
-             jnp.full(1, total, jnp.int32)])
-        tgt_sep = target_boxes[ne_rows.astype(jnp.int64)]
-        l3_out.append((comp_starts, lists, ne_rows, tgt_sep))
+        l3.append((keys, starts, nvalid(keys),
+                   (row_counts > 0).sum().astype(jnp.int64)))
 
     # close lists (target extents only): one CSR each over target rows
-    def fill_close(total, plan):
-        keys = emit_plan(plan)
-        starts = _starts_of_box_keys(keys >> np.int64(32),
-                                     target_boxes, nboxes)
-        lists = (keys[:total] & mask32).astype(jnp.int32)
-        return starts, lists
-
-    close_out = None
+    closed = (dummy[0], dummy[1], dummy[2])
+    l3c = l4c = closed
     if ext:
         l3c_plan = []
         for ls in range(1, nlevels):
@@ -1165,10 +1061,50 @@ def _fill_edges_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             rows = totp_boxes[r0:r1]
             l4c_plan.append((l4cg(lb), rows,
                              (rows.astype(jnp.int64),)))
-        close_out = (fill_close(l3c_total, l3c_plan),
-                     fill_close(l4c_total, l4c_plan))
+        l3c_keys = emit_plan(l3c_plan)
+        l4c_keys = emit_plan(l4c_plan)
+        l3c = (l3c_keys, starts_of(l3c_keys), nvalid(l3c_keys))
+        l4c = (l4c_keys, starts_of(l4c_keys), nvalid(l4c_keys))
 
-    return (l1_starts, l1_lists), tuple(l3_out), close_out
+    return l1, tuple(l3), (l3c, l4c)
+
+
+@partial(jax.jit, static_argnames=("nlevels", "l1_total", "l3_totals",
+                                   "l3_nonempty", "ext", "l3c_total",
+                                   "l4c_total"))
+def _edge_slice_pass(l1_keys, l3_keys, l3_starts, l3c_keys, l4c_keys,
+                     target_boxes, *, nlevels, l1_total, l3_totals,
+                     l3_nonempty, ext, l3c_total=0, l4c_total=0):
+    """Extract the final static-shape lists from the sorted key buffers
+    (totals became static via the host sync)."""
+    mask32 = np.int64(0xFFFFFFFF)
+    l1_lists = (l1_keys[:l1_total] & mask32).astype(jnp.int32)
+
+    l3_out = []
+    for ls in range(nlevels):
+        total = l3_totals[ls]
+        nne = l3_nonempty[ls]
+        if total == 0:
+            l3_out.append((jnp.zeros(1, jnp.int32),
+                           jnp.zeros(0, jnp.int32),
+                           jnp.zeros(0, jnp.int32),
+                           jnp.zeros(0, jnp.int32)))
+            continue
+        starts = l3_starts[ls]
+        lists = (l3_keys[ls][:total] & mask32).astype(jnp.int32)
+        row_counts = starts[1:] - starts[:-1]
+        ne_rows = _mask_to_list(row_counts > 0, total=nne)
+        comp_starts = jnp.concatenate(
+            [starts[ne_rows.astype(jnp.int64)],
+             jnp.full(1, total, jnp.int32)])
+        tgt_sep = target_boxes[ne_rows.astype(jnp.int64)]
+        l3_out.append((comp_starts, lists, ne_rows, tgt_sep))
+
+    close_out = None
+    if ext:
+        close_out = ((l3c_keys[:l3c_total] & mask32).astype(jnp.int32),
+                     (l4c_keys[:l4c_total] & mask32).astype(jnp.int32))
+    return l1_lists, tuple(l3_out), close_out
 
 # }}}
 
@@ -1346,21 +1282,29 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         fast=fast, src_levels=src_levels, ext=ext)
     _toc("counts_rowlists", _t, slnws_tot)
     _t = _tic()
-    l1_tot, l3_tot, l3_ne, l3c_tot, l4c_tot = _edge_counts_pass(
-        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
-        parents_dev, target_or_target_parent_boxes, ext_data,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
-        ntarget_boxes=ntarget_boxes, fast=fast, src_levels=src_levels,
-        tgt_levels=tgt_levels, ls_totp=ls_totp, ext=ext, crit=crit,
-        min_nsources=min_nsources)
 
-    _toc("counts_edges", _t, l1_tot)
+    # single-enumeration edge construction: emit every edge key into a
+    # sorted padded buffer; starts + totals read straight off it (the
+    # round-2 design ran a separate counts pass re-running every
+    # generator — doc/PERF.md roadmap item 3)
+    (l1_keys, l1_starts, l1_tot), l3_buf, (l3c_buf, l4c_buf) = (
+        _edge_fill_pass(
+            prefixes, target_boxes, flags_dev, tgt_row_of_box_dev,
+            ntable, parents_dev, target_or_target_parent_boxes,
+            ext_data, dimensions=d, n_away=n_away, lsb=lsb,
+            ls_tgt=ls_tgt, ntarget_boxes=ntarget_boxes, fast=fast,
+            src_levels=src_levels, tgt_levels=tgt_levels,
+            ls_totp=ls_totp, ext=ext, crit=crit,
+            min_nsources=min_nsources))
+
+    _toc("fill_edges", _t, l1_keys)
     _t = _tic()
 
     # single host sync for every size
     packed = jax.device_get(_pack_totals(
-        slnws_tot, l2_tot, l4_tot, l1_tot, l3c_tot, l4c_tot, l3_tot,
-        l3_ne))
+        slnws_tot, l2_tot, l4_tot, l1_tot, l3c_buf[2], l4c_buf[2],
+        jnp.stack([l3_buf[ls][2] for ls in range(nlevels)]),
+        jnp.stack([l3_buf[ls][3] for ls in range(nlevels)])))
     slnws_total, l2_total, l4_total, l1_total, l3c_total, l4c_total = (
         int(packed[i]) for i in range(6))
     l3_totals = tuple(int(x) for x in packed[6:6 + nlevels])
@@ -1381,19 +1325,19 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     _toc("fill_rowlists", _t, slnws_lists, l2_lists, l4_lists)
     _t = _tic()
-    (l1_starts, l1_lists), l3_csr, close_csr = _fill_edges_pass(
-        prefixes, target_boxes, flags_dev, tgt_row_of_box_dev, ntable,
-        parents_dev, target_or_target_parent_boxes, ext_data,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_tgt=ls_tgt,
-        ntarget_boxes=ntarget_boxes, l1_total=l1_total,
-        l3_totals=l3_totals, l3_nonempty=l3_nonempty, fast=fast,
-        src_levels=src_levels, tgt_levels=tgt_levels, ls_totp=ls_totp,
-        ext=ext, crit=crit, min_nsources=min_nsources,
-        l3c_total=l3c_total, l4c_total=l4c_total)
 
-    _toc("fill_edges", _t, l1_lists)
-    _t = _tic()
-    _toc("l3_close_sync", _t, l3_csr, close_csr)
+    l1_lists, l3_csr, close_lists = _edge_slice_pass(
+        l1_keys, tuple(l3_buf[ls][0] for ls in range(nlevels)),
+        tuple(l3_buf[ls][1] for ls in range(nlevels)),
+        l3c_buf[0], l4c_buf[0], target_boxes,
+        nlevels=nlevels, l1_total=l1_total, l3_totals=l3_totals,
+        l3_nonempty=l3_nonempty, ext=ext, l3c_total=l3c_total,
+        l4c_total=l4c_total)
+    close_csr = None
+    if ext:
+        close_csr = ((l3c_buf[1], close_lists[0]),
+                     (l4c_buf[1], close_lists[1]))
+    _toc("slice_edges", _t, l1_lists)
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []

@@ -56,53 +56,71 @@ def build_neighbor_table(prefixes, parents, child_ids, box_flags,
                          tgt_box_mask, *, dimensions, lsb):
     """(nboxes, 3^d) same-level neighbor entries (-1 where absent);
     column order matches ``_offsets(d, 1)``, center column = self.
-    Entries pack the candidate-filter bits (see module doc)."""
+    Entries pack the candidate-filter bits (see module doc).
+
+    Built PARENT-side: level lev-1 is a contiguous slice of the table
+    (no gather at all to read it), the children of all 3^d neighbor
+    entries arrive in ONE row-gather per parent, and the
+    (child digit, column) -> (parent column, child digit) index maps are
+    fully static, so each level costs ~3^d/2^d gather lanes per box
+    instead of the 2*3^d scattered lanes of the child-side build.
+    """
     d = dimensions
     offs = _offsets1(d)                      # (m, d) numpy
     m = offs.shape[0]
+    nchild = 2 ** d
     nboxes = lsb[-1]
     nlevels = len(lsb) - 1
     col_w = 3 ** (d - 1 - np.arange(d))      # column weights (axis 0 slowest)
 
-    # per-box PACKED entries (id | predicate bits); packing during
-    # construction lets the per-level child lookup resolve entry AND
-    # flags in a single scattered gather (gathers are the scarce TPU
-    # resource — this build is one row-gather + one scattered gather
-    # per level instead of 2 scattered gathers per table column)
     iota = jnp.arange(nboxes, dtype=jnp.int32)
     ent = (iota
            | jnp.where((box_flags & _F.IS_SOURCE_BOX) != 0, SRC_BIT, 0)
            | jnp.where(tgt_box_mask, TGT_BIT, 0)).astype(jnp.int32)
-    # child_entry[digit, parent] -> packed entry of that child (-1 absent)
+    # (nboxes, 2^d) packed entry of each child (-1 absent)
     child_ent = jnp.where(
-        child_ids > 0,
-        ent[jnp.clip(child_ids, 0).astype(jnp.int64)],
-        np.int32(-1)).reshape(-1)            # ((2^d) * nboxes,)
+        child_ids.T > 0,
+        ent[jnp.clip(child_ids.T, 0).astype(jnp.int64)],
+        np.int32(-1))
+
+    # static maps: child digit q's neighbor at offs[j] is the child with
+    # digit cdig[q, j] of the parent's neighbor in column pcol[q, j]
+    #   cell(child q) + delta = 2*pcell + q + delta
+    #   -> parent cell offset (q + delta) >> 1, child digit (q+delta) & 1
+    pcol = np.zeros((nchild, m), np.int64)
+    cdig = np.zeros((nchild, m), np.int64)
+    for q in range(nchild):
+        qb = np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
+        for j in range(m):
+            dp = (qb + offs[j]) >> 1
+            pcol[q, j] = ((dp + 1) * col_w).sum()
+            cdig[q, j] = (((qb + offs[j]) & 1)
+                          << (d - 1 - np.arange(d))).sum()
 
     table = jnp.full((nboxes, m), -1, jnp.int32)
     table = table.at[0, m // 2].set(ent[0])
 
     for lev in range(1, nlevels):
         b0, b1 = lsb[lev], lsb[lev + 1]
-        ids = jnp.arange(b0, b1, dtype=jnp.int64)
-        cells = morton.deinterleave(prefixes[b0:b1], d)    # (d, nl)
-        par = parents[ids]
-        parity = (cells & 1).astype(jnp.int64)             # (d, nl)
-        cols = []
-        for j in range(m):
-            delta = offs[j]                                # (d,)
-            dp = (parity + delta[:, None]) >> 1            # (d, nl)
-            col = jnp.zeros(ids.shape, jnp.int64)
-            digit = jnp.zeros(ids.shape, jnp.int64)
-            for a in range(d):
-                col = col + (dp[a] + 1) * int(col_w[a])
-                digit = digit + (((cells[a] + delta[a]) & 1)
-                                 << (d - 1 - a))
-            pn = table[par, col]
-            pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)
-            cand = child_ent[digit * np.int64(nboxes) + pid]
-            cols.append(jnp.where(pn >= 0, cand, np.int32(-1)))
-        table = table.at[b0:b1].set(jnp.stack(cols, axis=1))
+        p0, p1 = lsb[lev - 1], lsb[lev]
+        pn = table[p0:p1]                                  # (P, m) slice
+        pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)
+        ch = child_ent[pid]                                # (P, m, 2^d)
+        ch = jnp.where((pn >= 0)[:, :, None], ch, np.int32(-1))
+        # (P, 2^d, m) candidate table rows for every potential child
+        eq = []
+        for q in range(nchild):
+            eq.append(jnp.stack(
+                [ch[:, int(pcol[q, j]), int(cdig[q, j])]
+                 for j in range(m)], axis=1))
+        eall = jnp.stack(eq, axis=1).reshape((p1 - p0) * nchild, m)
+        # compact to the level's existing boxes: children are numbered
+        # (parent-ascending, digit-ascending), i.e. box id order
+        par = parents[jnp.arange(b0, b1, dtype=jnp.int64)].astype(
+            jnp.int64)
+        digit = (prefixes[b0:b1] & (nchild - 1)).astype(jnp.int64)
+        rows = (par - p0) * nchild + digit
+        table = table.at[b0:b1].set(eall[rows])
 
     return table
 
@@ -236,33 +254,80 @@ def _ancestors(rows, parents, nsteps):
     return out
 
 
+def _cross_window(cells, s, dimensions):
+    """The <= 2^d coarse candidates touching a fine box.
+
+    A box at level lc = lf - s (s >= 1) touches the fine box with cell
+    ``cells`` iff per axis its cell is the containing ancestor cell or —
+    only when the fine cell sits on the corresponding s-level cell
+    boundary — the one adjacent cell on that side:
+
+        low == 0       -> ancestor - 1 also touches
+        low == 2^s - 1 -> ancestor + 1 also touches
+
+    Returns ``(delta, valid)``: per-axis offsets (d, B, 2^d) relative to
+    the fine box's level-lc ancestor cell and combo validity (B, 2^d);
+    combo 0 is the containing ancestor itself.  This replaces the 3^d
+    per-coarse-level candidate window of the naive enumeration.
+    """
+    d = dimensions
+    low = _low_bits(cells, s)                               # (d, B)
+    top = (np.int64(1) << np.int64(s)) - 1
+    dir_ = jnp.where(low == 0, np.int64(-1),
+                     jnp.where(low == top, np.int64(1), np.int64(0)))
+    bits = np.array([[(t >> (d - 1 - a)) & 1 for t in range(2 ** d)]
+                     for a in range(d)], np.int64)          # (d, 2^d)
+    delta = dir_[:, :, None] * bits[:, None, :]             # (d, B, 2^d)
+    valid = ((dir_[:, :, None] != 0) | (bits[:, None, :] == 0)).all(axis=0)
+    return delta, valid
+
+
+def _window_lookup(ntable, anc, delta, dimensions):
+    """Gather the <= 2^d windowed entries: one flat gather of
+    ``ntable[anc, col(delta)]`` (8 lanes/box instead of a 3^d row)."""
+    d = dimensions
+    m = 3 ** d
+    col_w = jnp.asarray(3 ** (d - 1 - np.arange(d)), jnp.int64)
+    col = ((delta + 1) * col_w[:, None, None]).sum(axis=0)  # (B, 2^d)
+    flat = anc[:, None] * np.int64(m) + col
+    return ntable.reshape(-1)[flat]                         # (B, 2^d)
+
+
 def fgen_list4(rows, ntable, parents, prefixes, *, lb,
                dimensions, k_pad, src_levels=None):
-    """List 4 at target level lb: non-center neighbors of each strict
-    ancestor (levels lb-1 .. 1) that are source boxes, not touching the
-    row box, but touching its parent."""
+    """List 4 at target level lb: neighbors of each strict ancestor
+    (levels lb-1 .. 1) that are source boxes, not touching the row box,
+    but touching its parent.  The parent level contributes its full 3^d
+    neighbor row; every deeper ancestor level only the <= 2^d
+    parent-touching window."""
     d = dimensions
     m = 3 ** d
     offs = jnp.asarray(_offsets1(d).T)                      # (d, m)
-    keep = np.arange(m) != m // 2
     cells = morton.deinterleave(
         prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
-    anc = _ancestors(rows, parents, lb)
+    pcells = cells >> np.int64(1)
+    par = parents[jnp.clip(rows, 0).astype(jnp.int64)].astype(jnp.int64)
+    anc = _ancestors(par.astype(jnp.int32), parents, max(0, lb - 2))
     chunks = []
-    for wl in range(lb - 1, 0, -1):
+    if lb >= 2 and (src_levels is None or src_levels[lb - 1]):
+        # wl == lb - 1: all neighbors of the parent touch the parent
+        cand = ntable[anc[0]]                               # (B, m)
+        is_src = (cand & SRC_BIT) != 0
+        low_b = _low_bits(cells, 1)
+        not_touch_b = ~_touch_off(offs[:, None, :], lb - 1,
+                                  low_b[:, :, None], lb)
+        valid = (cand >= 0) & is_src & not_touch_b
+        chunks.append(jnp.where(valid, cand & ID_MASK, -1))
+    for wl in range(lb - 2, 0, -1):
         if src_levels is not None and not src_levels[wl]:
             continue
-        a = anc[lb - wl]
-        cand = ntable[a][:, keep]                           # (B, m-1)
+        # touching the parent -> the parent's cross window at wl
+        delta, dvalid = _cross_window(pcells, lb - 1 - wl, d)
+        cand = _window_lookup(ntable, anc[lb - 1 - wl], delta, d)
         is_src = (cand & SRC_BIT) != 0
-        # candidate cell = (own cell >> (lb-wl)) + delta
-        low_b = _low_bits(cells, lb - wl)                   # vs own box
-        off = offs[:, None, :][:, :, keep]                  # (d, 1, m-1)
-        not_touch_b = ~_touch_off(off, wl, low_b[:, :, None], lb)
-        # vs parent (level lb-1): parent cell low bits rel. ancestor at wl
-        low_p = _low_bits(cells >> np.int64(1), lb - 1 - wl)
-        enters = _touch_off(off, wl, low_p[:, :, None], lb - 1)
-        valid = (cand >= 0) & is_src & not_touch_b & enters
+        low_b = _low_bits(cells, lb - wl)
+        not_touch_b = ~_touch_off(delta, wl, low_b[:, :, None], lb)
+        valid = dvalid & (cand >= 0) & is_src & not_touch_b
         chunks.append(jnp.where(valid, cand & ID_MASK, -1))
     if not chunks:
         return jnp.full((rows.shape[0], k_pad), -1, jnp.int32)
@@ -278,28 +343,28 @@ def fgen_list4(rows, ntable, parents, prefixes, *, lb,
 def fgen_list1_target_side(rows, row_boxes, ntable, parents,
                            prefixes, *, lt, dimensions, src_levels=None):
     """Keys (tgt_box<<32|src) for source boxes at levels <= lt touching
-    each target box: the full neighbor-table rows of the ancestor
-    chain."""
+    each target box: the box's own neighbor row at its level plus the
+    <= 2^d touching window per coarser source level."""
     d = dimensions
-    offs = jnp.asarray(_offsets1(d).T)                      # (d, m)
     cells = morton.deinterleave(
         prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
     anc = _ancestors(rows, parents, lt)
+    row_hi = row_boxes.astype(jnp.int64)[:, None] << np.int64(32)
     out = []
-    for ls in range(lt, -1, -1):
+
+    def emit(cand, extra_valid=True):
+        valid = (cand >= 0) & ((cand & SRC_BIT) != 0) & extra_valid
+        out.append(jnp.where(
+            valid, row_hi | (cand & ID_MASK).astype(jnp.int64),
+            _INVALID_KEY))
+
+    if src_levels is None or src_levels[lt]:
+        emit(ntable[anc[0]])                # (B, m): all touch the box
+    for ls in range(lt - 1, -1, -1):
         if src_levels is not None and not src_levels[ls]:
             continue
-        cand = ntable[anc[lt - ls]]                         # (B, m)
-        is_src = (cand & SRC_BIT) != 0
-        low = _low_bits(cells, lt - ls)
-        touch = _touch_off(offs[:, None, :], ls, low[:, :, None], lt)
-        valid = (cand >= 0) & is_src & touch
-        keys = jnp.where(
-            valid,
-            (row_boxes.astype(jnp.int64)[:, None] << np.int64(32))
-            | (cand & ID_MASK).astype(jnp.int64),
-            _INVALID_KEY)
-        out.append(keys)
+        delta, dvalid = _cross_window(cells, lt - ls, d)
+        emit(_window_lookup(ntable, anc[lt - ls], delta, d), dvalid)
     if not out:
         return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)
@@ -307,28 +372,27 @@ def fgen_list1_target_side(rows, row_boxes, ntable, parents,
 
 def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
                            prefixes, *, ls, dimensions, tgt_levels=None):
-    """Keys for target boxes at levels strictly coarser than ls."""
+    """Keys for target boxes at levels strictly coarser than ls (the
+    <= 2^d touching window per coarser level)."""
     d = dimensions
-    offs = jnp.asarray(_offsets1(d).T)
     emitter_is_src = (box_flags[jnp.clip(rows, 0).astype(jnp.int64)]
                       & _F.IS_SOURCE_BOX) != 0
     cells = morton.deinterleave(
         prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
     anc = _ancestors(rows, parents, ls)
+    src_lo = src_ids.astype(jnp.int64)[:, None]
     out = []
     for lt in range(ls - 1, -1, -1):
         if tgt_levels is not None and not tgt_levels[lt]:
             continue
-        cand = ntable[anc[ls - lt]]
-        is_tgt = (cand & TGT_BIT) != 0
-        low = _low_bits(cells, ls - lt)
-        touch = _touch_off(offs[:, None, :], lt, low[:, :, None], ls)
-        valid = ((cand >= 0) & is_tgt & touch
+        delta, dvalid = _cross_window(cells, ls - lt, d)
+        cand = _window_lookup(ntable, anc[ls - lt], delta, d)
+        valid = (dvalid & (cand >= 0) & ((cand & TGT_BIT) != 0)
                  & emitter_is_src[:, None])
         keys = jnp.where(
             valid,
             ((cand & ID_MASK).astype(jnp.int64) << np.int64(32))
-            | src_ids.astype(jnp.int64)[:, None],
+            | src_lo,
             _INVALID_KEY)
         out.append(keys)
     if not out:
@@ -339,8 +403,9 @@ def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
 def fgen_list3(rows, w_ids, ntable, parents, box_flags, prefixes, *, ls,
                dimensions, tgt_levels=None):
     """Keys (tgt_box<<32|w) for List 3 at source level ls: coarser target
-    boxes in the neighbor windows of parent(w)'s ancestor chain, with
-    parent(w) touching them but w itself not."""
+    boxes touching parent(w) but not w — the parent's full neighbor row
+    at level ls-1, plus the parent's <= 2^d touching window per coarser
+    level."""
     d = dimensions
     offs = jnp.asarray(_offsets1(d).T)
     w_has_src = (box_flags[jnp.clip(rows, 0).astype(jnp.int64)]
@@ -348,33 +413,29 @@ def fgen_list3(rows, w_ids, ntable, parents, box_flags, prefixes, *, ls,
     cells = morton.deinterleave(
         prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
     par = parents[jnp.clip(rows, 0).astype(jnp.int64)].astype(jnp.int64)
-    anc = _ancestors(par.astype(jnp.int32), parents, ls - 1)
+    anc = _ancestors(par.astype(jnp.int32), parents, max(0, ls - 2))
     pcells = cells >> np.int64(1)
+    w_lo = w_ids.astype(jnp.int64)[:, None]
     out = []
-    for lt in range(ls - 1, -1, -1):
+
+    def emit(cand, delta, lt, extra_valid=True):
+        low_w = _low_bits(cells, ls - lt)
+        not_touch_w = ~_touch_off(delta, lt, low_w[:, :, None], ls)
+        valid = ((cand >= 0) & ((cand & TGT_BIT) != 0) & not_touch_w
+                 & w_has_src[:, None] & extra_valid)
+        out.append(jnp.where(
+            valid,
+            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32)) | w_lo,
+            _INVALID_KEY))
+
+    if ls >= 1 and (tgt_levels is None or tgt_levels[ls - 1]):
+        emit(ntable[anc[0]], offs[:, None, :], ls - 1)
+    for lt in range(ls - 2, -1, -1):
         if tgt_levels is not None and not tgt_levels[lt]:
             continue
-        cand = ntable[anc[ls - 1 - lt]]                     # (B, m)
-        is_tgt = (cand & TGT_BIT) != 0
-        if lt < ls - 1:
-            low_p = _low_bits(pcells, ls - 1 - lt)
-            enters = _touch_off(offs[:, None, :], lt,
-                                low_p[:, :, None], ls - 1)
-        else:
-            enters = jnp.ones(cand.shape, bool)
-        low_w = _low_bits(cells, ls - lt)
-        # candidate cell = anc_p + delta; own cell relative to anc_p:
-        # anc of w at lt is the same as anc of parent at lt (lt <= ls-1)
-        not_touch_w = ~_touch_off(offs[:, None, :], lt,
-                                  low_w[:, :, None], ls)
-        valid = ((cand >= 0) & is_tgt & enters & not_touch_w
-                 & w_has_src[:, None])
-        keys = jnp.where(
-            valid,
-            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32))
-            | w_ids.astype(jnp.int64)[:, None],
-            _INVALID_KEY)
-        out.append(keys)
+        delta, dvalid = _cross_window(pcells, ls - 1 - lt, d)
+        emit(_window_lookup(ntable, anc[ls - 1 - lt], delta, d),
+             delta, lt, dvalid)
     if not out:
         return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)
