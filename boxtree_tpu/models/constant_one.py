@@ -211,19 +211,20 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
                                  mpole_exps):
         return self._edge_scatter(tgt_e, src_e, None, mpole_exps)
 
-    def refine_locals_rows(self, rows_boxes, local_exps):
-        """Downward pass restricted to the boxes in *rows_boxes* (padded
-        with -1) — the distributed per-rank responsible+ancestor chain."""
+    def refine_locals_rows_grouped(self, rows, digit_sizes, level_slices,
+                                   local_exps):
+        """Downward pass over an explicit level-sorted padded row set
+        (the distributed per-rank responsible+ancestor chain): each
+        level block adds the parent's count in one gather+scatter.
+        *digit_sizes* is unused (the counting "operator" is digit-
+        independent)."""
         tree = self.tree
         parents = tree.box_parent_ids
-        levels = tree.box_levels
-        ids = jnp.clip(rows_boxes, 0)
-        valid = rows_boxes >= 0
-        for lev in range(1, tree.nlevels):
-            sel = valid & (levels[ids] == lev)
-            contrib = jnp.where(sel, local_exps[parents[ids]], 0)
+        for _lev, s0, s1 in level_slices:
+            ids = rows[s0:s1]
+            contrib = local_exps[parents[jnp.clip(ids, 0)]]
             local_exps = local_exps.at[
-                jnp.where(sel, ids, tree.nboxes)].add(
+                jnp.where(ids >= 0, ids, tree.nboxes)].add(
                     contrib, mode="drop")
         return local_exps
 

@@ -77,7 +77,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     def __init__(self, tree_indep, traversal, dipole_vec=None,
                  dipoles_already_reordered=False, level_to_order=None,
-                 rscale=None, dtype=None):
+                 rscale=None, dtype=None, m2l_mode="dense"):
         """:arg dipole_vec: optional ``(dim, nsources)`` array (user order
         unless *dipoles_already_reordered*).  When given, the sources are
         dipoles: the potential of source ``y`` with FMM weight ``w`` is
@@ -139,7 +139,8 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 if rscale != "auto":
                     raise ValueError(f"bad rscale: {rscale!r}")
                 rs = np.minimum(
-                    root_f * 2.0 ** -np.arange(nlevels), 1.0)
+                    root_f * 2.0 ** -np.arange(nlevels)
+                    * self._rscale_factor(), 1.0)
             else:
                 rs = np.asarray(rscale, np.float64)
                 if rs.shape != (nlevels,):
@@ -194,7 +195,25 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         n = traversal.well_sep_is_n_away
         offs = _offsets(tree.dimensions, 2 * n + 1, min_inf_norm=n)
         self.m2l_plan = M2LPlan(traversal, offs)
-        if self.m2l_plan.nops:
+
+        if m2l_mode not in ("dense", "rotation"):
+            raise ValueError(f"bad m2l_mode: {m2l_mode!r}")
+        self._m2l_rot = None
+        if m2l_mode == "rotation":
+            # point-and-shoot M2L (rotate / axial / rotate back), keyed
+            # by the rotation classes — see models/rotation_m2l.py and
+            # the reference's FMMLibRotationData
+            # (boxtree/pyfmmlib_integration.py:557-607)
+            if self.dim != 3:
+                raise NotImplementedError("rotation M2L is 3D-only")
+            if self._coeff_mask_np is not None:
+                raise NotImplementedError(
+                    "rotation M2L with level_to_order truncation")
+            if self.m2l_plan.nops:
+                from boxtree_tpu.models.rotation_m2l import RotationM2L
+                self._m2l_rot = RotationM2L(self)
+
+        if self.m2l_plan.nops and self._m2l_rot is None:
             ts, rs, levs = [], [], []
             for (lev, c) in self.m2l_plan.used:
                 size = root / (1 << lev)
@@ -203,10 +222,45 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                           * size)
                 rs.append(r_of(lev))
                 levs.append(lev)
-            mats = self._m2l_matrices(np.stack(ts), np.asarray(rs))
-            ops = [trunc(m, lev, lev).T for m, lev in zip(mats, levs)]
-            self._m2l_opsT = jnp.asarray(
-                np.stack(ops).astype(self.dtype))
+            ts_np = np.stack(ts)
+            rs_np = np.asarray(rs)
+            if (type(self)._m2l_ops_device
+                    is ExpansionWranglerBase._m2l_ops_device):
+                mats = self._m2l_matrices(ts_np, rs_np)
+                ops = [trunc(m, lev, lev).T
+                       for m, lev in zip(mats, levs)]
+                self._m2l_opsT = jnp.asarray(
+                    np.stack(ops).astype(self.dtype))
+            else:
+                # Build the (nops, K, K) table ON DEVICE from the tiny
+                # (nops, d) translation vectors: at order 8 / 3D the
+                # dense table is ~130 MB, minutes of host->device upload
+                # through a tunnel, while the inputs are ~30 KB
+                # (doc/PERF.md; the reference reuses precomputed
+                # operators per class the same way,
+                # boxtree/translation_classes.py).
+                keep = (None if self._coeff_mask_np is None
+                        else self._coeff_mask_np[np.asarray(levs)])
+
+                def build(ts_d, rs_d):
+                    mats = self._m2l_ops_device(ts_d, rs_d)
+                    if keep is not None:
+                        k = jnp.asarray(keep)
+                        mats = jnp.where(
+                            k[:, :, None] & k[:, None, :], mats, 0)
+                    return jnp.swapaxes(mats, 1, 2).astype(self.dtype)
+
+                if jax.default_backend() != "cpu":
+                    # one fused device program; eager on CPU (each eager
+                    # op there is free, a jit costs a fresh compile)
+                    build = jax.jit(build)
+                # inputs in the wrangler's REAL precision: a float64
+                # intermediate would promote to complex128, and the TPU
+                # X64 rewriter rejects the f64->c128 convert outright
+                real_dt = np.zeros(0, self.dtype).real.dtype
+                self._m2l_opsT = build(
+                    jnp.asarray(ts_np.astype(real_dt)),
+                    jnp.asarray(rs_np.astype(real_dt)))
         else:
             self._m2l_opsT = jnp.zeros(
                 (0, self.ncoeff, self.ncoeff), self.dtype)
@@ -283,12 +337,23 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         coefficient (drives per-level order truncation)."""
         return np.zeros(self.ncoeff, np.int64)
 
-    def _p2m_terms(self, rel, q):
-        """*rel* arrives pre-divided by the box's rscale."""
+    def _rscale_factor(self):
+        """Extra factor in the ``"auto"`` per-level rscale (the
+        reference multiplies by ``|helmholtz_k|`` for oscillatory
+        kernels, ``boxtree/pyfmmlib_integration.py:317,332,393-402``)."""
+        return 1.0
+
+    def _p2m_terms(self, rel, q, scale=1.0):
+        """*rel* arrives pre-divided by the box's rscale (also passed as
+        *scale*, shaped ``rel.shape[1:]`` or scalar 1.0; kernels with a
+        non-homogeneous basis recover physical coordinates as
+        ``rel * scale`` and apply their diagonal coefficient
+        scaling)."""
         raise NotImplementedError
 
-    def _l2p_eval(self, rel, loc):
-        """*rel* arrives pre-divided by the box's rscale."""
+    def _l2p_eval(self, rel, loc, scale=1.0):
+        """*rel* arrives pre-divided by the box's rscale (see
+        :meth:`_p2m_terms` for *scale*)."""
         raise NotImplementedError
 
     def _m2p_eval(self, rel, mp, scale=1.0):
@@ -320,6 +385,14 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         fallback costs ~1 ms per matrix, which adds up at ~2k used
         (level, class) operators)."""
         return [self._m2l_matrix(t, float(r)) for t, r in zip(ts, rs)]
+
+    def _m2l_ops_device(self, ts, rs):
+        """Optional DEVICE-side batched M2L operator build: jnp ``(nops,
+        dim)`` translations + ``(nops,)`` rscales in, ``(nops, K, K)``
+        operator stack out (pure jnp, jit-safe).  Kernels that override
+        it avoid uploading the dense operator table; the base-class
+        definition marks the host fallback."""
+        raise NotImplementedError
 
     # }}}
 
@@ -390,14 +463,17 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             rel = rel / s
         else:
             s = None
+        sarg = 1.0 if s is None else s
         if self.dipole_vec is None:
-            terms = self._p2m_terms(rel, src_weights)  # (nsources, K)
+            terms = self._p2m_terms(rel, src_weights,
+                                    scale=sarg)     # (nsources, K)
         else:
             dip = self.dipole_vec.astype(rel.dtype)
             if s is not None:
                 dip = dip / s                      # chain rule d(rel/s)
             _, terms = jax.jvp(
-                lambda r: self._p2m_terms(r, src_weights), (rel,), (dip,))
+                lambda r: self._p2m_terms(r, src_weights, scale=sarg),
+                (rel,), (dip,))
         mp = self.multipole_expansion_zeros()
         mp = mp.at[tree.box_id_of_source].add(terms)
         if self._coeff_mask is not None:
@@ -434,27 +510,31 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             local_exps = local_exps.at[ids].add(shifted)
         return local_exps
 
-    def refine_locals_rows(self, rows_boxes, local_exps):
-        """Downward L2L restricted to the boxes in *rows_boxes* (padded
-        with -1); used by the distributed runner's per-rank
-        responsible+ancestor chains."""
+    def refine_locals_rows_grouped(self, rows, digit_sizes, level_slices,
+                                   local_exps):
+        """Downward L2L restricted to an explicit (level, digit)-sorted
+        padded row set — ONE grouped matmul per level, the distributed
+        runner's per-rank responsible+ancestor chains.
+
+        :arg rows: (R,) box ids sorted by (level, child digit), -1
+            padding at the tail of each level block.
+        :arg digit_sizes: (nlevels, 2^d) per-level digit group sizes
+            (level-block padding counted in the last digit group;
+            padded rows are dropped by their -1 id).
+        :arg level_slices: static ``(level, start, stop)`` tuples into
+            *rows* (identical across SPMD ranks).
+        """
         tree = self.tree
         parents = tree.box_parent_ids
-        levels = tree.box_levels
-        nchild = 2 ** self.dim
-        ids = jnp.clip(rows_boxes, 0)
-        valid = rows_boxes >= 0
-        dig = self.box_digit[ids]
-        for lev in range(1, tree.nlevels):
-            sel = valid & (levels[ids] == lev)
-            par_loc = local_exps[parents[ids]]
-            opsT = self._l2l_opsT[lev]
-            for d in range(nchild):
-                seld = sel & (dig == d)
-                contrib = jnp.where(seld[:, None], par_loc @ opsT[d], 0)
-                local_exps = local_exps.at[
-                    jnp.where(seld, ids, tree.nboxes)].add(
-                        contrib, mode="drop")
+        for lev, s0, s1 in level_slices:
+            ids = rows[s0:s1]
+            par = parents[jnp.clip(ids, 0)]
+            shifted = grouped_matmul(local_exps[par],
+                                     self._l2l_opsT[lev],
+                                     digit_sizes[lev])
+            local_exps = local_exps.at[
+                jnp.where(ids >= 0, ids, tree.nboxes)].add(
+                    shifted, mode="drop")
         return local_exps
 
     # }}}
@@ -479,7 +559,10 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             return local_exps
         mp = mpole_exps[jnp.clip(src_e, 0)]
         mp = jnp.where((tgt_e >= 0)[:, None], mp, 0)
-        out = grouped_matmul(mp, self._m2l_opsT, group_sizes)
+        if self._m2l_rot is not None:
+            out = self._m2l_rot.apply(mp, group_sizes)
+        else:
+            out = grouped_matmul(mp, self._m2l_opsT, group_sizes)
         safe = jnp.where(tgt_e >= 0, tgt_e, nboxes)
         return local_exps.at[safe].add(out, mode="drop")
 
@@ -719,10 +802,13 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                     local_exps):
         tree = self.tree
         rel = tree.targets - self.centers[:, tree.box_id_of_target]
+        sarg = 1.0
         if self._scale_of_level is not None:
-            rel = rel / self._scale_of_level[tree.box_levels[
+            sarg = self._scale_of_level[tree.box_levels[
                 tree.box_id_of_target]]
-        return self._l2p_eval(rel, local_exps[tree.box_id_of_target])
+            rel = rel / sarg
+        return self._l2p_eval(rel, local_exps[tree.box_id_of_target],
+                              scale=sarg)
 
     # }}}
 
@@ -741,17 +827,31 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         return self._scale_of_level[self.tree.box_levels[
             jnp.clip(gboxes, 0)]]
 
-    def form_multipoles_blocks(self, gboxes, pts, pmask, q_blocks):
+    def form_multipoles_blocks(self, gboxes, pts, pmask, q_blocks,
+                               dip_blocks=None):
         """P2M from (nb, pmax, d) blocks owned by global boxes *gboxes*
-        into a global-size multipole array."""
+        into a global-size multipole array.  *dip_blocks* (nb, pmax, d),
+        if given, makes the sources dipoles (JVP of the hook, as in
+        :meth:`form_multipoles`)."""
         tree = self.tree
         gb = jnp.clip(gboxes, 0).astype(jnp.int64)
         rel = (pts.transpose(2, 0, 1)
                - self.centers[:, gb][:, :, None])       # (d, nb, pmax)
         s = self._block_scale(gboxes)
+        sarg = 1.0
         if s is not None:
             rel = rel / s[None, :, None]
-        terms = self._p2m_terms(rel, q_blocks)          # (nb, pmax, K)
+            sarg = s[:, None]
+        if dip_blocks is None:
+            terms = self._p2m_terms(rel, q_blocks,
+                                    scale=sarg)         # (nb, pmax, K)
+        else:
+            dip = dip_blocks.transpose(2, 0, 1).astype(rel.dtype)
+            if s is not None:
+                dip = dip / s[None, :, None]
+            _, terms = jax.jvp(
+                lambda r: self._p2m_terms(r, q_blocks, scale=sarg),
+                (rel,), (dip,))
         keep = pmask & (gboxes >= 0)[:, None]
         terms = jnp.where(keep[..., None], terms, 0).sum(axis=1)
         if self._coeff_mask is not None:
@@ -787,12 +887,22 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         return out
 
     def eval_direct_blocks(self, tgt_rows, src_rows, valid_e,
-                           tgt_pts, src_pts, src_pm, q_blocks):
+                           tgt_pts, src_pts, src_pm, q_blocks,
+                           dip_blocks=None):
         """List-1 P2P over edges indexing LOCAL blocks; returns
         (n_local_tgt_boxes + 1, pmax) block potentials."""
-        def edge_potential(t, s):
-            return self._p2p(tgt_pts[t], src_pts[s], src_pm[s],
-                             q_blocks[s])
+        if dip_blocks is None:
+            def edge_potential(t, s):
+                return self._p2p(tgt_pts[t], src_pts[s], src_pm[s],
+                                 q_blocks[s])
+        else:
+            def edge_potential(t, s):
+                def f(sp):
+                    return self._p2p(tgt_pts[t], sp, src_pm[s],
+                                     q_blocks[s])
+                return jax.jvp(
+                    f, (src_pts[s],),
+                    (dip_blocks[s].astype(src_pts.dtype),))[1]
         out = jnp.zeros((tgt_pts.shape[0] + 1, tgt_pts.shape[1]),
                         self.dtype)
         return self._edge_block_scan(tgt_rows, src_rows, valid_e,
@@ -816,7 +926,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                                      edge_eval, out)
 
     def form_locals_blocks(self, tgt_gboxes, src_rows, valid_e,
-                           src_pts, src_pm, q_blocks):
+                           src_pts, src_pm, q_blocks, dip_blocks=None):
         """List-4 P2L from local source blocks into global-size local
         expansions."""
         tree = self.tree
@@ -828,7 +938,13 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             else:
                 sc = self._scale_of_level[levels[t]]
             rel = (src_pts[s].T - self.centers[:, t][:, None]) / sc
-            terms = self._p2l_terms(rel, q_blocks[s], sc)
+            if dip_blocks is None:
+                terms = self._p2l_terms(rel, q_blocks[s], sc)
+            else:
+                _, terms = jax.jvp(
+                    lambda r: self._p2l_terms(r, q_blocks[s], sc),
+                    (rel,),
+                    (dip_blocks[s].T.astype(rel.dtype) / sc,))
             return jnp.sum(
                 jnp.where(src_pm[s][:, None], terms, 0), axis=0)
 
@@ -847,9 +963,12 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         rel = (pts.transpose(2, 0, 1)
                - self.centers[:, gb][:, :, None])       # (d, nb, pmax)
         s = self._block_scale(gboxes)
+        sarg = 1.0
         if s is not None:
             rel = rel / s[None, :, None]
-        vals = self._l2p_eval(rel, local_exps[gb][:, None, :])
+            sarg = s[:, None]
+        vals = self._l2p_eval(rel, local_exps[gb][:, None, :],
+                              scale=sarg)
         return jnp.where(pmask & (gboxes >= 0)[:, None], vals, 0)
 
     # }}}

@@ -157,11 +157,38 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
             m[0, 0] += np.log(r)
         return m
 
+    def _m2l_ops_device(self, ts, rs):
+        """Vectorized `_m2l_host` over all operators in jnp (the table
+        never leaves the device; see
+        ``ExpansionWranglerBase._m2l_ops_device``)."""
+        # dtype discipline: every constant matches the dtype of *ts*
+        # (the caller feeds float32 for complex64 wranglers; an f64
+        # constant would promote to complex128, whose f64->c128 convert
+        # the TPU X64 rewriter rejects outright)
+        rdt = ts.dtype
+        p, binom = self.order, self.tree_indep.binom
+        z0 = -(ts[:, 0] + 1j * ts[:, 1]) / rs           # (nops,)
+        e = np.arange(2 * p + 2)
+        zpow = (1.0 / z0)[:, None] ** jnp.asarray(e, rdt)
+        # k >= 1 entries: b[l,k] = (-1)^k binom[l+k-1, l] z0^-(l+k)
+        ell = np.arange(p + 1)
+        coef = np.zeros((p + 1, p + 1))
+        for k in range(1, p + 1):
+            coef[:, k] = ((-1.0) ** k) * binom[ell + k - 1, ell]
+        lk = ell[:, None] + ell[None, :]
+        b = jnp.asarray(coef, rdt)[None] * zpow[:, jnp.asarray(lk)]
+        # column 0: l=0 -> log(-z0) + log(r); l>=1 -> -z0^-l / l
+        col0 = jnp.concatenate(
+            [(jnp.log(-z0) + jnp.log(rs))[:, None],
+             -zpow[:, 1:p + 1] / jnp.asarray(ell[1:], rdt)],
+            axis=1)
+        return jnp.concatenate([col0[:, :, None], b[:, :, 1:]], axis=2)
+
     # }}}
 
     # {{{ device hooks
 
-    def _p2m_terms(self, rel, q):
+    def _p2m_terms(self, rel, q, scale=1.0):
         zeta = rel[0] + 1j * rel[1]
         qc = q.astype(self.dtype)
         coeffs = [qc]
@@ -171,7 +198,7 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
             coeffs.append(-qc * zp / k)
         return jnp.stack(coeffs, axis=-1)
 
-    def _l2p_eval(self, rel, loc):
+    def _l2p_eval(self, rel, loc, scale=1.0):
         w = rel[0] + 1j * rel[1]
         acc = loc[..., 0]
         wp = jnp.ones_like(w)
@@ -288,6 +315,21 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
         idx = n_sum * n_sum + n_sum + m_sum
         return sign[None] * sb[:, idx] / rs[:, None, None]
 
+    def _m2l_ops_device(self, ts, rs):
+        """Same construction as `_m2l_matrices` in jnp: evaluate the
+        order-2p irregular basis at the (nops,) translations (~(nops,
+        (2p+1)^2) values) and expand to (nops, K, K) via a static index
+        map — the dense table never leaves the device."""
+        ti = self.tree_indep
+        sb = sh.irregular(ts.T / rs[None, :], 2 * self.order, xp=jnp)
+        n_sum = ti.nm_n[:, None] + ti.nm_n[None, :]
+        m_sum = ti.nm_m[:, None] + ti.nm_m[None, :]
+        # sign in ts's (real) dtype: an f64 constant would promote the
+        # complex64 basis to complex128 (TPU X64-rewrite killer)
+        sign = jnp.asarray((-1.0) ** ti.nm_n[:, None], ts.dtype)
+        idx = jnp.asarray(n_sum * n_sum + n_sum + m_sum)
+        return sign[None] * sb[:, idx] / rs[:, None, None]
+
     # }}}
 
     # {{{ device hooks
@@ -297,11 +339,11 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
         r2 = (rel * rel).sum(axis=0)
         return jnp.where(r2 > 0, rel, 1.0), r2 > 0
 
-    def _p2m_terms(self, rel, q):
+    def _p2m_terms(self, rel, q, scale=1.0):
         r = sh.regular(rel, self.order, xp=jnp)
         return jnp.conj(r) * q.astype(self.dtype)[..., None]
 
-    def _l2p_eval(self, rel, loc):
+    def _l2p_eval(self, rel, loc, scale=1.0):
         r = sh.regular(rel, self.order, xp=jnp)
         return jnp.sum(jnp.conj(r) * loc, axis=-1)
 

@@ -131,3 +131,58 @@ def test_laplace3d_dipoles_vs_direct():
 
     rel_err = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
     assert rel_err < 1e-5, rel_err
+
+
+def test_m2l_ops_device_vs_host():
+    """The device-side M2L operator builders must agree with the host
+    path to machine precision (they are what makes the TPU run feasible:
+    the dense table never crosses the host-device link)."""
+    import jax.numpy as jnp
+
+    from boxtree_tpu.models.laplace import (
+        LaplaceTreeIndependentDataForWrangler,
+    )
+
+    rng = np.random.default_rng(7)
+    for dim, order, cls_attr in ((2, 9, "Laplace2D"), (3, 6, "Laplace3D")):
+        import boxtree_tpu.models.laplace as lap
+        cls = getattr(lap, cls_attr + "ExpansionWrangler")
+        ti = LaplaceTreeIndependentDataForWrangler(dim, order)
+        w = cls.__new__(cls)              # operator hooks only
+        w.order = order
+        w.tree_indep = ti
+        ts = rng.integers(-3, 4, (40, dim)).astype(np.float64)
+        ts[np.all(np.abs(ts) < 2, axis=1)] += 3.0   # keep well-separated
+        rs = rng.uniform(0.25, 2.0, 40)
+        host = np.stack([w._m2l_matrix(t, float(r))
+                         for t, r in zip(ts, rs)])
+        dev = np.asarray(w._m2l_ops_device(jnp.asarray(ts),
+                                           jnp.asarray(rs)))
+        scale = np.abs(host).max(axis=(1, 2), keepdims=True)
+        assert np.max(np.abs(dev - host) / scale) < 1e-12
+
+
+def test_rotation_m2l_matches_dense():
+    """Point-and-shoot (rotation) M2L == dense-operator M2L — the
+    reference's optimized-vs-baseline equality oracle
+    (test/test_fmm.py:726-794, which compares FMMLibRotationData-
+    accelerated M2L against the unoptimized path to 1e-13)."""
+    from boxtree_tpu.fmm import drive_fmm
+    from boxtree_tpu.models.laplace import make_laplace_wrangler
+
+    rng = np.random.default_rng(33)
+    n = 1500
+    pts = rng.random((3, n))
+    tree = build_tree(pts, max_particles_in_box=25)
+    trav = build_traversal(tree)
+    q = rng.standard_normal(n)
+
+    dense = make_laplace_wrangler(trav, order=6)
+    ref = np.asarray(drive_fmm(dense, (q,)))
+    rot = make_laplace_wrangler(trav, order=6, m2l_mode="rotation")
+    assert rot._m2l_rot is not None
+    assert rot._m2l_rot.nrotations < rot.m2l_plan.nops
+    pot = np.asarray(drive_fmm(rot, (q,)))
+
+    err = np.abs(pot - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, err
