@@ -20,9 +20,9 @@ with coefficient index ``n`` running over ``-p..p``:
 
 Translation matrices are built on the host with :mod:`scipy.special`
 (per level and child digit / translation class); the device-side Bessel
-basis (J and Y up to order ``p``) is evaluated through
-``jax.pure_callback`` into scipy — exact and simple; a pure-jnp Miller
-recurrence is the later optimization.
+basis (J and Y up to order ``p``) runs as a pure-jnp Miller recurrence
+(:mod:`boxtree_tpu.ops.cylinder_bessel`) — no host round-trips on the
+hot path.
 
 Note: unlike Laplace, the Helmholtz M2L operator depends on ``k * box
 size`` and is therefore per-level even in scaled form; accuracy requires
@@ -50,43 +50,30 @@ class HelmholtzTreeIndependentDataForWrangler(
         self.order = order
 
 
-def _host_JH(p, x):
-    """scipy J_n and H^(1)_n for n = 0..p at points x (host); order axis
-    is trailing so the callback is vmap-compatible (batch axes lead)."""
-    from scipy import special as sp
-    n = np.arange(p + 1)[None, :]
-    xf = np.asarray(x, np.float64).reshape(-1, 1)
-    j = sp.jv(n, xf)
-    y = sp.yv(n, xf)
-    return (j.reshape(np.shape(x) + (p + 1,)),
-            (j + 1j * y).reshape(np.shape(x) + (p + 1,)))
-
-
 from functools import partial as _partial
 
+from boxtree_tpu.ops.cylinder_bessel import cylindrical_jy, miller_start
 
-@_partial(jax.custom_jvp, nondiff_argnums=(0,))
-def _device_JH(p, x):
-    """J_n / H_n for n = 0..p on device via a host callback; shapes are
-    ``x.shape + (p+1,)``.  Differentiable: the JVP evaluates one order
-    higher and uses ``dF_n/dx = (F_{n-1} - F_{n+1})/2`` (with
-    ``F_{-1} = -F_1``), which is what makes the base wrangler's JVP-based
-    dipole path work for Helmholtz too."""
-    shape = jax.ShapeDtypeStruct(x.shape + (p + 1,), jnp.float64)
-    cshape = jax.ShapeDtypeStruct(x.shape + (p + 1,), jnp.complex128)
 
-    def cb(xh):
-        return _host_JH(p, np.asarray(xh))
-
-    return jax.pure_callback(cb, (shape, cshape), x,
-                             vmap_method="broadcast_all")
+@_partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _device_JH(p, nstart, x):
+    """J_n / H_n for n = 0..p on device (pure-jnp Miller recurrences,
+    :mod:`boxtree_tpu.ops.cylinder_bessel`); shapes are ``x.shape +
+    (p+1,)``.  *nstart* is the static downward-recurrence start (from
+    :func:`~boxtree_tpu.ops.cylinder_bessel.miller_start` at the
+    wrangler's k * distance bound).  Differentiable: the JVP evaluates
+    one order higher and uses ``dF_n/dx = (F_{n-1} - F_{n+1})/2`` (with
+    ``F_{-1} = -F_1``), which is what makes the base wrangler's
+    JVP-based dipole path work for Helmholtz too."""
+    j, y = cylindrical_jy(x, p, nstart=nstart)
+    return j, j + 1j * y
 
 
 @_device_JH.defjvp
-def _device_JH_jvp(p, primals, tangents):
+def _device_JH_jvp(p, nstart, primals, tangents):
     x, = primals
     xdot, = tangents
-    j1, h1 = _device_JH(p + 1, x)        # orders 0..p+1
+    j1, h1 = _device_JH(p + 1, nstart, x)    # orders 0..p+1
 
     def deriv(f):
         # F_{n-1} for n = 0..p, using F_{-1} = -F_1
@@ -104,18 +91,43 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
     """2D Helmholtz FMM wrangler; see module docstring."""
 
     dtype = np.complex128
+    _supports_rscale = True
 
     def __init__(self, tree_indep, traversal, **kwargs):
         self.order = tree_indep.order
         self.k = tree_indep.helmholtz_k
         p = self.order
         self._ns = np.arange(-p, p + 1)
+        # static Miller start: |rel| in any P2M/M2P/P2L/L2P/P2P stage is
+        # bounded by the root diagonal plus slack (+1 order: the dipole
+        # JVP evaluates p+1)
+        root = float(np.asarray(traversal.tree.root_extent))
+        xmax = self.k * root * (2.0 * np.sqrt(tree_indep.dim) + 1.0)
+        self._nstart = miller_start(p + 2, xmax)
         super().__init__(tree_indep, traversal, **kwargs)
 
     def _ncoeff(self):
         return 2 * self.order + 1
 
+    def _coeff_orders(self):
+        return np.abs(self._ns)
+
+    def _rscale_factor(self):
+        return abs(self.k)
+
     # {{{ host operators
+    #
+    # rscale convention (the role of pyfmmlib's rscale arguments,
+    # ``boxtree/pyfmmlib_integration.py:393-402``): with the diagonal
+    # D_r = diag(r^|n|), scaled expansions are M~ = D_r^-1 M (multipole)
+    # and L~ = D_r L (local), so every coefficient stays O(1) on deep
+    # trees.  The scaled operators are then
+    #     M2M: D_p^-1 B D_c      L2L: D_c B D_p^-1      M2L: D_r B D_r
+    # built WITHOUT forming the unscaled entries (H_70 at deep-level
+    # arguments overflows float64): the radial tables come s-scaled from
+    # :mod:`boxtree_tpu.ops.scaled_bessel_host` and the leftover powers
+    # have provably nonnegative exponents (triangle inequality on
+    # |m - n|).
 
     def _graf_matrix(self, d, kind):
         from scipy import special as sp
@@ -130,29 +142,85 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
             vals = sp.hankel1(dn, self.k * rd)
         return vals * np.exp(-1j * dn * ad)
 
+    def _scaled_graf(self, d, kind, s):
+        """Graf entries with the radial factor pre-scaled:
+        ``J_{m-n} * s^-|m-n|`` or ``H_{m-n} * s^+|m-n|``."""
+        from boxtree_tpu.ops import scaled_bessel_host as sbh
+        p = self.order
+        ns = self._ns
+        rd = float(np.hypot(d[0], d[1]))
+        ad = float(np.arctan2(d[1], d[0]))
+        dn = ns[:, None] - ns[None, :]
+        q = np.abs(dn)
+        if kind == "J":
+            tab = sbh.jv_scaled(self.k * rd, 2 * p, s)
+        else:
+            tab = sbh.hankel1_scaled(self.k * rd, 2 * p, s)
+        sigma = np.where(dn < 0, (-1.0) ** q, 1.0)      # F_-q=(-1)^q F_q
+        return tab[q] * sigma * np.exp(-1j * dn * ad)
+
     def _m2m_matrix(self, t, r_child=1.0, r_parent=1.0):
-        # base: t = new - old; Graf d = old - new (rscale unsupported)
-        return self._graf_matrix(-np.asarray(t), "J")
+        # base: t = new - old; Graf d = old - new
+        d = -np.asarray(t)
+        if r_child == 1.0 and r_parent == 1.0:
+            return self._graf_matrix(d, "J")
+        ns, am = self._ns, np.abs(self._ns)
+        q = np.abs(ns[:, None] - ns[None, :])
+        base = self._scaled_graf(d, "J", r_child)
+        e = q + am[None, :] - am[:, None]               # >= 0
+        return base * r_child ** e \
+            * (r_child / r_parent) ** am[:, None]
 
     def _l2l_matrix(self, t, r_parent=1.0, r_child=1.0):
-        return self._graf_matrix(-np.asarray(t), "J")
+        d = -np.asarray(t)
+        if r_child == 1.0 and r_parent == 1.0:
+            return self._graf_matrix(d, "J")
+        ns, am = self._ns, np.abs(self._ns)
+        q = np.abs(ns[:, None] - ns[None, :])
+        base = self._scaled_graf(d, "J", r_child)
+        e = q + am[:, None] - am[None, :]               # >= 0
+        return base * r_child ** e \
+            * (r_child / r_parent) ** am[None, :]
 
     def _m2l_matrix(self, t, r=1.0):
-        # base: t = c_tgt - c_src; d = src - tgt (rscale unsupported)
-        return self._graf_matrix(-np.asarray(t), "H")
+        # base: t = c_tgt - c_src; d = src - tgt
+        d = -np.asarray(t)
+        if r == 1.0:
+            return self._graf_matrix(d, "H")
+        am = np.abs(self._ns)
+        q = np.abs(self._ns[:, None] - self._ns[None, :])
+        base = self._scaled_graf(d, "H", r)
+        e = am[:, None] + am[None, :] - q               # >= 0
+        return base * r ** e
 
     # }}}
 
     # {{{ device basis
 
-    def _basis(self, rel, kind, conj_phase):
-        """(..., 2p+1) values of J_n/H_n(k r) e^{+-i n th}, n=-p..p."""
+    def _dpow(self, scale, sign):
+        """``scale^(sign |n|)`` diagonal over the coefficient axis, or
+        None when rscale is off (scale == 1.0 exactly)."""
+        if isinstance(scale, (int, float)) and scale == 1.0:
+            return None
+        d = jnp.asarray(np.abs(self._ns), jnp.float64)
+        return jnp.asarray(scale)[..., None] ** (sign * d)
+
+    def _basis(self, rel, kind, conj_phase, scale=1.0):
+        """(..., 2p+1) values of J_n/H_n(k r) e^{+-i n th}, n=-p..p.
+
+        *rel* arrives in rscale-divided coordinates (see base class);
+        the physical radius is recovered as ``r * scale`` and the
+        result carries the diagonal ``scale^{-|n|}`` (J: scaled
+        multipole/local basis) or ``scale^{+|n|}`` (H)."""
         p = self.order
+        pw = self._dpow(scale, -1 if kind == "J" else +1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
         r = jnp.sqrt(rel[0] ** 2 + rel[1] ** 2)
         ok = r > 0
         r_safe = jnp.where(ok, r, 1.0)
         th = jnp.arctan2(rel[1], rel[0])
-        j, h = _device_JH(p, self.k * r_safe)
+        j, h = _device_JH(p, self._nstart, self.k * r_safe)
         base = j if kind == "J" else h                 # (..., p+1)
         # extend to negative orders: F_{-n} = (-1)^n F_n
         signs = jnp.asarray((-1.0) ** np.arange(1, p + 1))
@@ -161,6 +229,8 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
         phase = jnp.exp(conj_phase * 1j * jnp.asarray(self._ns)
                         * th[..., None])
         out = full.astype(jnp.complex128) * phase
+        if pw is not None:
+            out = out * pw
         if kind == "J":
             # exact r == 0 limit: J_n(0) = [n == 0] (the H-kind callers
             # mask by *ok* instead; J-kind results are used unguarded by
@@ -170,20 +240,20 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
             out = jnp.where(ok[..., None], out, one_hot)
         return out, ok
 
-    def _p2m_terms(self, rel, q):
-        vals, _ = self._basis(rel, "J", -1)
+    def _p2m_terms(self, rel, q, scale=1.0):
+        vals, _ = self._basis(rel, "J", -1, scale)
         return (0.25j) * q.astype(self.dtype)[..., None] * vals
 
-    def _l2p_eval(self, rel, loc):
-        vals, _ = self._basis(rel, "J", +1)
+    def _l2p_eval(self, rel, loc, scale=1.0):
+        vals, _ = self._basis(rel, "J", +1, scale)
         return jnp.sum(loc * vals, axis=-1)
 
     def _m2p_eval(self, rel, mp, scale=1.0):
-        vals, ok = self._basis(rel.astype(jnp.float64), "H", +1)
+        vals, ok = self._basis(rel.astype(jnp.float64), "H", +1, scale)
         return jnp.where(ok, jnp.sum(mp * vals, axis=-1), 0)
 
     def _p2l_terms(self, rel, q, scale=1.0):
-        vals, ok = self._basis(rel.astype(jnp.float64), "H", -1)
+        vals, ok = self._basis(rel.astype(jnp.float64), "H", -1, scale)
         terms = (0.25j) * q.astype(self.dtype)[..., None] * vals
         return jnp.where(ok[..., None], terms, 0)
 
@@ -191,7 +261,8 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
         diff = tgt_pts[:, None, :] - src_pts[None, :, :]
         r = jnp.sqrt((diff * diff).sum(-1))
         ok = (r > 0) & src_valid[None, :]
-        _, h = _device_JH(0, self.k * jnp.where(ok, r, 1.0))
+        _, h = _device_JH(0, self._nstart,
+                  self.k * jnp.where(ok, r, 1.0))
         g = jnp.where(ok, (0.25j) * h[..., 0], 0)
         return g @ q.astype(self.dtype)
 

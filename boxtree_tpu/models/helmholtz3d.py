@@ -33,8 +33,8 @@ with ``f = j`` for regular translations (M2M/L2L and S|S) and
 Gauss-Legendre quadrature (the integrand is a polynomial in cos theta).
 The device-side radial functions are the pure-jnp recurrences of
 :mod:`boxtree_tpu.ops.spherical_bessel` — no host callbacks on the hot
-path (unlike the 2D wrangler's pure_callback, which this supersedes
-design-wise).
+path (the 2D wrangler uses the same design via
+:mod:`boxtree_tpu.ops.cylinder_bessel`).
 
 Accuracy requires the usual low-frequency condition (order comfortably
 above ``k * box_size`` at the coarsest interacting level).
@@ -139,46 +139,121 @@ class Helmholtz3DTreeIndependentDataForWrangler(
         self.phase_pair = (1j) ** (
             self.nm_n[:, None] - self.nm_n[None, :])
 
-    def translation_matrix(self, t, kind):
-        """Dense (K, K) translation operator in the A basis for shift
-        *t*: out(x) = sum T[out, in] Rg basis — *kind* "J" (regular:
-        M2M/L2L/S|S) or "H" (M2L)."""
-        from scipy import special as sp
+    def _tmat(self, t, fhat, pw=None):
+        """Shared Gaunt-series assembly: radial table *fhat* (qmax+1,),
+        optional per-q elementwise multiplier ``pw(q) -> (K, K)`` in
+        (in, out) orientation; returns the (K, K) [out, in] operator in
+        the A basis."""
         t = np.asarray(t, np.float64)
         r = np.linalg.norm(t)
         theta = np.arccos(np.clip(t[2] / r, -1, 1))
         phi = np.arctan2(t[1], t[0])
         q = np.arange(self.qmax + 1)
-        x = self.k * r
+        yt = _y_table_at(theta, phi, self.qmax)        # (q, s+qmax)
+        s_idx = (self.nm_m[:, None] - self.nm_m[None, :]) + self.qmax
+        # yt_pairs[in=nm, out=numu, q] -> gather yt[q, m - mu]
+        # careful: formula's s = m - mu with nm = input, numu = output
+        coef = ((1j) ** q) * fhat                      # (q,)
+        # gaunt indexed [in=nm, out=numu, q]; build T[out, in]
+        yt_q = yt.T                                    # (s+qmax, q)
+        ytp = yt_q[s_idx]                              # (in, out, q)
+        if pw is None:
+            T_in_out = 4 * np.pi * np.einsum(
+                "abq,q->ab", self.gaunt * ytp, coef)
+        else:
+            K = self.nm_n.shape[0]
+            T_in_out = np.zeros((K, K), np.complex128)
+            for qq in range(self.qmax + 1):
+                T_in_out += ((self.gaunt[:, :, qq] * ytp[:, :, qq])
+                             * coef[qq]) * pw(qq)
+            T_in_out *= 4 * np.pi
+        T = T_in_out.T * self.phase_pair               # [out, in]
+        # Y basis -> A basis: T_A = D_out T_Y D_in^{-1}
+        return (self.D[:, None] * T) / self.D[None, :]
+
+    def translation_matrix(self, t, kind):
+        """Dense (K, K) translation operator in the A basis for shift
+        *t*: out(x) = sum T[out, in] Rg basis — *kind* "J" (regular:
+        M2M/L2L/S|S) or "H" (M2L)."""
+        from scipy import special as sp
+        q = np.arange(self.qmax + 1)
+        x = self.k * np.linalg.norm(np.asarray(t, np.float64))
         if kind == "J":
             fq = sp.spherical_jn(q, x)
         else:
             fq = (sp.spherical_jn(q, x)
                   + 1j * sp.spherical_yn(q, x))
-        yt = _y_table_at(theta, phi, self.qmax)        # (q, s+qmax)
-        s_idx = (self.nm_m[:, None] - self.nm_m[None, :]) + self.qmax
-        # yt_pairs[in=nm, out=numu, q] -> gather yt[q, m - mu]
-        # careful: formula's s = m - mu with nm = input, numu = output
-        coef = ((1j) ** q) * fq                        # (q,)
-        # gaunt indexed [in=nm, out=numu, q]; build T[out, in]
-        yt_q = yt.T                                    # (s+qmax, q)
-        ytp = yt_q[s_idx]                              # (in, out, q)
-        T_in_out = 4 * np.pi * np.einsum(
-            "abq,q->ab", self.gaunt * ytp, coef)
-        T = T_in_out.T * self.phase_pair               # [out, in]
-        # Y basis -> A basis: T_A = D_out T_Y D_in^{-1}
-        return (self.D[:, None] * T) / self.D[None, :]
+        return self._tmat(t, fq)
+
+    # {{{ rscale-scaled operator builds
+    #
+    # Same diagonal convention as the 2D wrangler (scaled expansions
+    # M~ = D_r^-1 M, L~ = D_r L with D_r = diag(r^n)); the radial table
+    # comes pre-scaled (j_q r^-q / h_q r^+q) from
+    # :mod:`boxtree_tpu.ops.scaled_bessel_host` and the per-q leftover
+    # power has a nonnegative exponent wherever the Gaunt selection
+    # rules (|n_a - n_b| <= q <= n_a + n_b) allow a nonzero entry, so
+    # nothing overflows on deep trees.
+
+    def _check_real_k(self):
+        if not isinstance(self.k, float):
+            raise NotImplementedError("rscale with complex helmholtz_k")
+
+    def m2m_matrix_scaled(self, t, r_c, r_p):
+        from boxtree_tpu.ops import scaled_bessel_host as sbh
+        self._check_real_k()
+        x = self.k * np.linalg.norm(np.asarray(t, np.float64))
+        fhat = sbh.spherical_jn_scaled(x, self.qmax, r_c)
+        na = self.nm_n[:, None]                        # axis a = input
+        nb = self.nm_n[None, :]                        # axis b = output
+        gam = nb.astype(np.float64)
+
+        def pw(q):
+            return (r_c ** np.maximum(q + na - nb, 0)
+                    * (r_c / r_p) ** gam)
+        return self._tmat(t, fhat, pw)
+
+    def l2l_matrix_scaled(self, t, r_p, r_c):
+        from boxtree_tpu.ops import scaled_bessel_host as sbh
+        self._check_real_k()
+        x = self.k * np.linalg.norm(np.asarray(t, np.float64))
+        fhat = sbh.spherical_jn_scaled(x, self.qmax, r_c)
+        na = self.nm_n[:, None]
+        nb = self.nm_n[None, :]
+
+        def pw(q):
+            return (r_c ** np.maximum(q + nb - na, 0)
+                    * (r_c / r_p) ** na.astype(np.float64))
+        return self._tmat(t, fhat, pw)
+
+    def m2l_matrix_scaled(self, t, r):
+        from boxtree_tpu.ops import scaled_bessel_host as sbh
+        self._check_real_k()
+        x = self.k * np.linalg.norm(np.asarray(t, np.float64))
+        fhat = sbh.spherical_hn1_scaled(x, self.qmax, r)
+        na = self.nm_n[:, None]
+        nb = self.nm_n[None, :]
+
+        def pw(q):
+            return r ** np.maximum(na + nb - q, 0)
+        return self._tmat(t, fhat, pw)
+
+    # }}}
 
 
 class Helmholtz3DExpansionWrangler(ExpansionWranglerBase):
     """3D Helmholtz FMM wrangler; see module docstring."""
 
     dtype = np.complex128
+    _supports_rscale = True
 
     def __init__(self, tree_indep, traversal, **kwargs):
         self.order = tree_indep.order
         self.k = tree_indep.k
         super().__init__(tree_indep, traversal, **kwargs)
+
+    def _rscale_factor(self):
+        return abs(self.k)
 
     def _ncoeff(self):
         return sh.ncoeffs(self.order)
@@ -189,13 +264,19 @@ class Helmholtz3DExpansionWrangler(ExpansionWranglerBase):
     # {{{ host operators
 
     def _m2m_matrix(self, t, r_child=1.0, r_parent=1.0):
-        return self.tree_indep.translation_matrix(t, "J")
+        if r_child == 1.0 and r_parent == 1.0:
+            return self.tree_indep.translation_matrix(t, "J")
+        return self.tree_indep.m2m_matrix_scaled(t, r_child, r_parent)
 
     def _l2l_matrix(self, t, r_parent=1.0, r_child=1.0):
-        return self.tree_indep.translation_matrix(t, "J")
+        if r_child == 1.0 and r_parent == 1.0:
+            return self.tree_indep.translation_matrix(t, "J")
+        return self.tree_indep.l2l_matrix_scaled(t, r_parent, r_child)
 
     def _m2l_matrix(self, t, r=1.0):
-        return self.tree_indep.translation_matrix(t, "H")
+        if r == 1.0:
+            return self.tree_indep.translation_matrix(t, "H")
+        return self.tree_indep.m2l_matrix_scaled(t, r)
 
     # }}}
 
@@ -224,29 +305,58 @@ class Helmholtz3DExpansionWrangler(ExpansionWranglerBase):
         hr = sb.spherical_hn1(self.k * r, self.order)
         return hr[..., jnp.asarray(self.tree_indep.nm_n)]
 
-    def _p2m_terms(self, rel, q):
+    def _dpow(self, scale, sign):
+        """``scale^(sign n)`` diagonal over the coefficient axis, or
+        None when rscale is off (scale == 1.0 exactly)."""
+        if isinstance(scale, (int, float)) and scale == 1.0:
+            return None
+        d = jnp.asarray(self.tree_indep.nm_n, jnp.float64)
+        return jnp.asarray(scale)[..., None] ** (sign * d)
+
+    def _p2m_terms(self, rel, q, scale=1.0):
+        pw = self._dpow(scale, -1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
         r, ok, a = self._angular(rel)
-        terms = (q.astype(self.dtype)[..., None] * self._w_nm
-                 * self._radial_j(r) * jnp.conj(a))
-        # r = 0 exact limit: j_n(0) = delta_n0, A_0^0 = 1
+        basis = self._radial_j(r) * jnp.conj(a)
+        if pw is not None:
+            basis = basis * pw
+        terms = q.astype(self.dtype)[..., None] * self._w_nm * basis
+        # r = 0 exact limit: j_n(0) = delta_n0, A_0^0 = 1 (scale^0 = 1)
         zero_lim = (q.astype(self.dtype)[..., None] * self._w_nm
                     * jnp.zeros(self.ncoeff, self.dtype).at[0].set(1.0))
         return jnp.where(ok[..., None], terms, zero_lim)
 
-    def _l2p_eval(self, rel, loc):
+    def _l2p_eval(self, rel, loc, scale=1.0):
+        pw = self._dpow(scale, -1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
         r, ok, a = self._angular(rel)
-        val = jnp.sum(loc * self._radial_j(r) * a, axis=-1)
+        basis = self._radial_j(r) * a
+        if pw is not None:
+            basis = basis * pw
+        val = jnp.sum(loc * basis, axis=-1)
         return jnp.where(ok, val, loc[..., 0])
 
     def _m2p_eval(self, rel, mp, scale=1.0):
+        pw = self._dpow(scale, +1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
         r, ok, a = self._angular(rel)
-        return jnp.where(ok, jnp.sum(mp * self._radial_h(r) * a, axis=-1),
-                         0)
+        basis = self._radial_h(r) * a
+        if pw is not None:
+            basis = basis * pw
+        return jnp.where(ok, jnp.sum(mp * basis, axis=-1), 0)
 
     def _p2l_terms(self, rel, q, scale=1.0):
+        pw = self._dpow(scale, +1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
         r, ok, a = self._angular(rel)
-        terms = (q.astype(self.dtype)[..., None] * self._w_nm
-                 * self._radial_h(r) * jnp.conj(a))
+        basis = self._radial_h(r) * jnp.conj(a)
+        if pw is not None:
+            basis = basis * pw
+        terms = q.astype(self.dtype)[..., None] * self._w_nm * basis
         return jnp.where(ok[..., None], terms, 0)
 
     def _p2p(self, tgt_pts, src_pts, src_valid, q):

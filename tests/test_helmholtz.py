@@ -74,3 +74,80 @@ def test_helmholtz2d_dipoles_vs_direct():
 
     rel = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
     assert rel < 1e-5, rel
+
+
+def test_cylindrical_bessel_vs_scipy():
+    """Native J_n/Y_n recurrences vs scipy over the FMM's argument range
+    (mirrors tests/test_helmholtz3d.py's spherical oracle)."""
+    from scipy import special as sp
+
+    from boxtree_tpu.ops.cylinder_bessel import cylindrical_jy, miller_start
+
+    rng = np.random.default_rng(3)
+    p = 24
+    x = np.concatenate([
+        rng.uniform(1e-6, 0.5, 50),
+        rng.uniform(0.5, 5.0, 100),
+        rng.uniform(5.0, 40.0, 100),
+        sp.jn_zeros(0, 3),               # near-zeros of J_0 regression
+    ])
+    j_dev, y_dev = cylindrical_jy(x, p, nstart=miller_start(p, 40.0))
+    ns = np.arange(p + 1)[None, :]
+    j_ref = sp.jv(ns, x[:, None])
+    y_ref = sp.yv(ns, x[:, None])
+    assert np.max(np.abs(np.asarray(j_dev) - j_ref)) < 1e-12
+    # Y grows steeply at small x / high order: compare relatively
+    rel = np.abs(np.asarray(y_dev) - y_ref) / np.maximum(
+        np.abs(y_ref), 1.0)
+    assert np.max(rel) < 1e-11, np.max(rel)
+
+
+def test_helmholtz2d_rscale_vs_unscaled():
+    """rscale="auto" must reproduce the unscaled result (same FMM, a
+    diagonal change of basis) and stay accurate vs direct — covers the
+    scaled host operators AND the scaled device basis hooks at once."""
+    rng = np.random.default_rng(11)
+    k = 3.0
+    n = 600
+    sources = rng.random((2, n))
+    charges = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    tree = build_tree(sources, max_particles_in_box=12)
+    trav = build_traversal(tree)
+
+    pots = []
+    for rscale in (None, "auto"):
+        w = make_helmholtz_wrangler(trav, helmholtz_k=k, order=12,
+                                    rscale=rscale)
+        pots.append(np.asarray(drive_fmm(w, (charges,))))
+    ref = direct_helmholtz(sources, sources, charges, k)
+    scale = np.abs(ref).max()
+    assert np.abs(pots[0] - pots[1]).max() / scale < 1e-10
+    assert np.abs(pots[1] - ref).max() / scale < 1e-5
+
+
+def test_helmholtz2d_rscale_dipoles():
+    """Dipole JVP path through the rscaled basis hooks."""
+    from scipy import special as sp
+
+    rng = np.random.default_rng(12)
+    k = 2.0
+    n = 400
+    sources = rng.random((2, n))
+    weights = rng.standard_normal(n)
+    dipvec = rng.standard_normal((2, n))
+    tree = build_tree(sources, max_particles_in_box=10)
+    trav = build_traversal(tree)
+    w = make_helmholtz_wrangler(trav, helmholtz_k=k, order=14,
+                                rscale="auto", dipole_vec=dipvec)
+    pot = np.asarray(drive_fmm(w, (weights,)))
+
+    dx = sources[0][:, None] - sources[0][None, :]
+    dy = sources[1][:, None] - sources[1][None, :]
+    r = np.sqrt(dx * dx + dy * dy)
+    rs = np.where(r > 0, r, 1.0)
+    # (dipvec . grad_src) G = (i k / 4) H_1(k r) (d . rhat_src)
+    proj = (dx * dipvec[0][None, :] + dy * dipvec[1][None, :]) / rs
+    g = np.where(r > 0, 0.25j * k * sp.hankel1(1, k * rs) * proj, 0)
+    ref = g @ weights
+    rel = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-5, rel

@@ -62,6 +62,54 @@ def test_laplace_numerical_stability(dims, order):
     assert rel_err < bound, rel_err
 
 
+def _line_tree(dims, nsources=30):
+    dtype = np.float64
+    particle_line = np.array([2.0 ** -i for i in range(nsources // 2)],
+                             dtype=dtype)
+    particle_line = np.hstack([particle_line, 3 - particle_line])
+    zero = np.zeros(nsources, dtype)
+    sources = np.vstack([particle_line, zero, zero])[:dims]
+    targets = sources * (1 + 1e-3)
+    tree = build_tree(sources, targets=targets, max_particles_in_box=2)
+    assert tree.nlevels >= 15
+    return sources, targets, tree
+
+
+@pytest.mark.parametrize("dims,order", [(2, 35), (3, 15)])
+def test_helmholtz_numerical_stability(dims, order):
+    """Helmholtz leg of the reference stability test
+    (``test/test_fmm.py:535-610``, helmholtz_k=2): the deep line tree
+    drives k * box_size to ~1e-4, where the unscaled M2L operator build
+    (H_70 at that argument ~ 1e399) overflows float64 outright — this
+    passes only with the per-level rscale machinery.  3D runs at a
+    reduced order (the dense Gaunt tensor is O(p^5) memory) with the
+    correspondingly looser (3/4)^(p+1) reference bound."""
+    from boxtree_tpu.models.helmholtz3d import make_helmholtz_wrangler
+
+    k = 2.0
+    sources, targets, tree = _line_tree(dims)
+    trav = build_traversal(tree)
+    weights = np.ones(sources.shape[1])
+
+    wrangler = make_helmholtz_wrangler(trav, helmholtz_k=k, order=order,
+                                       rscale="auto")
+    pot = np.asarray(drive_fmm(wrangler, (weights,)))
+    assert not np.isnan(pot).any()
+
+    d = sources[:, None, :] - targets[:, :, None]
+    r = np.sqrt((d * d).sum(axis=0))
+    if dims == 2:
+        from scipy import special as sp
+        g = 0.25j * sp.hankel1(0, k * r)
+    else:
+        g = np.exp(1j * k * r) / r
+    ref = g @ weights
+
+    rel_err = np.abs(pot - ref).max() / np.abs(ref).max()
+    bound = (1 / 2) ** (1 + order) if dims == 2 else (3 / 4) ** (1 + order)
+    assert rel_err < bound, rel_err
+
+
 def test_level_to_order():
     # level-varying orders run end-to-end and stay accurate (mirrors
     # the level_to_order use in test_fmm.py:398-476)
