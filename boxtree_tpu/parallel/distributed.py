@@ -169,12 +169,15 @@ def _build_local_particles(wrangler, box_masks, nranks):
     tgt_pts = np.asarray(tb.points)
     tgt_mask = np.asarray(tb.mask)
     tgt_idx = np.asarray(tb.index)
+    src_dip = (None if wrangler.dipole_vec is None
+               else np.asarray(wrangler._dip_blocks))
 
     nboxes = tree.nboxes
     out = {k: [] for k in (
         "src_boxes", "src_points", "src_pmask", "src_index",
         "src_row_of_box", "tgt_boxes", "tgt_points", "tgt_pmask",
-        "tgt_index", "tgt_row_of_box")}
+        "tgt_index", "tgt_row_of_box")
+        + (("src_dip",) if src_dip is not None else ())}
     for r in range(nranks):
         m = box_masks[r]
         sboxes = np.nonzero(
@@ -189,6 +192,8 @@ def _build_local_particles(wrangler, box_masks, nranks):
         out["src_pmask"].append(src_mask[sboxes])
         out["src_index"].append(src_idx[sboxes])
         out["src_row_of_box"].append(srow)
+        if src_dip is not None:
+            out["src_dip"].append(src_dip[sboxes])
         out["tgt_boxes"].append(tboxes.astype(np.int32))
         out["tgt_points"].append(tgt_pts[tboxes])
         out["tgt_pmask"].append(tgt_mask[tboxes])
@@ -264,9 +269,6 @@ class DistributedFMMRunner:
                 raise TypeError(
                     "local_particles requires an ExpansionWranglerBase "
                     "wrangler (with particle blocks)")
-            if getattr(self.wrangler, "dipole_vec", None) is not None:
-                raise NotImplementedError(
-                    "local_particles does not support dipoles yet")
 
         if cost_per_box is None:
             from boxtree_tpu.cost.model import FMMCostModel
@@ -339,12 +341,47 @@ class DistributedFMMRunner:
         self.e2 = shard(e2_stack)
         self.e2_group_sizes = shard(gs_stack)
 
-        totp_rows = []
+        # downward-pass row plan: per rank, (level, digit)-sorted
+        # responsible+ancestor rows with cross-rank-uniform per-level
+        # widths (static SPMD slices) — drives
+        # ``refine_locals_rows_grouped``'s one-grouped-matmul-per-level
+        # downward pass.
+        box_lev = np.asarray(tree.box_levels)
+        nchild = 2 ** tree.dimensions
+        box_digit = (np.asarray(tree.box_morton_prefixes)
+                     & (nchild - 1)).astype(np.int64)
+        rows_by_rank = []
+        lev_counts = np.zeros((nranks, tree.nlevels), np.int64)
         for r in range(nranks):
             m = self.box_masks[r]
             local_rows = m.responsible_boxes | m.ancestor_boxes
-            totp_rows.append(totp[local_rows[totp]])
-        self.totp_boxes_local = shard(_pad_stack(totp_rows, -1))
+            ids = totp[local_rows[totp]]
+            ids = ids[box_lev[ids] >= 1]
+            ids = ids[np.lexsort((box_digit[ids], box_lev[ids]))]
+            rows_by_rank.append(ids)
+            lev_counts[r] = np.bincount(box_lev[ids],
+                                        minlength=tree.nlevels)
+        widths = lev_counts.max(axis=0)
+        w_starts = np.concatenate([[0], np.cumsum(widths)])
+        self._l2l_level_slices = tuple(
+            (lev, int(w_starts[lev]), int(w_starts[lev + 1]))
+            for lev in range(1, tree.nlevels) if widths[lev])
+        rows_pad = np.full((nranks, max(1, int(w_starts[-1]))), -1,
+                           np.int64)
+        dsize = np.zeros((nranks, tree.nlevels, nchild), np.int32)
+        for r in range(nranks):
+            ids = rows_by_rank[r]
+            lc = np.concatenate([[0], np.cumsum(lev_counts[r])])
+            for lev in range(1, tree.nlevels):
+                seg = ids[lc[lev]:lc[lev + 1]]
+                rows_pad[r, w_starts[lev]:w_starts[lev] + len(seg)] = seg
+                dsize[r, lev] = np.bincount(box_digit[seg],
+                                            minlength=nchild)
+                # level-block tail padding folds into the last digit
+                # group; -1 ids drop their contributions
+                dsize[r, lev, -1] += widths[lev] - len(seg)
+        self.l2l_rows = shard(rows_pad)
+        self.l2l_digit_sizes = shard(dsize)
         self.resp_masks = shard(np.stack(
             [m.responsible_boxes for m in self.box_masks]))
 
@@ -405,6 +442,14 @@ class DistributedFMMRunner:
             self.e4_local = remap(e4, (None, srow))
             keep = ("src_points", "src_pmask", "src_p2m_boxes",
                     "tgt_boxes", "tgt_points", "tgt_pmask", "tgt_index")
+            if "src_dip" in ld:
+                keep = keep + ("src_dip",)
+            else:
+                # unused dummy (static has_dip branch in the step)
+                ld["src_dip"] = np.zeros(
+                    (nranks, 1, 1, tree.dimensions),
+                    np.asarray(tree.sources).dtype)
+                keep = keep + ("src_dip",)
             self._local = {k: shard(ld[k]) for k in keep}
             #: per-rank bytes of the local particle blocks (for the
             #: memory-scaling assertion in tests)
@@ -456,12 +501,14 @@ class DistributedFMMRunner:
         pot_box_map = wrangler.potential_box_map()
         exchange_mpoles = self._make_mpole_exchange()
 
-        def step(resp_mask, e1, e2, e2_gs, e3, e4, totp_local,
+        l2l_slices = self._l2l_level_slices
+
+        def step(resp_mask, e1, e2, e2_gs, e3, e4, l2l_rows, l2l_dsz,
                  mpole_tables, weights):
             resp_mask = resp_mask[0]
             e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
             e2_gs = e2_gs[0]
-            totp_local = totp_local[0]
+            l2l_rows, l2l_dsz = l2l_rows[0], l2l_dsz[0]
 
             # P2M + M2M from responsible sources only; every rank's
             # partial multipole tree covers its responsible+ancestor
@@ -484,7 +531,8 @@ class DistributedFMMRunner:
                 e4[:, 0], e4[:, 1], None, weights)
 
             # downward pass along this rank's responsible+ancestor chain
-            loc = wrangler.refine_locals_rows(totp_local, loc)
+            loc = wrangler.refine_locals_rows_grouped(
+                l2l_rows, l2l_dsz, l2l_slices, loc)
 
             pot = pot + wrangler.eval_locals(None, None, loc)
             pot = jnp.where(resp_mask[pot_box_map], pot, 0)
@@ -503,7 +551,8 @@ class DistributedFMMRunner:
             in_specs=(P(axis, None), P(axis, None, None),
                       P(axis, None, None), P(axis, None),
                       P(axis, None, None), P(axis, None, None),
-                      P(axis, None), table_specs, P()),
+                      P(axis, None), P(axis, None, None),
+                      table_specs, P()),
             out_specs=P(), check_vma=False))
 
     def _build_step_local(self):
@@ -519,38 +568,45 @@ class DistributedFMMRunner:
         ntargets = tree.ntargets
         exchange_mpoles = self._make_mpole_exchange()
 
-        def step(e1, e2, e2_gs, e3, e4, totp_local,
-                 src_pts, src_pm, src_p2m_boxes,
+        l2l_slices = self._l2l_level_slices
+        has_dip = wrangler.dipole_vec is not None
+
+        def step(e1, e2, e2_gs, e3, e4, l2l_rows, l2l_dsz,
+                 src_pts, src_pm, src_p2m_boxes, src_dip,
                  tgt_boxes, tgt_pts, tgt_pm, tgt_idx,
                  mpole_tables, q_blocks):
             e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
             e2_gs = e2_gs[0]
-            totp_local = totp_local[0]
+            l2l_rows, l2l_dsz = l2l_rows[0], l2l_dsz[0]
             src_pts, src_pm = src_pts[0], src_pm[0]
             src_p2m_boxes = src_p2m_boxes[0]
             tgt_boxes, tgt_pts = tgt_boxes[0], tgt_pts[0]
             tgt_pm, tgt_idx = tgt_pm[0], tgt_idx[0]
             q_blocks = q_blocks[0]
+            dip = src_dip[0] if has_dip else None
 
             # upward pass: P2M from this rank's responsible blocks,
             # M2M along the (replicated) box skeleton, then exchange
             mp = wrangler.form_multipoles_blocks(
-                src_p2m_boxes, src_pts, src_pm, q_blocks)
+                src_p2m_boxes, src_pts, src_pm, q_blocks,
+                dip_blocks=dip)
             mp = wrangler.coarsen_multipoles(None, None, mp)
             mp = exchange_mpoles(mp, mpole_tables)
 
             # near/far stages over local-row edge slices
             pot_b = wrangler.eval_direct_blocks(
                 e1[:, 0], e1[:, 1], None, tgt_pts, src_pts, src_pm,
-                q_blocks)
+                q_blocks, dip_blocks=dip)
             pot_b = pot_b + wrangler.eval_multipoles_blocks(
                 e3[:, 0], e3[:, 1], None, tgt_pts, mp)
 
             loc = wrangler.multipole_to_local_edges(
                 e2[:, 0], e2[:, 1], e2_gs, mp)
             loc = loc + wrangler.form_locals_blocks(
-                e4[:, 0], e4[:, 1], None, src_pts, src_pm, q_blocks)
-            loc = wrangler.refine_locals_rows(totp_local, loc)
+                e4[:, 0], e4[:, 1], None, src_pts, src_pm, q_blocks,
+                dip_blocks=dip)
+            loc = wrangler.refine_locals_rows_grouped(
+                l2l_rows, l2l_dsz, l2l_slices, loc)
 
             pot_b = pot_b[:tgt_pts.shape[0]] \
                 + wrangler.eval_locals_blocks(tgt_boxes, tgt_pts,
@@ -577,8 +633,8 @@ class DistributedFMMRunner:
         return jax.jit(shard_map(
             step, mesh=self.mesh,
             in_specs=(spec(3), spec(3), spec(2), spec(3), spec(3),
-                      spec(2),
-                      spec(4), spec(3), spec(2),
+                      spec(2), spec(3),
+                      spec(4), spec(3), spec(2), spec(4),
                       spec(2), spec(4), spec(3), spec(3),
                       table_specs, spec(3)),
             out_specs=P(), check_vma=False))
@@ -600,14 +656,16 @@ class DistributedFMMRunner:
             lc = self._local
             pot = self._step(
                 self.e1_local, self.e2, self.e2_group_sizes,
-                self.e3_local, self.e4_local, self.totp_boxes_local,
+                self.e3_local, self.e4_local, self.l2l_rows,
+                self.l2l_digit_sizes,
                 lc["src_points"], lc["src_pmask"], lc["src_p2m_boxes"],
+                lc["src_dip"],
                 lc["tgt_boxes"], lc["tgt_points"], lc["tgt_pmask"],
                 lc["tgt_index"], self._mpole_tables, self._shard(q))
         else:
             pot = self._step(self.resp_masks, self.e1, self.e2,
                              self.e2_group_sizes, self.e3, self.e4,
-                             self.totp_boxes_local, self._mpole_tables,
-                             w)
+                             self.l2l_rows, self.l2l_digit_sizes,
+                             self._mpole_tables, w)
         pot = self.wrangler.reorder_potentials(pot)
         return self.wrangler.finalize_potentials(pot)

@@ -57,6 +57,81 @@ def partition_work(cost_per_box, traversal, nranks):
     return masks
 
 
+@dataclass
+class RankPartition:
+    """Vectorized form of the DFS cost partition: instead of per-rank
+    dense masks, every box carries its owner rank and the contiguous
+    rank interval for which it is responsible-OR-ancestor.  This is what
+    lets the distributed setup run as single sorts over ALL edges
+    (O(E log E)) rather than per-rank passes (O(nranks * E)) — the DFS
+    contiguity the reference's partition also guarantees
+    (``boxtree/distributed/partition.py:60-121``) is what makes the
+    intervals contiguous: box b is responsible-or-ancestor for rank r
+    iff b's DFS subtree interval overlaps r's segment.
+    """
+
+    nranks: int
+    #: (nboxes,) DFS position of each box
+    pos_of_box: np.ndarray
+    #: (nboxes,) DFS subtree size (descendants incl. self)
+    subtree_size: np.ndarray
+    #: (nranks + 1,) segment bounds in DFS positions
+    seg_bounds: np.ndarray
+    #: (nboxes,) responsible rank of each box
+    owner_of_box: np.ndarray
+    #: (nboxes,) first / last rank having the box responsible-or-ancestor
+    r_lo: np.ndarray
+    r_hi: np.ndarray
+
+    def responsible_masks(self):
+        """(nranks, nboxes) bool — compat with :func:`partition_work`."""
+        return (self.owner_of_box[None, :]
+                == np.arange(self.nranks)[:, None])
+
+    def resp_or_anc_masks(self):
+        """(nranks, nboxes) bool responsible-or-ancestor masks."""
+        r = np.arange(self.nranks)[:, None]
+        return (self.r_lo[None, :] <= r) & (r <= self.r_hi[None, :])
+
+
+def partition_ranks(cost_per_box, traversal, nranks):
+    """Cost-balanced DFS partition in vectorized (interval) form; the
+    segment bounds match :func:`partition_work` exactly."""
+    tree = traversal.tree
+    cost = np.asarray(cost_per_box, np.float64)
+    order = dfs_box_order(tree)
+    nboxes = tree.nboxes
+    pos_of_box = np.empty(nboxes, np.int64)
+    pos_of_box[order] = np.arange(nboxes)
+
+    cum = np.cumsum(cost[order])
+    bounds = np.searchsorted(cum, cum[-1] * np.arange(1, nranks) / nranks)
+    seg_bounds = np.clip(np.concatenate([[0], bounds + 1, [nboxes]]),
+                         0, nboxes)
+
+    # subtree sizes bottom-up (levels are shallow; each pass is O(nboxes))
+    levels = np.asarray(tree.box_levels)
+    parents = np.asarray(tree.box_parent_ids)
+    size = np.ones(nboxes, np.int64)
+    for lev in range(tree.nlevels - 1, 0, -1):
+        sel = np.nonzero(levels == lev)[0]
+        np.add.at(size, parents[sel], size[sel])
+
+    owner = np.searchsorted(seg_bounds, pos_of_box, side="right") - 1
+    owner = np.clip(owner, 0, nranks - 1)
+    # subtree interval [pos_of_box[b], pos_of_box[b] + size[b]) against
+    # the segments: overlapping ranks form the contiguous interval
+    # [rank of first position, rank of last position]
+    r_lo = np.searchsorted(seg_bounds, pos_of_box, side="right") - 1
+    r_hi = np.searchsorted(seg_bounds, pos_of_box + size - 1,
+                           side="right") - 1
+    r_lo = np.clip(r_lo, 0, nranks - 1)
+    r_hi = np.clip(r_hi, 0, nranks - 1)
+    return RankPartition(nranks=nranks, pos_of_box=pos_of_box,
+                         subtree_size=size, seg_bounds=seg_bounds,
+                         owner_of_box=owner, r_lo=r_lo, r_hi=r_hi)
+
+
 def _propagate_to_ancestors(tree, mask):
     """Mask of all (strict or non-strict) ancestors of masked boxes."""
     parents = np.asarray(tree.box_parent_ids)
