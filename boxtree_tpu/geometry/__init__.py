@@ -7,6 +7,7 @@ from boxtree_tpu.geometry.area_query import (
     PeerListFinder,
     PeerListLookup,
     SpaceInvaderQueryBuilder,
+    area_query_elementwise,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "PeerListFinder",
     "PeerListLookup",
     "SpaceInvaderQueryBuilder",
+    "area_query_elementwise",
 ]

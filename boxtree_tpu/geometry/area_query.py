@@ -223,10 +223,45 @@ class LeavesToBallsLookupBuilder:
             balls_near_box_lists=lists)
 
 
+def area_query_elementwise(tree, ball_center_and_radius, nballs,
+                           leaf_found_op, out, combine="add"):
+    """Reusable custom area query — the TPU-native analogue of the
+    reference's ``AreaQueryElementwiseTemplate``
+    (``boxtree/area_query.py:495-610``), which downstream users
+    instantiate with a ball-generator macro and a per-leaf callback
+    macro.
+
+    :arg ball_center_and_radius: the ball generator: maps a ``(B,)``
+        index vector to ``((d, B) centers, (B,) radii)`` (the
+        reference's ``get_ball_center_and_radius`` macro, vectorized).
+    :arg leaf_found_op: the per-hit callback: maps the ``(E,)`` edge
+        vectors ``(ball_idx, leaf_box_id)`` to ``(values,
+        out_indices)`` (the reference's ``leaf_found_op`` macro; its
+        OpenCL instances write through atomics — here the writes
+        combine by scatter-*combine*).
+    :arg out: accumulator array; returned updated.
+    :arg combine: ``"add"``, ``"max"``, or ``"min"``.
+
+    Instead of the reference's per-workitem guiding-box stack walk, the
+    balls run through the batched level-synchronized frontier sweep
+    (:func:`_ball_leaf_edges`), then one vectorized callback + scatter.
+    """
+    idx = jnp.arange(nballs, dtype=jnp.int64)
+    centers, radii = ball_center_and_radius(idx)
+    keys, _ = _ball_leaf_edges(tree, centers, radii)
+    balls = (keys >> np.int64(32)).astype(jnp.int64)
+    leaves = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int64)
+    vals, oidx = leaf_found_op(balls, leaves)
+    upd = getattr(out.at[oidx], combine)
+    return upd(vals)
+
+
 class SpaceInvaderQueryBuilder:
     """For each leaf box, the farthest l-inf distance from the box center
     to the center of any overlapping ball; 0 where none.
-    Mirrors ``boxtree/area_query.py:925-1049``."""
+    Mirrors ``boxtree/area_query.py:925-1049`` — and, like the
+    reference's ``SPACE_INVADER_QUERY_TEMPLATE``, is an instance of the
+    elementwise area-query mechanism."""
 
     def __init__(self, actx=None):
         pass
@@ -236,14 +271,19 @@ class SpaceInvaderQueryBuilder:
         if ball_radii is None:
             tree, ball_centers, ball_radii = (
                 tree_or_actx, tree, ball_centers)
-        keys, _ = _ball_leaf_edges(tree, ball_centers, ball_radii)
-        balls = (keys >> np.int64(32)).astype(jnp.int64)
-        leaves = (keys & np.int64(0xFFFFFFFF)).astype(jnp.int64)
         centers = jnp.asarray(ball_centers)
-        dist = jnp.max(jnp.abs(centers[:, balls]
-                               - tree.box_centers[:, leaves]), axis=0)
-        out = jnp.zeros(tree.nboxes, jnp.float32)
-        return out.at[leaves].max(dist.astype(jnp.float32))
+        radii = jnp.asarray(ball_radii)
+
+        def leaf_found_op(balls, leaves):
+            dist = jnp.max(jnp.abs(centers[:, balls]
+                                   - tree.box_centers[:, leaves]),
+                           axis=0)
+            return dist.astype(jnp.float32), leaves
+
+        return area_query_elementwise(
+            tree, lambda i: (centers, radii), centers.shape[1],
+            leaf_found_op, jnp.zeros(tree.nboxes, jnp.float32),
+            combine="max")
 
 # }}}
 

@@ -176,3 +176,53 @@ def test_level_restriction(dims):
     for i, leaf in enumerate(leaves):
         neighbors = lists[starts[i]:starts[i + 1]]
         assert (np.abs(levels[neighbors] - levels[leaf]) <= 1).all()
+
+
+def test_area_query_elementwise_custom():
+    """Custom query through the reusable elementwise mechanism
+    (the analogue of instantiating AreaQueryElementwiseTemplate,
+    boxtree/area_query.py:495-610): per ball, accumulate the number of
+    overlapping leaves AND the sum of their box radii; brute-force
+    oracle."""
+    import jax.numpy as jnp
+
+    from boxtree_tpu.geometry import AreaQueryBuilder, area_query_elementwise
+
+    rng = np.random.default_rng(29)
+    particles = make_normal_particle_array(5000, 2, np.float64)
+    tree = build_tree(particles, max_particles_in_box=25)
+    nballs = 150
+    centers_h = rng.uniform(-1, 1, (2, nballs))
+    radii_h = rng.uniform(0, 0.25, nballs)
+    centers = jnp.asarray(centers_h)
+    radii = jnp.asarray(radii_h)
+    root = float(np.asarray(tree.root_extent))
+    levels = tree.box_levels
+
+    def gen(idx):
+        # ball generator hook: scale the stored radii per ball parity
+        return centers, radii * jnp.where(idx % 2 == 0, 1.0, 0.5)
+
+    def leaf_found_op(balls, leaves):
+        # value = leaf box radius; scatter to the owning ball
+        return root / (2.0 ** (levels[leaves].astype(jnp.float64) + 1)), \
+            balls
+
+    radius_sum = np.asarray(area_query_elementwise(
+        tree, gen, nballs, leaf_found_op,
+        jnp.zeros(nballs, jnp.float64), combine="add"))
+    count = np.asarray(area_query_elementwise(
+        tree, gen, nballs, lambda b, le: (jnp.ones_like(b), b),
+        jnp.zeros(nballs, jnp.int64), combine="add"))
+
+    # oracle via the plain area query at the modified radii
+    radii_mod = radii_h * np.where(np.arange(nballs) % 2 == 0, 1.0, 0.5)
+    aq = AreaQueryBuilder()(tree, centers_h, radii_mod)
+    starts = np.asarray(aq.leaves_near_ball_starts)
+    lists = np.asarray(aq.leaves_near_ball_lists)
+    lev_h = np.asarray(tree.box_levels)
+    for i in range(nballs):
+        leaves = lists[starts[i]:starts[i + 1]]
+        assert count[i] == len(leaves), i
+        ref = np.sum(root / 2.0 ** (lev_h[leaves] + 1.0))
+        assert abs(radius_sum[i] - ref) < 1e-12, i
