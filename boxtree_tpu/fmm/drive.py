@@ -12,7 +12,10 @@ identical so wranglers can be ported directly.
 
 from __future__ import annotations
 
+import logging
 from abc import ABC, abstractmethod
+
+logger = logging.getLogger(__name__)
 
 
 class TreeIndependentDataForWrangler:
@@ -149,6 +152,8 @@ def drive_fmm(wrangler, src_weight_vecs, *,
 
         wrangler = _TimedWrangler(wrangler)
 
+    logger.debug("drive_fmm: start (%s, %d boxes)",
+                 type(wrangler).__name__, traversal.tree.nboxes)
     src_weight_vecs = [wrangler.reorder_sources(w) for w in src_weight_vecs]
     src_weight_vecs = wrangler.distribute_source_weights(
         src_weight_vecs, global_src_idx_all_ranks)
@@ -226,4 +231,5 @@ def drive_fmm(wrangler, src_weight_vecs, *,
     potentials = wrangler.gather_potential_results(
         potentials, global_tgt_idx_all_ranks)
     result = wrangler.reorder_potentials(potentials)
+    logger.debug("drive_fmm: done")
     return wrangler.finalize_potentials(result)

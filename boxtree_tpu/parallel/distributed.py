@@ -34,26 +34,39 @@ oracle (``test/test_distributed.py:182-269``).
 
 from __future__ import annotations
 
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from boxtree_tpu.parallel.partition import get_box_masks, partition_work
+from boxtree_tpu.parallel.partition import partition_ranks
+
+logger = logging.getLogger(__name__)
 
 
-def _csr_to_edges(starts, lists, rows_to_boxes, row_mask):
-    """Flatten a CSR list to (target_box, source_box) edges for rows
-    whose target box is selected by *row_mask* (host side)."""
+def _flat_csr(starts, lists, rows_to_boxes):
+    """Flatten a CSR list ONCE to (target_box, source_box) edge columns
+    (host side)."""
     starts = np.asarray(starts)
     lists = np.asarray(lists)
-    rows_to_boxes = np.asarray(rows_to_boxes)
     counts = np.diff(starts)
     row_of_edge = np.repeat(np.arange(len(counts)), counts)
-    tgt = rows_to_boxes[row_of_edge]
-    sel = row_mask[tgt]
-    return np.stack([tgt[sel], lists[sel]], axis=1)
+    return np.asarray(rows_to_boxes)[row_of_edge], lists
+
+
+def _expand_intervals(rp, boxes):
+    """Replicate entry ``i`` once per rank in ``[r_lo[boxes[i]],
+    r_hi[boxes[i]]]`` (the contiguous responsible-or-ancestor rank
+    interval of the DFS partition); returns ``(entry_index, rank)`` in
+    entry-major order."""
+    lo = rp.r_lo[boxes]
+    rep = rp.r_hi[boxes] - lo + 1
+    e = np.repeat(np.arange(len(boxes)), rep)
+    first = np.cumsum(rep) - rep
+    within = np.arange(int(rep.sum())) - np.repeat(first, rep)
+    return e, lo[e] + within
 
 
 def _pad_stack(arrays, fill):
@@ -145,69 +158,10 @@ def _default_wrangler_factory(traversal):
         ConstantOneTreeIndependentDataForWrangler(), traversal)
 
 
-def _build_local_particles(wrangler, box_masks, nranks):
-    """Per-rank local particle blocks (the analogue of the reference's
-    ``generate_local_tree``, ``boxtree/distributed/local_tree.py:198-495``):
-    each rank keeps only the source blocks of its point-source-or-
-    responsible boxes and the target blocks of its responsible boxes,
-    padded to uniform shapes and stacked for sharding.  The global box
-    *skeleton* stays replicated — exactly like the reference's local
-    trees, which keep the full box arrays and reduce the particle sets.
-
-    Returns a dict of host arrays (leading axis = rank).
-    """
-    from boxtree_tpu.tree.containers import box_flags_enum as _F
-    tree = wrangler.tree
-    flags = np.asarray(tree.box_flags)
-    is_src = (flags & _F.IS_SOURCE_BOX) != 0
-    is_tgt = (flags & _F.IS_TARGET_BOX) != 0
-
-    sb, tb = wrangler.src_blocks, wrangler.tgt_blocks
-    src_pts = np.asarray(sb.points)
-    src_mask = np.asarray(sb.mask)
-    src_idx = np.asarray(sb.index)
-    tgt_pts = np.asarray(tb.points)
-    tgt_mask = np.asarray(tb.mask)
-    tgt_idx = np.asarray(tb.index)
-    src_dip = (None if wrangler.dipole_vec is None
-               else np.asarray(wrangler._dip_blocks))
-
-    nboxes = tree.nboxes
-    out = {k: [] for k in (
-        "src_boxes", "src_points", "src_pmask", "src_index",
-        "src_row_of_box", "tgt_boxes", "tgt_points", "tgt_pmask",
-        "tgt_index", "tgt_row_of_box")
-        + (("src_dip",) if src_dip is not None else ())}
-    for r in range(nranks):
-        m = box_masks[r]
-        sboxes = np.nonzero(
-            (m.point_src_boxes | m.responsible_boxes) & is_src)[0]
-        tboxes = np.nonzero(m.responsible_boxes & is_tgt)[0]
-        srow = np.full(nboxes, -1, np.int32)
-        srow[sboxes] = np.arange(len(sboxes), dtype=np.int32)
-        trow = np.full(nboxes, -1, np.int32)
-        trow[tboxes] = np.arange(len(tboxes), dtype=np.int32)
-        out["src_boxes"].append(sboxes.astype(np.int32))
-        out["src_points"].append(src_pts[sboxes])
-        out["src_pmask"].append(src_mask[sboxes])
-        out["src_index"].append(src_idx[sboxes])
-        out["src_row_of_box"].append(srow)
-        if src_dip is not None:
-            out["src_dip"].append(src_dip[sboxes])
-        out["tgt_boxes"].append(tboxes.astype(np.int32))
-        out["tgt_points"].append(tgt_pts[tboxes])
-        out["tgt_pmask"].append(tgt_mask[tboxes])
-        out["tgt_index"].append(tgt_idx[tboxes])
-        out["tgt_row_of_box"].append(trow)
-
-    stacked = {}
-    for key, arrs in out.items():
-        if key.endswith("row_of_box"):
-            stacked[key] = np.stack(arrs)
-        else:
-            fill = -1 if arrs[0].dtype.kind == "i" else 0
-            stacked[key] = _pad_stack(arrs, fill)
-    return stacked
+def _split_ranks(vals, bounds, fill):
+    """Split rank-sorted *vals* at *bounds* and pad-stack per rank."""
+    return _pad_stack(
+        [vals[s0:s1] for s0, s1 in zip(bounds[:-1], bounds[1:])], fill)
 
 
 class DistributedFMMRunner:
@@ -275,52 +229,76 @@ class DistributedFMMRunner:
             orders = {lev: 3 for lev in range(tree.nlevels)}
             cost_per_box = FMMCostModel().cost_per_box(traversal, orders)
 
-        resp = partition_work(cost_per_box, traversal, nranks)
-        self.box_masks = [get_box_masks(traversal, resp[r])
-                          for r in range(nranks)]
+        rp = partition_ranks(cost_per_box, traversal, nranks)
+        self.rank_partition = rp
+        owner = rp.owner_of_box
 
-        # per-rank flattened edge lists, padded and stacked
+        # Single-pass edge distribution: every CSR list is flattened
+        # ONCE, each edge is routed to its owner rank(s) via the DFS
+        # rank intervals, and one stable (rank[, operator]) sort yields
+        # all ranks' slices — O(E log E) total, vs the round-2 setup's
+        # per-rank re-flatten + mask filter (O(nranks * E)).  (The
+        # reference instead builds per-rank local traversals,
+        # ``boxtree/distributed/local_traversal.py:34-62``.)
         tb = np.asarray(traversal.target_boxes)
         totp = np.asarray(traversal.target_or_target_parent_boxes)
         m2l_plan = getattr(self.wrangler, "m2l_plan", None)
-        e1, e2, e3, e4 = [], [], [], []
-        e2_gs = []
-        for r in range(nranks):
-            m = self.box_masks[r]
-            local_rows = m.responsible_boxes | m.ancestor_boxes
-            e1.append(_csr_to_edges(
-                traversal.neighbor_source_boxes_starts,
-                traversal.neighbor_source_boxes_lists, tb,
-                m.responsible_boxes))
-            edges2 = _csr_to_edges(
-                traversal.from_sep_siblings_starts,
-                traversal.from_sep_siblings_lists, totp, local_rows)
-            if m2l_plan is not None and len(edges2):
-                # sort this rank's List-2 edges by the global operator
-                # order so the M2L grouped matmul applies per rank
-                opid = m2l_plan.classify(edges2[:, 0], edges2[:, 1])
-                order = np.argsort(opid, kind="stable")
-                edges2 = edges2[order]
-                e2_gs.append(np.bincount(
-                    opid, minlength=m2l_plan.nops).astype(np.int32))
-            else:
-                e2_gs.append(np.zeros(
-                    max(1, getattr(m2l_plan, "nops", 1) or 1), np.int32))
-            e2.append(edges2)
-            e4.append(_csr_to_edges(
-                traversal.from_sep_bigger_starts,
-                traversal.from_sep_bigger_lists, totp, local_rows))
-            e3_parts = []
-            for lvl, ssn in enumerate(traversal.from_sep_smaller_by_level):
-                if ssn.count == 0:
-                    continue
-                tbl = np.asarray(
-                    traversal.target_boxes_sep_smaller_by_source_level[
-                        lvl])
-                e3_parts.append(_csr_to_edges(
-                    ssn.starts, ssn.lists, tbl, m.responsible_boxes))
-            e3.append(np.concatenate(e3_parts, axis=0) if e3_parts
-                      else np.zeros((0, 2), np.int64))
+
+        def rank_bounds(rank):
+            return np.searchsorted(rank, np.arange(nranks + 1))
+
+        def stack_edges(tgt, src, bounds):
+            return _pad_stack(
+                [np.stack([tgt[s0:s1], src[s0:s1]], axis=1)
+                 for s0, s1 in zip(bounds[:-1], bounds[1:])], -1)
+
+        # Lists 1 and 3: rows owned by their target box's rank
+        t1, s1 = _flat_csr(traversal.neighbor_source_boxes_starts,
+                           traversal.neighbor_source_boxes_lists, tb)
+        r1 = owner[t1]
+        o = np.argsort(r1, kind="stable")
+        t1, s1, r1 = t1[o], s1[o], r1[o]
+        b1 = rank_bounds(r1)
+
+        parts = []
+        for lvl, ssn in enumerate(traversal.from_sep_smaller_by_level):
+            if ssn.count == 0:
+                continue
+            tbl = np.asarray(
+                traversal.target_boxes_sep_smaller_by_source_level[lvl])
+            parts.append(_flat_csr(ssn.starts, ssn.lists, tbl))
+        t3 = (np.concatenate([p[0] for p in parts]) if parts
+              else np.zeros(0, np.int64))
+        s3 = (np.concatenate([p[1] for p in parts]) if parts
+              else np.zeros(0, np.int64))
+        r3 = owner[t3]
+        o = np.argsort(r3, kind="stable")
+        t3, s3, r3 = t3[o], s3[o], r3[o]
+        b3 = rank_bounds(r3)
+
+        # Lists 2 and 4: responsible-OR-ancestor rows — each edge
+        # replicates over its target's contiguous rank interval
+        t2, s2 = _flat_csr(traversal.from_sep_siblings_starts,
+                           traversal.from_sep_siblings_lists, totp)
+        nops = max(1, int(getattr(m2l_plan, "nops", 1) or 1))
+        opid = (np.asarray(m2l_plan.classify(t2, s2))
+                if m2l_plan is not None and len(t2)
+                else np.zeros(len(t2), np.int64))
+        e, r2 = _expand_intervals(rp, t2)
+        t2, s2, opid = t2[e], s2[e], opid[e]
+        o = np.lexsort((opid, r2))      # rank-major, operator-sorted
+        t2, s2, opid, r2 = t2[o], s2[o], opid[o], r2[o]
+        b2 = rank_bounds(r2)
+        gs = np.zeros((nranks, nops), np.int64)
+        np.add.at(gs, (r2, opid), 1)
+
+        t4, s4 = _flat_csr(traversal.from_sep_bigger_starts,
+                           traversal.from_sep_bigger_lists, totp)
+        e, r4 = _expand_intervals(rp, t4)
+        t4, s4 = t4[e], s4[e]
+        o = np.argsort(r4, kind="stable")
+        t4, s4, r4 = t4[o], s4[o], r4[o]
+        b4 = rank_bounds(r4)
 
         def shard(arr):
             return jax.device_put(
@@ -328,70 +306,62 @@ class DistributedFMMRunner:
                 NamedSharding(mesh, P(self.axis_name,
                                       *([None] * (arr.ndim - 1)))))
 
-        self.e1 = shard(_pad_stack(e1, -1))
-        self.e3 = shard(_pad_stack(e3, -1))
-        self.e4 = shard(_pad_stack(e4, -1))
+        self.e1 = shard(stack_edges(t1, s1, b1))
+        self.e3 = shard(stack_edges(t3, s3, b3))
+        self.e4 = shard(stack_edges(t4, s4, b4))
         # List-2 padding edges fold into the final operator group (they
         # are masked out by their -1 target before the matmul)
-        e2_stack = _pad_stack(e2, -1)
-        gs_stack = np.stack(e2_gs)
-        pad_counts = e2_stack.shape[1] - np.array(
-            [len(a) for a in e2], np.int32)
-        gs_stack[:, -1] += pad_counts
+        e2_stack = stack_edges(t2, s2, b2)
+        gs[:, -1] += e2_stack.shape[1] - np.diff(b2)
         self.e2 = shard(e2_stack)
-        self.e2_group_sizes = shard(gs_stack)
+        self.e2_group_sizes = shard(gs.astype(np.int32))
 
         # downward-pass row plan: per rank, (level, digit)-sorted
         # responsible+ancestor rows with cross-rank-uniform per-level
         # widths (static SPMD slices) — drives
         # ``refine_locals_rows_grouped``'s one-grouped-matmul-per-level
-        # downward pass.
+        # downward pass.  Built by ONE lexsort of the interval-expanded
+        # (rank, level, digit) keys.
         box_lev = np.asarray(tree.box_levels)
         nchild = 2 ** tree.dimensions
         box_digit = (np.asarray(tree.box_morton_prefixes)
                      & (nchild - 1)).astype(np.int64)
-        rows_by_rank = []
+        cand = totp[box_lev[totp] >= 1]
+        e, rr = _expand_intervals(rp, cand)
+        ids = cand[e]
+        o = np.lexsort((box_digit[ids], box_lev[ids], rr))
+        ids, rr = ids[o], rr[o]
         lev_counts = np.zeros((nranks, tree.nlevels), np.int64)
-        for r in range(nranks):
-            m = self.box_masks[r]
-            local_rows = m.responsible_boxes | m.ancestor_boxes
-            ids = totp[local_rows[totp]]
-            ids = ids[box_lev[ids] >= 1]
-            ids = ids[np.lexsort((box_digit[ids], box_lev[ids]))]
-            rows_by_rank.append(ids)
-            lev_counts[r] = np.bincount(box_lev[ids],
-                                        minlength=tree.nlevels)
+        np.add.at(lev_counts, (rr, box_lev[ids]), 1)
         widths = lev_counts.max(axis=0)
         w_starts = np.concatenate([[0], np.cumsum(widths)])
         self._l2l_level_slices = tuple(
             (lev, int(w_starts[lev]), int(w_starts[lev + 1]))
             for lev in range(1, tree.nlevels) if widths[lev])
+        key = rr * tree.nlevels + box_lev[ids]
+        grp_start = np.searchsorted(key, np.arange(nranks * tree.nlevels))
+        within = np.arange(len(ids)) - grp_start[key]
         rows_pad = np.full((nranks, max(1, int(w_starts[-1]))), -1,
                            np.int64)
+        rows_pad[rr, w_starts[box_lev[ids]] + within] = ids
         dsize = np.zeros((nranks, tree.nlevels, nchild), np.int32)
-        for r in range(nranks):
-            ids = rows_by_rank[r]
-            lc = np.concatenate([[0], np.cumsum(lev_counts[r])])
-            for lev in range(1, tree.nlevels):
-                seg = ids[lc[lev]:lc[lev + 1]]
-                rows_pad[r, w_starts[lev]:w_starts[lev] + len(seg)] = seg
-                dsize[r, lev] = np.bincount(box_digit[seg],
-                                            minlength=nchild)
-                # level-block tail padding folds into the last digit
-                # group; -1 ids drop their contributions
-                dsize[r, lev, -1] += widths[lev] - len(seg)
+        np.add.at(dsize, (rr, box_lev[ids], box_digit[ids]), 1)
+        # level-block tail padding folds into the last digit group;
+        # -1 ids drop their contributions
+        dsize[:, :, -1] += (widths[None, :] - lev_counts).astype(np.int32)
         self.l2l_rows = shard(rows_pad)
         self.l2l_digit_sizes = shard(dsize)
-        self.resp_masks = shard(np.stack(
-            [m.responsible_boxes for m in self.box_masks]))
+        self.resp_masks = shard(rp.responsible_masks())
 
         # sparse multipole-exchange schedule (hypercube flavor)
         if communicate_mpoles == "hypercube" and nranks > 1:
-            needed = np.stack(
-                [m.multipole_src_boxes for m in self.box_masks])
-            contrib = np.stack(
-                [m.responsible_boxes | m.ancestor_boxes
-                 for m in self.box_masks])
+            # multipole sources: List-2 sources of resp-or-ancestor
+            # rows, List-3 sources of responsible rows (the reference's
+            # multipole-source masks, ``distributed/partition.py``)
+            needed = np.zeros((nranks, tree.nboxes), bool)
+            needed[r2, s2] = True
+            needed[r3, s3] = True
+            contrib = rp.resp_or_anc_masks()
             stages, self.mpole_comm_stats = _mpole_exchange_schedule(
                 needed, contrib, tree.nboxes)
             self._mpole_perms = tuple(s[0] for s in stages)
@@ -405,51 +375,90 @@ class DistributedFMMRunner:
             self._mpole_tables = ()
 
         if self.local_particles:
-            ld = _build_local_particles(self.wrangler, self.box_masks,
-                                        nranks)
-            self._local_src_index = ld["src_index"]       # host copies
-            self._local_src_pmask = ld["src_pmask"]
+            # Local particle blocks (the analogue of the reference's
+            # ``generate_local_tree``,
+            # ``boxtree/distributed/local_tree.py:198-495``): each rank
+            # keeps only the source blocks its P2M/P2P/P2L edges touch
+            # and the target blocks of its responsible boxes; the box
+            # *skeleton* stays replicated, like the reference's local
+            # trees.  Per-rank box sets and edge remaps come from ONE
+            # sorted (rank, box) key array each — no (nranks, nboxes)
+            # row maps.
+            from boxtree_tpu.tree.containers import box_flags_enum as _F
+            wrangler = self.wrangler
+            nboxes = tree.nboxes
+            flags = np.asarray(tree.box_flags)
+            is_src = (flags & _F.IS_SOURCE_BOX) != 0
+            is_tgt = (flags & _F.IS_TARGET_BOX) != 0
 
-            # P2M runs only over each rank's *responsible* source boxes
-            # (cross-rank multipole contributions must stay disjoint);
-            # the other local source blocks exist for P2P/P2L only.
-            resp = np.stack([m.responsible_boxes for m in self.box_masks])
-            sbx = ld["src_boxes"]
-            sbx_resp = np.take_along_axis(
-                resp, np.clip(sbx, 0, None), axis=1) & (sbx >= 0)
-            ld["src_p2m_boxes"] = np.where(sbx_resp, sbx, -1)
+            rsp = np.nonzero(is_src)[0]
+            skeys = np.unique(np.concatenate([
+                owner[rsp] * nboxes + rsp,        # P2M (responsible)
+                r1 * nboxes + s1,                 # P2P sources
+                r4 * nboxes + s4,                 # P2L sources
+            ]))
+            s_rank = skeys // nboxes
+            s_box = (skeys % nboxes).astype(np.int32)
+            s_bounds = np.searchsorted(s_rank, np.arange(nranks + 1))
 
-            # re-map this rank's edge endpoints from global box ids to
-            # local block rows (the reference's local-tree renumbering,
-            # ``boxtree/distributed/local_tree.py:432-457``)
-            srow, trow = ld["src_row_of_box"], ld["tgt_row_of_box"]
+            rtp = np.nonzero(is_tgt)[0]
+            tkeys = np.sort(owner[rtp] * nboxes + rtp)
+            t_box = (tkeys % nboxes).astype(np.int32)
+            t_bounds = np.searchsorted(
+                tkeys // nboxes, np.arange(nranks + 1))
 
-            def remap(edges, col_maps):
-                out = []
-                for r, a in enumerate(edges):
-                    if len(a) == 0:
-                        out.append(np.zeros((0, 2), np.int64))
-                        continue
-                    cols = []
-                    for c, cmap in enumerate(col_maps):
-                        cols.append(a[:, c] if cmap is None
-                                    else cmap[r][a[:, c]])
-                    out.append(np.stack(cols, axis=1))
-                return shard(_pad_stack(out, -1))
-
-            self.e1_local = remap(e1, (trow, srow))
-            self.e3_local = remap(e3, (trow, None))
-            self.e4_local = remap(e4, (None, srow))
-            keep = ("src_points", "src_pmask", "src_p2m_boxes",
-                    "tgt_boxes", "tgt_points", "tgt_pmask", "tgt_index")
-            if "src_dip" in ld:
-                keep = keep + ("src_dip",)
+            sb, tblk = wrangler.src_blocks, wrangler.tgt_blocks
+            ld = {
+                "src_points": _split_ranks(
+                    np.asarray(sb.points)[s_box], s_bounds, 0),
+                "src_pmask": _split_ranks(
+                    np.asarray(sb.mask)[s_box], s_bounds, False),
+                "src_index": _split_ranks(
+                    np.asarray(sb.index)[s_box], s_bounds, -1),
+                # P2M runs only over each rank's *responsible* source
+                # boxes (cross-rank multipole contributions must stay
+                # disjoint); other local blocks exist for P2P/P2L only
+                "src_p2m_boxes": _split_ranks(
+                    np.where(owner[s_box] == s_rank, s_box,
+                             -1).astype(np.int32), s_bounds, -1),
+                "tgt_boxes": _split_ranks(t_box, t_bounds, -1),
+                "tgt_points": _split_ranks(
+                    np.asarray(tblk.points)[t_box], t_bounds, 0),
+                "tgt_pmask": _split_ranks(
+                    np.asarray(tblk.mask)[t_box], t_bounds, False),
+                "tgt_index": _split_ranks(
+                    np.asarray(tblk.index)[t_box], t_bounds, -1),
+            }
+            if wrangler.dipole_vec is not None:
+                ld["src_dip"] = _split_ranks(
+                    np.asarray(wrangler._dip_blocks)[s_box], s_bounds, 0)
             else:
                 # unused dummy (static has_dip branch in the step)
                 ld["src_dip"] = np.zeros(
                     (nranks, 1, 1, tree.dimensions),
                     np.asarray(tree.sources).dtype)
-                keep = keep + ("src_dip",)
+            self._local_src_index = ld["src_index"]       # host copies
+            self._local_src_pmask = ld["src_pmask"]
+
+            # re-map edge endpoints from global box ids to local block
+            # rows (the reference's local-tree renumbering,
+            # ``boxtree/distributed/local_tree.py:432-457``) by binary
+            # search in the sorted (rank, box) keys
+            def loc_of(keys, bounds, rank, box):
+                return (np.searchsorted(keys, rank * nboxes + box)
+                        - bounds[rank]).astype(np.int64)
+
+            self.e1_local = shard(stack_edges(
+                loc_of(tkeys, t_bounds, r1, t1),
+                loc_of(skeys, s_bounds, r1, s1), b1))
+            self.e3_local = shard(stack_edges(
+                loc_of(tkeys, t_bounds, r3, t3), s3, b3))
+            self.e4_local = shard(stack_edges(
+                t4, loc_of(skeys, s_bounds, r4, s4), b4))
+
+            keep = ("src_points", "src_pmask", "src_p2m_boxes",
+                    "tgt_boxes", "tgt_points", "tgt_pmask", "tgt_index",
+                    "src_dip")
             self._local = {k: shard(ld[k]) for k in keep}
             #: per-rank bytes of the local particle blocks (for the
             #: memory-scaling assertion in tests)
@@ -459,6 +468,11 @@ class DistributedFMMRunner:
             self._step = self._build_step_local()
         else:
             self._step = self._build_step()
+        logger.info(
+            "DistributedFMMRunner: %d ranks, padded edges/rank "
+            "l1=%d l2=%d l3=%d l4=%d, mpole stages=%d, local_particles=%s",
+            nranks, self.e1.shape[1], self.e2.shape[1], self.e3.shape[1],
+            self.e4.shape[1], len(self._mpole_perms), self.local_particles)
 
     # {{{ SPMD step
 

@@ -62,6 +62,10 @@ from boxtree_tpu.tree.containers import box_flags_enum
 from boxtree_tpu.traversal.containers import BuiltList, FMMTraversalInfo
 from boxtree_tpu.traversal import neighbors as nbr
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 _F = box_flags_enum
 _INVALID_KEY = np.int64(np.iinfo(np.int64).max)
 _ROW_CHUNK = 32768
@@ -1353,6 +1357,12 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     def level_starts_arr(t):
         return jnp.asarray(np.asarray(t, dtype=np.int32))
+
+    logger.info(
+        "build_traversal: %d boxes, wsn=%d, edges l1=%d l2=%d l3=%d l4=%d",
+        tree.nboxes, n_away, int(l1_lists.shape[0]),
+        int(l2_lists.shape[0]), sum(int(t) for t in l3_totals),
+        int(l4_lists.shape[0]))
 
     return FMMTraversalInfo(
         tree=tree,

@@ -27,6 +27,7 @@ created (equivalent to the reference's empty-leaf pruning,
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import jax
@@ -37,6 +38,8 @@ from jax import lax
 from boxtree_tpu import config
 from boxtree_tpu.ops import morton
 from boxtree_tpu.tree.containers import Tree, box_flags_enum
+
+logger = logging.getLogger(__name__)
 
 
 class MaxLevelsExceeded(RuntimeError):
@@ -640,6 +643,9 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
     level_starts = np.concatenate(
         [[0], np.cumsum(counts[:nlevels])]).astype(np.int64)
     nboxes = int(level_starts[-1])
+    logger.info("build_tree: %d particles -> %d boxes, %d levels (%s)",
+                nsources + (0 if sources_are_targets else ntargets),
+                nboxes, nlevels, kind)
 
     out = _phase_b(
         codes_s, order, leaf_level,
