@@ -30,6 +30,7 @@ dense matmuls per level.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -367,17 +368,130 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
 
     # }}}
 
+
+class Laplace3DPairsExpansionWrangler(Laplace3DExpansionWrangler):
+    """Complex-free 3D Laplace wrangler: ``[re | im]`` real-pair
+    coefficients and 2x2-expanded real translation operators.
+
+    Mathematically identical to :class:`Laplace3DExpansionWrangler`
+    (equality-tested to ~1e-12), but every device op is real:
+
+    - the TPU MXU has no complex path — XLA lowers complex matmuls to
+      real ones anyway, and the tunneled TPU backend rejects *every*
+      complex op as UNIMPLEMENTED, so real pairs are the only
+      representation that runs there at all;
+    - potentials are computed directly as their real part (the Laplace
+      potential is real; the complex machinery's imaginary parts only
+      ever cancel), saving half the P2P/M2P/L2P work.
+
+    The generic stage machinery (:class:`ExpansionWranglerBase`) is
+    reused untouched: ``ncoeff`` doubles, host operator hooks return
+    ``pair_matrix``-expanded real matrices, and the particle hooks
+    evaluate the basis with :func:`~boxtree_tpu.ops.solid_harmonics.
+    regular_pairs` / ``irregular_pairs``.  Counterpart of the
+    reference's real-valued Fortran storage of complex expansions
+    (``boxtree/pyfmmlib_integration.py:414-440`` stores (2, ...) real
+    views).
+    """
+
+    dtype = np.float64
+
+    def __init__(self, tree_indep, traversal, **kwargs):
+        if kwargs.get("m2l_mode", "dense") == "rotation":
+            raise NotImplementedError(
+                "rotation (point-and-shoot) M2L is implemented for the "
+                "complex wrangler only; pass pairs=False to use it")
+        super().__init__(tree_indep, traversal, **kwargs)
+
+    def _ncoeff(self):
+        return 2 * sh.ncoeffs(self.order)
+
+    def _coeff_orders(self):
+        return np.tile(self.tree_indep.nm_n, 2)
+
+    # {{{ host operators (complex builders, pair-expanded)
+
+    def _m2m_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Laplace3DExpansionWrangler._m2m_matrix(self, *a, **k))
+
+    def _l2l_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Laplace3DExpansionWrangler._l2l_matrix(self, *a, **k))
+
+    def _m2l_matrices(self, ts, rs):
+        return sh.pair_matrix(
+            Laplace3DExpansionWrangler._m2l_matrices(self, ts, rs))
+
+    def _m2l_ops_device(self, ts, rs):
+        ti = self.tree_indep
+        sb = sh.irregular_pairs(ts.T / rs[None, :], 2 * self.order,
+                                xp=jnp)
+        k2 = sh.ncoeffs(2 * self.order)
+        sbr, sbi = sb[:, :k2], sb[:, k2:]
+        n_sum = ti.nm_n[:, None] + ti.nm_n[None, :]
+        m_sum = ti.nm_m[:, None] + ti.nm_m[None, :]
+        sign = jnp.asarray((-1.0) ** ti.nm_n[:, None], ts.dtype)
+        idx = jnp.asarray(n_sum * n_sum + n_sum + m_sum)
+        tr = sign[None] * sbr[:, idx] / rs[:, None, None]
+        tim = sign[None] * sbi[:, idx] / rs[:, None, None]
+        top = jnp.concatenate([tr, -tim], axis=-1)
+        bot = jnp.concatenate([tim, tr], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    # }}}
+
+    # {{{ device hooks (real-pair basis)
+
+    def _p2m_terms(self, rel, q, scale=1.0):
+        # conj(R) * q  ->  [Rr | -Ri] * q
+        rp = sh.regular_pairs(rel, self.order, xp=jnp)
+        k = sh.ncoeffs(self.order)
+        conj = jnp.concatenate([rp[..., :k], -rp[..., k:]], axis=-1)
+        return conj * q.astype(self.dtype)[..., None]
+
+    def _l2p_eval(self, rel, loc, scale=1.0):
+        # Re(sum conj(R) * loc) = Rr.lr + Ri.li
+        rp = sh.regular_pairs(rel, self.order, xp=jnp)
+        k = sh.ncoeffs(self.order)
+        return jnp.sum(rp[..., :k] * loc[..., :k]
+                       + rp[..., k:] * loc[..., k:], axis=-1)
+
+    def _m2p_eval(self, rel, mp, scale=1.0):
+        # Re(sum S * mp) = Sr.mr - Si.mi
+        rel_s, ok = self._safe(rel)
+        sp = sh.irregular_pairs(rel_s, self.order, xp=jnp)
+        k = sh.ncoeffs(self.order)
+        val = jnp.sum(sp[..., :k] * mp[..., :k]
+                      - sp[..., k:] * mp[..., k:], axis=-1)
+        return jnp.where(ok, val, 0) / scale
+
+    def _p2l_terms(self, rel, q, scale=1.0):
+        rel_s, ok = self._safe(rel)
+        sp = sh.irregular_pairs(rel_s, self.order, xp=jnp)
+        return jnp.where(ok[..., None],
+                         sp * q.astype(self.dtype)[..., None], 0) / scale
+
+    # }}}
+
 # }}}
 
 
 def make_laplace_wrangler(traversal, order=None, *, level_to_order=None,
-                          **kwargs):
+                          pairs=None, **kwargs):
     """Convenience factory choosing the wrangler by dimension.
 
     Pass either a global *order* or a *level_to_order* callable (the
     reference's ``fmm_level_to_order``); other keyword arguments (e.g.
     ``dipole_vec``, ``rscale``) are forwarded to the wrangler
-    constructor."""
+    constructor.
+
+    :arg pairs: use the complex-free ``[re | im]`` real-pair wrangler
+        (3D only).  Default *None* = automatic: real pairs on
+        accelerator backends (whose compilers may lack complex support
+        — the tunneled TPU rejects every complex op), complex on CPU.
+        A complex ``dtype=`` keyword forces the complex wrangler.
+    """
     if (order is None) == (level_to_order is None):
         raise TypeError("pass exactly one of order / level_to_order")
     if level_to_order is not None:
@@ -389,5 +503,19 @@ def make_laplace_wrangler(traversal, order=None, *, level_to_order=None,
     if dim == 2:
         return Laplace2DExpansionWrangler(ti, traversal, **kwargs)
     if dim == 3:
+        if pairs is None:
+            dt = kwargs.get("dtype")
+            pairs = (jax.default_backend() != "cpu"
+                     and not (dt is not None
+                              and np.issubdtype(np.dtype(dt),
+                                                np.complexfloating)))
+        if pairs:
+            dt = kwargs.get("dtype")
+            if dt is not None and np.issubdtype(np.dtype(dt),
+                                                np.complexfloating):
+                # a complex request maps to the real dtype of the pairs
+                kwargs["dtype"] = np.zeros(0, dt).real.dtype
+            return Laplace3DPairsExpansionWrangler(ti, traversal,
+                                                   **kwargs)
         return Laplace3DExpansionWrangler(ti, traversal, **kwargs)
     raise NotImplementedError(f"no Laplace wrangler for dim={dim}")

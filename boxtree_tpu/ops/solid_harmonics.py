@@ -111,3 +111,105 @@ def regular(coords, p, xp=np):
 def irregular(coords, p, xp=np):
     """Irregular (singular) solid harmonics S_n^m."""
     return _harmonics(xp, coords, p, "irregular")
+
+
+# {{{ real-pair evaluation (complex-free device code)
+
+def _harmonics_pairs(xp, coords, p, kind):
+    """Same recurrences as :func:`_harmonics`, carrying explicit
+    ``(re, im)`` real pairs instead of complex scalars.  Needed on
+    accelerator backends without complex-arithmetic support (the
+    tunneled TPU rejects every complex op as UNIMPLEMENTED), and the
+    natural representation for the MXU anyway: downstream translation
+    operators act on the ``[re | im]`` vector as plain real matmuls.
+
+    :returns: real array of shape ``(...,) + (2 * ncoeffs,)`` laid out
+        ``[Re(vals) | Im(vals)]`` in the ``(n, m) -> n*n + n + m``
+        coefficient order of :func:`_harmonics`.
+    """
+    x, y, z = coords[0], coords[1], coords[2]
+    r2 = x * x + y * y + z * z
+
+    shape = x.shape
+    nc = ncoeffs(p)
+    re = [None] * nc
+    im = [None] * nc
+
+    def umul(ar, ai):
+        # (ar + i ai) * (x + i y)
+        return ar * x - ai * y, ar * y + ai * x
+
+    if kind == "regular":
+        rr, ri = xp.ones(shape, x.dtype), xp.zeros(shape, x.dtype)
+        re[nm_index(0, 0)], im[nm_index(0, 0)] = rr, ri
+        for m in range(1, p + 1):
+            rr, ri = umul(rr, ri)
+            rr, ri = rr / (2 * m), ri / (2 * m)
+            re[nm_index(m, m)], im[nm_index(m, m)] = rr, ri
+        for m in range(0, p + 1):
+            p2r = p2i = None
+            p1r, p1i = re[nm_index(m, m)], im[nm_index(m, m)]
+            for n in range(m + 1, p + 1):
+                if n == m + 1:
+                    cr, ci = z * p1r, z * p1i
+                else:
+                    den = (n + m) * (n - m)
+                    cr = ((2 * n - 1) * z * p1r - r2 * p2r) / den
+                    ci = ((2 * n - 1) * z * p1i - r2 * p2i) / den
+                re[nm_index(n, m)], im[nm_index(n, m)] = cr, ci
+                p2r, p2i, p1r, p1i = p1r, p1i, cr, ci
+    else:
+        rinv2 = 1.0 / r2
+        rinv = xp.sqrt(rinv2)
+        sr, si = rinv, xp.zeros(shape, x.dtype)
+        re[nm_index(0, 0)], im[nm_index(0, 0)] = sr, si
+        for m in range(1, p + 1):
+            sr, si = umul(sr, si)
+            sr = (2 * m - 1) * sr * rinv2
+            si = (2 * m - 1) * si * rinv2
+            re[nm_index(m, m)], im[nm_index(m, m)] = sr, si
+        for m in range(0, p + 1):
+            p2r = p2i = None
+            p1r, p1i = re[nm_index(m, m)], im[nm_index(m, m)]
+            for n in range(m + 1, p + 1):
+                if n == m + 1:
+                    cr = (2 * n - 1) * z * p1r * rinv2
+                    ci = (2 * n - 1) * z * p1i * rinv2
+                else:
+                    c2 = (n - 1) * (n - 1) - m * m
+                    cr = ((2 * n - 1) * z * p1r - c2 * p2r) * rinv2
+                    ci = ((2 * n - 1) * z * p1i - c2 * p2i) * rinv2
+                re[nm_index(n, m)], im[nm_index(n, m)] = cr, ci
+                p2r, p2i, p1r, p1i = p1r, p1i, cr, ci
+
+    # negative m: (-1)^m * conj
+    for n in range(p + 1):
+        for m in range(1, n + 1):
+            s = (-1.0) ** m
+            re[nm_index(n, -m)] = s * re[nm_index(n, m)]
+            im[nm_index(n, -m)] = -s * im[nm_index(n, m)]
+
+    return xp.stack(re + im, axis=-1)
+
+
+def regular_pairs(coords, p, xp=np):
+    """Regular solid harmonics as ``[re | im]`` real pairs."""
+    return _harmonics_pairs(xp, coords, p, "regular")
+
+
+def irregular_pairs(coords, p, xp=np):
+    """Irregular solid harmonics as ``[re | im]`` real pairs."""
+    return _harmonics_pairs(xp, coords, p, "irregular")
+
+
+def pair_matrix(mat, xp=np):
+    """Expand a complex (K, K) operator (or an (..., K, K) stack) into
+    the real (2K, 2K) operator acting on ``[re | im]`` coefficient
+    vectors: ``[[Re M, -Im M], [Im M, Re M]]`` in the column (``y = M
+    x``) convention."""
+    mr, mi = xp.real(mat), xp.imag(mat)
+    top = xp.concatenate([mr, -mi], axis=-1)
+    bot = xp.concatenate([mi, mr], axis=-1)
+    return xp.concatenate([top, bot], axis=-2)
+
+# }}}
