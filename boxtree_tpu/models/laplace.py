@@ -240,6 +240,138 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
 
     # }}}
 
+
+class Laplace2DPairsExpansionWrangler(Laplace2DExpansionWrangler):
+    """Complex-free 2D Laplace wrangler: ``[re | im]`` real-pair
+    coefficients (see :class:`Laplace3DPairsExpansionWrangler` for the
+    rationale — the tunneled TPU backend supports no complex op at
+    all).  Potentials are computed directly as their real part."""
+
+    dtype = np.float64
+
+    def _ncoeff(self):
+        return 2 * (self.order + 1)
+
+    def _coeff_orders(self):
+        return np.tile(np.arange(self.order + 1), 2)
+
+    # {{{ host operators (complex builders, pair-expanded)
+
+    def _m2m_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Laplace2DExpansionWrangler._m2m_matrix(self, *a, **k))
+
+    def _l2l_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Laplace2DExpansionWrangler._l2l_matrix(self, *a, **k))
+
+    def _m2l_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Laplace2DExpansionWrangler._m2l_matrix(self, *a, **k))
+
+    def _m2l_ops_device(self, ts, rs):
+        """Pair-lane port of the complex ``_m2l_ops_device``: all
+        complex scalars carried as explicit (re, im) real lanes."""
+        rdt = ts.dtype
+        p, binom = self.order, self.tree_indep.binom
+        # z0 = -(tx + i ty) / rs
+        x0, y0 = -ts[:, 0] / rs, -ts[:, 1] / rs
+        n2 = x0 * x0 + y0 * y0
+        ixr, ixi = x0 / n2, -y0 / n2                    # 1 / z0
+        # zpow[e] = (1/z0)^e, e = 0 .. 2p+1
+        zpr, zpi = [jnp.ones_like(x0)], [jnp.zeros_like(x0)]
+        for _e in range(1, 2 * p + 2):
+            pr, pi = zpr[-1], zpi[-1]
+            zpr.append(pr * ixr - pi * ixi)
+            zpi.append(pr * ixi + pi * ixr)
+        zpr = jnp.stack(zpr, axis=1)                    # (nops, 2p+2)
+        zpi = jnp.stack(zpi, axis=1)
+
+        ell = np.arange(p + 1)
+        coef = np.zeros((p + 1, p + 1))
+        for k in range(1, p + 1):
+            coef[:, k] = ((-1.0) ** k) * binom[ell + k - 1, ell]
+        lk = jnp.asarray(ell[:, None] + ell[None, :])
+        coef = jnp.asarray(coef, rdt)
+        br = coef[None] * zpr[:, lk]
+        bi = coef[None] * zpi[:, lk]
+
+        # column 0: l=0 -> log(-z0) + log(r); l>=1 -> -z0^-l / l
+        # -z0 = (tx + i ty) / rs
+        lr = 0.5 * jnp.log((ts[:, 0] ** 2 + ts[:, 1] ** 2) / rs ** 2) \
+            + jnp.log(rs)
+        li = jnp.arctan2(ts[:, 1], ts[:, 0])
+        linv = jnp.asarray(1.0 / ell[1:], rdt)
+        col0r = jnp.concatenate(
+            [lr[:, None], -zpr[:, 1:p + 1] * linv], axis=1)
+        col0i = jnp.concatenate(
+            [li[:, None], -zpi[:, 1:p + 1] * linv], axis=1)
+        tr = jnp.concatenate([col0r[:, :, None], br[:, :, 1:]], axis=2)
+        tim = jnp.concatenate([col0i[:, :, None], bi[:, :, 1:]], axis=2)
+        top = jnp.concatenate([tr, -tim], axis=-1)
+        bot = jnp.concatenate([tim, tr], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    # }}}
+
+    # {{{ device hooks (pair lanes)
+
+    def _p2m_terms(self, rel, q, scale=1.0):
+        zr, zi = rel[0], rel[1]
+        qr = q.astype(self.dtype)
+        re, im = [qr], [jnp.zeros_like(qr)]
+        pr, pi = jnp.ones_like(zr), jnp.zeros_like(zr)
+        for k in range(1, self.order + 1):
+            pr, pi = pr * zr - pi * zi, pr * zi + pi * zr
+            re.append(-qr * pr / k)
+            im.append(-qr * pi / k)
+        return jnp.stack(re + im, axis=-1)
+
+    def _l2p_eval(self, rel, loc, scale=1.0):
+        # Re(sum_l loc_l w^l)
+        wr, wi = rel[0], rel[1]
+        nc = self.order + 1
+        acc = loc[..., 0]
+        pr, pi = jnp.ones_like(wr), jnp.zeros_like(wr)
+        for ell in range(1, nc):
+            pr, pi = pr * wr - pi * wi, pr * wi + pi * wr
+            acc = acc + loc[..., ell] * pr - loc[..., nc + ell] * pi
+        return acc
+
+    def _m2p_eval(self, rel, mp, scale=1.0):
+        # Re(mp_0 (log w + log scale) + sum_k mp_k w^-k)
+        wr, wi = rel[0], rel[1]
+        nc = self.order + 1
+        r2 = wr * wr + wi * wi
+        r2s = jnp.where(r2 == 0, 1.0, r2)
+        lgr = 0.5 * jnp.log(r2s) + jnp.log(scale)
+        th = jnp.arctan2(wi, jnp.where(r2 == 0, 1.0, wr))
+        acc = mp[0] * lgr - mp[nc] * th
+        ixr, ixi = wr / r2s, -wi / r2s                  # 1 / w
+        pr, pi = jnp.ones_like(wr), jnp.zeros_like(wr)
+        for k in range(1, nc):
+            pr, pi = pr * ixr - pi * ixi, pr * ixi + pi * ixr
+            acc = acc + mp[k] * pr - mp[nc + k] * pi
+        return acc
+
+    def _p2l_terms(self, rel, q, scale=1.0):
+        # coeff_0 = q (log(-z0) + log scale); coeff_l = -q z0^-l / l
+        zr, zi = rel[0], rel[1]
+        r2 = zr * zr + zi * zi
+        r2s = jnp.where(r2 == 0, 1.0, r2)
+        lgr = 0.5 * jnp.log(r2s) + jnp.log(scale)
+        th = jnp.arctan2(-zi, jnp.where(r2 == 0, 1.0, -zr))
+        re, im = [q * lgr], [q * th]
+        ixr, ixi = zr / r2s, -zi / r2s                  # 1 / z0
+        pr, pi = jnp.ones_like(zr), jnp.zeros_like(zr)
+        for ell in range(1, self.order + 1):
+            pr, pi = pr * ixr - pi * ixi, pr * ixi + pi * ixr
+            re.append(-q * pr / ell)
+            im.append(-q * pi / ell)
+        return jnp.stack(re + im, axis=-1)
+
+    # }}}
+
 # }}}
 
 
@@ -500,22 +632,24 @@ def make_laplace_wrangler(traversal, order=None, *, level_to_order=None,
         kwargs["level_to_order"] = level_to_order
     dim = traversal.tree.dimensions
     ti = LaplaceTreeIndependentDataForWrangler(dim, order)
-    if dim == 2:
-        return Laplace2DExpansionWrangler(ti, traversal, **kwargs)
-    if dim == 3:
-        if pairs is None:
-            dt = kwargs.get("dtype")
-            pairs = (jax.default_backend() != "cpu"
-                     and not (dt is not None
-                              and np.issubdtype(np.dtype(dt),
-                                                np.complexfloating)))
-        if pairs:
-            dt = kwargs.get("dtype")
-            if dt is not None and np.issubdtype(np.dtype(dt),
-                                                np.complexfloating):
-                # a complex request maps to the real dtype of the pairs
-                kwargs["dtype"] = np.zeros(0, dt).real.dtype
-            return Laplace3DPairsExpansionWrangler(ti, traversal,
-                                                   **kwargs)
-        return Laplace3DExpansionWrangler(ti, traversal, **kwargs)
-    raise NotImplementedError(f"no Laplace wrangler for dim={dim}")
+    if dim not in (2, 3):
+        raise NotImplementedError(f"no Laplace wrangler for dim={dim}")
+    if pairs is None:
+        dt = kwargs.get("dtype")
+        pairs = (jax.default_backend() != "cpu"
+                 and not (dt is not None
+                          and np.issubdtype(np.dtype(dt),
+                                            np.complexfloating))
+                 and kwargs.get("m2l_mode", "dense") != "rotation")
+    if pairs:
+        dt = kwargs.get("dtype")
+        if dt is not None and np.issubdtype(np.dtype(dt),
+                                            np.complexfloating):
+            # a complex request maps to the real dtype of the pairs
+            kwargs["dtype"] = np.zeros(0, dt).real.dtype
+        cls = (Laplace2DPairsExpansionWrangler if dim == 2
+               else Laplace3DPairsExpansionWrangler)
+        return cls(ti, traversal, **kwargs)
+    cls = (Laplace2DExpansionWrangler if dim == 2
+           else Laplace3DExpansionWrangler)
+    return cls(ti, traversal, **kwargs)

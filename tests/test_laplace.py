@@ -188,18 +188,15 @@ def test_rotation_m2l_matches_dense():
     assert err < 1e-12, err
 
 
-def test_pairs_wrangler_matches_complex():
-    """The complex-free real-pair 3D wrangler == the complex wrangler
+@pytest.mark.parametrize("dims", [2, 3])
+def test_pairs_wrangler_matches_complex(dims):
+    """The complex-free real-pair wrangler == the complex wrangler
     (plain, rscale'd, per-level orders, and dipoles).  Real pairs are
     the only representation that runs on TPU backends without complex
     support (every complex op is UNIMPLEMENTED on the tunneled chip)."""
-    from boxtree_tpu.models.laplace import (
-        Laplace3DPairsExpansionWrangler,
-    )
-
     rng = np.random.default_rng(44)
     n = 1400
-    pts = rng.random((3, n))
+    pts = rng.random((dims, n))
     tree = build_tree(pts, max_particles_in_box=25)
     trav = build_traversal(tree)
     q = rng.standard_normal(n)
@@ -209,13 +206,12 @@ def test_pairs_wrangler_matches_complex():
         {"order": 6, "rscale": "auto"},
         {"level_to_order": lambda lev: max(3, 7 - lev),
          "rscale": "auto"},
-        {"order": 5, "dipole_vec": rng.standard_normal((3, n))},
+        {"order": 5, "dipole_vec": rng.standard_normal((dims, n))},
     ]
     for kw in cases:
         ref = np.asarray(drive_fmm(
             make_laplace_wrangler(trav, pairs=False, **kw), (q,)))
         w = make_laplace_wrangler(trav, pairs=True, **kw)
-        assert isinstance(w, Laplace3DPairsExpansionWrangler)
         assert not np.issubdtype(np.dtype(w.dtype), np.complexfloating)
         pot = np.asarray(drive_fmm(w, (q,)))
         err = np.abs(pot - np.real(ref)).max() / np.abs(ref).max()
