@@ -528,12 +528,9 @@ class Laplace3DPairsExpansionWrangler(Laplace3DExpansionWrangler):
 
     dtype = np.float64
 
-    def __init__(self, tree_indep, traversal, **kwargs):
-        if kwargs.get("m2l_mode", "dense") == "rotation":
-            raise NotImplementedError(
-                "rotation (point-and-shoot) M2L is implemented for the "
-                "complex wrangler only; pass pairs=False to use it")
-        super().__init__(tree_indep, traversal, **kwargs)
+    #: the complex (K, K) operator builder, for consumers that expand
+    #: blocks themselves (RotationM2L extracts axial sub-blocks)
+    _m2l_matrices_complex = Laplace3DExpansionWrangler._m2l_matrices
 
     def _ncoeff(self):
         return 2 * sh.ncoeffs(self.order)
@@ -639,8 +636,7 @@ def make_laplace_wrangler(traversal, order=None, *, level_to_order=None,
         pairs = (jax.default_backend() != "cpu"
                  and not (dt is not None
                           and np.issubdtype(np.dtype(dt),
-                                            np.complexfloating))
-                 and kwargs.get("m2l_mode", "dense") != "rotation")
+                                            np.complexfloating)))
     if pairs:
         dt = kwargs.get("dtype")
         if dt is not None and np.issubdtype(np.dtype(dt),

@@ -18,11 +18,17 @@ pair runs rotate -> axial translate -> rotate back (O(p^3)):
    the translation is one (p+1-|m|)^2 block per ``m``.
 3. **rotate back** with the transposed blocks.
 
-Derivation (column convention, basis ``B``, rotation ``W`` with
-``B(Rx) = W B(x)`` and ``R u = z``): ``M' = W^-T M``, ``L' = T(|t| z)
-M'``, ``L = W^T L'`` — equality ``T(t) = W^T T(|t| z) W^-T`` is what
-the parity test pins (the reference's optimized-vs-baseline equality,
-``test/test_fmm.py:726-794``).
+Derivation (column convention, ``R u = z``, regular/irregular rotation
+blocks ``W_A``/``W_S`` with ``A(Rx) = W_A A(x)``, ``S(Rx) = W_S
+S(x)``): multipole coefficients pair against the S basis and rotate as
+``M' = W_S^-T M``; local coefficients pair against ``conj(A)`` and
+un-rotate as ``L = conj(W_A)^T L'``.  The resulting operator equality
+``T(t) = conj(W_A)^T T(|t| z) W_S^-T`` is verified directly to 1e-15
+and end-to-end by the parity test (the reference's
+optimized-vs-baseline equality, ``test/test_fmm.py:726-794``).  Note
+the two bases rotate with DIFFERENT blocks (their m-dependent
+normalizations differ); using ``W_A`` on both sides looks plausible
+and is wrong by O(1).
 
 On device every stage is a grouped matmul over the operator-sorted edge
 runs of the :class:`~boxtree_tpu.models.particle_blocks.M2LPlan`, so
@@ -60,13 +66,17 @@ def _rotation_to_z(u):
     return np.eye(3) + s * kx + (1 - c) * (kx @ kx)
 
 
-def _fit_rotation_blocks(R, p, sample):
-    """Per-degree blocks W_n with ``A_n(R x) = W_n A_n(x)`` (the A
-    basis of :mod:`boxtree_tpu.ops.solid_harmonics`), fit by least
-    squares on a fixed unit-vector sample (rotations act only on the
-    angular part, so the fit at |x| = 1 determines the block)."""
-    a_x = sh.regular(sample, p)               # (S, K)
-    a_rx = sh.regular(R @ sample, p)
+def _fit_rotation_blocks(R, p, sample, basis=None):
+    """Per-degree blocks W_n with ``B_n(R x) = W_n B_n(x)`` for basis
+    ``B`` (default the regular A basis of
+    :mod:`boxtree_tpu.ops.solid_harmonics`; pass ``sh.irregular`` for
+    the S basis, whose (n-|m|)!-normalization rotates with DIFFERENT
+    blocks), fit by least squares on a fixed unit-vector sample
+    (rotations act only on the angular part, so the fit at |x| = 1
+    determines the block)."""
+    basis = basis or sh.regular
+    a_x = basis(sample, p)                    # (S, K)
+    a_rx = basis(R @ sample, p)
     blocks = []
     for n in range(p + 1):
         sl = slice(n * n, (n + 1) * (n + 1))
@@ -89,6 +99,12 @@ class RotationM2L:
         p = wrangler.order
         self.order = p
         self.dtype = wrangler.dtype
+        # real-pair wranglers ([re | im] coefficients, see
+        # Laplace3DPairsExpansionWrangler): every block is pair-expanded
+        # and column slices span both halves
+        self.pairs = not np.issubdtype(np.dtype(wrangler.dtype),
+                                       np.complexfloating)
+        self._kc = (p + 1) * (p + 1)        # complex coefficient count
         tree = wrangler.tree
         root = float(np.asarray(tree.root_extent))
 
@@ -113,29 +129,62 @@ class RotationM2L:
         sample = rng.standard_normal((3, 2 * p + 7))
         sample /= np.linalg.norm(sample, axis=0)
 
+        # per-degree rotation blocks per rotation class.  The verified
+        # identity (tested to 1e-15 in tests/test_laplace.py) is
+        #   T(t) = conj(W_A)^T  T(|t| z)  W_S^{-T}
+        # (multipole coefficients pair against the S basis and rotate
+        # with its blocks; local coefficients pair against conj(A)),
+        # so the row-vector pipeline is
+        #   L_row = ((M_row @ W_S^{-1}) @ Tax^T) @ conj(W_A).
         w_rc, winv_rc = [], []
         for key in dirs:                      # insertion order = rc id
             u = np.asarray(key, np.float64)
             u /= np.linalg.norm(u)
-            blocks = _fit_rotation_blocks(_rotation_to_z(u), p, sample)
-            w_rc.append(blocks)
-            winv_rc.append([np.linalg.inv(b) for b in blocks])
+            rz = _rotation_to_z(u)
+            wa = _fit_rotation_blocks(rz, p, sample)
+            ws = _fit_rotation_blocks(rz, p, sample, basis=sh.irregular)
+            w_rc.append([np.conj(b) for b in wa])      # unrotate ops
+            winv_rc.append([np.linalg.inv(b) for b in ws])  # rotate ops
 
-        # per-op gathered stacks (duplicated per level — small blocks)
+        # per-op gathered stacks (duplicated per level — small blocks);
+        # in pairs mode each complex block B becomes the real
+        # [[Br, -Bi], [Bi, Br]] acting on [re | im] column pairs, and
+        # the column index set of degree n spans both halves
         cdt = self.dtype
+
+        def as_op(stack):
+            if self.pairs:
+                from boxtree_tpu.ops.solid_harmonics import pair_matrix
+                # stored blocks RIGHT-multiply [re | im] row vectors:
+                # z_row @ A needs [[Ar, Ai], [-Ai, Ar]], which is
+                # pair_matrix(conj(A)) (pair_matrix is the column
+                # convention)
+                stack = pair_matrix(np.conj(stack))
+            return jnp.asarray(stack.astype(cdt))
+
+        def col_idx(ix):
+            ix = np.asarray(ix)
+            if self.pairs:
+                ix = np.concatenate([ix, self._kc + ix])
+            return jnp.asarray(ix)
+
+        self._deg_idx = [col_idx(np.arange(n * n, (n + 1) * (n + 1)))
+                         for n in range(p + 1)]
         self._rot_ops = []                    # rotate:   M'r = Mr @ W^-1
         self._unrot_ops = []                  # unrotate: Lr = L'r @ W
         for n in range(p + 1):
-            self._rot_ops.append(jnp.asarray(np.stack(
-                [winv_rc[rc][n] for rc in rc_of_op]).astype(cdt)))
-            self._unrot_ops.append(jnp.asarray(np.stack(
-                [w_rc[rc][n] for rc in rc_of_op]).astype(cdt)))
+            self._rot_ops.append(as_op(np.stack(
+                [winv_rc[rc][n] for rc in rc_of_op])))
+            self._unrot_ops.append(as_op(np.stack(
+                [w_rc[rc][n] for rc in rc_of_op])))
 
         # axial blocks, from the wrangler's own host operator at |t| z
         t_ax = np.stack([[0.0, 0.0, float(np.linalg.norm(t))]
                          for t in ts])
         rs = np.array([r_of(lev) for (lev, _c) in plan.used])
-        dense_ax = wrangler._m2l_matrices(t_ax, rs)     # nops x (K, K)
+        dense_ax = np.asarray(getattr(
+            wrangler, "_m2l_matrices_complex",
+            wrangler._m2l_matrices)(t_ax, rs))          # nops x (K, K)
         nm_n = np.concatenate(
             [[n] * (2 * n + 1) for n in range(p + 1)]).astype(np.int64)
         nm_m = np.concatenate(
@@ -158,36 +207,34 @@ class RotationM2L:
                     np.where(keep, 0, ax)).max()
                     / max(np.abs(ax).max(), 1e-300))
             # row convention: l'_row = m'_row @ block^T
-            self._ax_ops.append(jnp.asarray(
-                blocks.transpose(0, 2, 1).astype(cdt)))
-            self._ax_src_idx.append(jnp.asarray(cols))
-            self._ax_dst_idx.append(jnp.asarray(rows))
+            self._ax_ops.append(as_op(blocks.transpose(0, 2, 1)))
+            self._ax_src_idx.append(col_idx(cols))
+            self._ax_dst_idx.append(col_idx(rows))
         if offpat > 1e-10:
             raise AssertionError(
                 f"axial M2L operator not delta-sparse: {offpat}")
 
     def apply(self, mp_rows, group_sizes):
         """(E, K) operator-sorted multipole rows -> (E, K) local rows
-        (rotate / axial / unrotate, each as grouped matmuls)."""
+        (rotate / axial / unrotate, each as grouped matmuls).  In pairs
+        mode K = 2 * (p+1)^2 and every index set / block is
+        pair-expanded; the arithmetic is otherwise identical."""
         p = self.order
-        k = (p + 1) ** 2
+        k = mp_rows.shape[1]
 
-        parts = []
-        for n in range(p + 1):
-            sl = mp_rows[:, n * n:(n + 1) * (n + 1)]
-            parts.append(grouped_matmul(sl, self._rot_ops[n],
-                                        group_sizes))
-        mrot = jnp.concatenate(parts, axis=1)
+        def stage(rows_in, ops_by_deg, idx_by_deg):
+            out = jnp.zeros((mp_rows.shape[0], k), self.dtype)
+            for ix, ops in zip(idx_by_deg, ops_by_deg):
+                y = grouped_matmul(rows_in[:, ix], ops, group_sizes)
+                out = out.at[:, ix].set(y)
+            return out
+
+        mrot = stage(mp_rows, self._rot_ops, self._deg_idx)
 
         out = jnp.zeros((mp_rows.shape[0], k), self.dtype)
-        for i, m in enumerate(range(-p, p + 1)):
+        for i in range(2 * p + 1):
             sl = mrot[:, self._ax_src_idx[i]]
             y = grouped_matmul(sl, self._ax_ops[i], group_sizes)
             out = out.at[:, self._ax_dst_idx[i]].set(y)
 
-        parts = []
-        for n in range(p + 1):
-            sl = out[:, n * n:(n + 1) * (n + 1)]
-            parts.append(grouped_matmul(sl, self._unrot_ops[n],
-                                        group_sizes))
-        return jnp.concatenate(parts, axis=1)
+        return stage(out, self._unrot_ops, self._deg_idx)

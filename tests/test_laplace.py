@@ -187,6 +187,14 @@ def test_rotation_m2l_matches_dense():
     err = np.abs(pot - ref).max() / np.abs(ref).max()
     assert err < 1e-12, err
 
+    # ... and the real-pair variant (pair-expanded rotation blocks)
+    rotp = make_laplace_wrangler(trav, order=6, m2l_mode="rotation",
+                                 pairs=True)
+    assert rotp._m2l_rot is not None and rotp._m2l_rot.pairs
+    potp = np.asarray(drive_fmm(rotp, (q,)))
+    err = np.abs(potp - np.real(ref)).max() / np.abs(ref).max()
+    assert err < 1e-12, err
+
 
 @pytest.mark.parametrize("dims", [2, 3])
 def test_pairs_wrangler_matches_complex(dims):
@@ -243,3 +251,44 @@ def test_pairs_wrangler_distributed():
     pot = np.asarray(runner.drive_dfmm(q))
     err = np.abs(pot - ref).max() / np.abs(ref).max()
     assert err < 1e-13, err
+
+
+def test_rotation_identity_direct():
+    """The point-and-shoot operator identity
+    T(t) = conj(W_A)^T T(|t| z) W_S^{-T}, with the REGULAR-basis blocks
+    on the local side and the IRREGULAR-basis blocks on the multipole
+    side (their normalizations rotate differently — using W_A on both
+    sides is wrong by O(1))."""
+    import scipy.linalg as sla
+
+    from boxtree_tpu.models.laplace import (
+        Laplace3DExpansionWrangler,
+        LaplaceTreeIndependentDataForWrangler,
+    )
+    from boxtree_tpu.models.rotation_m2l import (
+        _fit_rotation_blocks,
+        _rotation_to_z,
+    )
+    from boxtree_tpu.ops import solid_harmonics as sh
+
+    p = 5
+    ti = LaplaceTreeIndependentDataForWrangler(3, p)
+    w = Laplace3DExpansionWrangler.__new__(Laplace3DExpansionWrangler)
+    w.order = p
+    w.tree_indep = ti
+
+    rng = np.random.default_rng(1)
+    sample = rng.standard_normal((3, 2 * p + 7))
+    sample /= np.linalg.norm(sample, axis=0)
+    for t in ([3.0, -2.0, 1.0], [0.0, 3.0, 0.0], [-2.0, -2.0, -2.0]):
+        t = np.asarray(t)
+        rz = _rotation_to_z(t / np.linalg.norm(t))
+        wa = sla.block_diag(*_fit_rotation_blocks(rz, p, sample))
+        ws = sla.block_diag(*_fit_rotation_blocks(
+            rz, p, sample, basis=sh.irregular))
+        tmat = w._m2l_matrix(t, 1.0)
+        tax = w._m2l_matrix(np.array([0.0, 0.0, np.linalg.norm(t)]),
+                            1.0)
+        lhs = np.conj(wa).T @ tax @ np.linalg.inv(ws).T
+        err = np.abs(lhs - tmat).max() / np.abs(tmat).max()
+        assert err < 1e-12, (t, err)
