@@ -398,13 +398,20 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     # {{{ plumbing
 
+    #: trailing dims of per-particle potentials: () for scalar output,
+    #: (2,) for kernels whose complex potential is carried as [re, im]
+    #: real lanes (the complex-free TPU path of the Helmholtz pairs
+    #: wranglers)
+    _pot_extra_dims = ()
+
     def multipole_expansion_zeros(self):
         return jnp.zeros((self.tree.nboxes, self.ncoeff), self.dtype)
 
     local_expansion_zeros = multipole_expansion_zeros
 
     def output_zeros(self):
-        return jnp.zeros(self.tree.ntargets, self.dtype)
+        return jnp.zeros((self.tree.ntargets, *self._pot_extra_dims),
+                         self.dtype)
 
     def potential_box_map(self):
         """Box id owning each output-potential slot (used by the
@@ -621,7 +628,9 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         valid = jnp.pad(valid, (0, pad_valid.shape[0] - valid.shape[0])) \
             & pad_valid
 
-        pot_box = jnp.zeros((tree.nboxes + 1, tb.pmax), self.dtype)
+        pot_box = jnp.zeros(
+            (tree.nboxes + 1, tb.pmax, *self._pot_extra_dims),
+            self.dtype)
 
         def body(carry, inp):
             pot_box = carry
@@ -707,7 +716,9 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         valid = jnp.pad(valid, (0, pad_valid.shape[0] - valid.shape[0])) \
             & pad_valid
 
-        pot_box = jnp.zeros((tree.nboxes + 1, tb.pmax), self.dtype)
+        pot_box = jnp.zeros(
+            (tree.nboxes + 1, tb.pmax, *self._pot_extra_dims),
+            self.dtype)
 
         def body(carry, inp):
             pot_box = carry
@@ -903,8 +914,9 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 return jax.jvp(
                     f, (src_pts[s],),
                     (dip_blocks[s].astype(src_pts.dtype),))[1]
-        out = jnp.zeros((tgt_pts.shape[0] + 1, tgt_pts.shape[1]),
-                        self.dtype)
+        out = jnp.zeros(
+            (tgt_pts.shape[0] + 1, tgt_pts.shape[1],
+             *self._pot_extra_dims), self.dtype)
         return self._edge_block_scan(tgt_rows, src_rows, valid_e,
                                      edge_potential, out)
 
@@ -920,8 +932,9 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             sc = self._scale_of_level[levels[s]]
             return self._m2p_eval(rel / sc, mpole_exps[s], sc)
 
-        out = jnp.zeros((tgt_pts.shape[0] + 1, tgt_pts.shape[1]),
-                        self.dtype)
+        out = jnp.zeros(
+            (tgt_pts.shape[0] + 1, tgt_pts.shape[1],
+             *self._pot_extra_dims), self.dtype)
         return self._edge_block_scan(tgt_rows, src_gboxes, valid_e,
                                      edge_eval, out)
 
@@ -969,6 +982,9 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             sarg = s[:, None]
         vals = self._l2p_eval(rel, local_exps[gb][:, None, :],
                               scale=sarg)
-        return jnp.where(pmask & (gboxes >= 0)[:, None], vals, 0)
+        keep = pmask & (gboxes >= 0)[:, None]
+        if self._pot_extra_dims:
+            keep = keep[(...,) + (None,) * len(self._pot_extra_dims)]
+        return jnp.where(keep, vals, 0)
 
     # }}}

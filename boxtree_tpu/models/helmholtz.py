@@ -87,6 +87,30 @@ def _device_JH_jvp(p, nstart, primals, tangents):
     return out, dots
 
 
+@_partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _device_JY(p, nstart, x):
+    """Real (J_n, Y_n) pair for n = 0..p — the complex-free sibling of
+    :func:`_device_JH` for the real-pair wrangler (no complex dtype
+    ever touches the device)."""
+    return cylindrical_jy(x, p, nstart=nstart)
+
+
+@_device_JY.defjvp
+def _device_JY_jvp(p, nstart, primals, tangents):
+    x, = primals
+    xdot, = tangents
+    j1, y1 = _device_JY(p + 1, nstart, x)
+
+    def deriv(f):
+        lower = jnp.concatenate([-f[..., 1:2], f[..., :p]], axis=-1)
+        upper = f[..., 1:p + 2]
+        return 0.5 * (lower - upper)
+
+    out = (j1[..., :p + 1], y1[..., :p + 1])
+    dots = (deriv(j1) * xdot[..., None], deriv(y1) * xdot[..., None])
+    return out, dots
+
+
 class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
     """2D Helmholtz FMM wrangler; see module docstring."""
 
@@ -269,7 +293,137 @@ class Helmholtz2DExpansionWrangler(ExpansionWranglerBase):
     # }}}
 
 
+class Helmholtz2DPairsExpansionWrangler(Helmholtz2DExpansionWrangler):
+    """Complex-free 2D Helmholtz wrangler: ``[re | im]`` real-pair
+    coefficients, pair-expanded real operators, and ``(..., 2)``
+    ``[re, im]`` potential lanes (see the 3D pairs wranglers for the
+    rationale — TPU backends without complex support).  The radial
+    tables come from the real ``(J, Y)`` Miller recurrences; the
+    angular phase is carried as (cos, sin) lanes."""
+
+    dtype = np.float64
+    _pot_extra_dims = (2,)
+    _p2p_pallas_kind = None
+
+    def reorder_sources(self, a):
+        if jnp.iscomplexobj(a):
+            raise TypeError(
+                "the real-pair wrangler takes REAL source weights; "
+                "complex weights are linear — drive the re/im parts "
+                "separately and combine")
+        return super().reorder_sources(a)
+
+    def _ncoeff(self):
+        return 2 * (2 * self.order + 1)
+
+    def _coeff_orders(self):
+        return np.tile(np.abs(self._ns), 2)
+
+    # {{{ host operators (complex builders, pair-expanded)
+
+    def _m2m_matrix(self, *a, **k):
+        from boxtree_tpu.ops.solid_harmonics import pair_matrix
+        return pair_matrix(
+            Helmholtz2DExpansionWrangler._m2m_matrix(self, *a, **k))
+
+    def _l2l_matrix(self, *a, **k):
+        from boxtree_tpu.ops.solid_harmonics import pair_matrix
+        return pair_matrix(
+            Helmholtz2DExpansionWrangler._l2l_matrix(self, *a, **k))
+
+    def _m2l_matrix(self, *a, **k):
+        from boxtree_tpu.ops.solid_harmonics import pair_matrix
+        return pair_matrix(
+            Helmholtz2DExpansionWrangler._m2l_matrix(self, *a, **k))
+
+    # }}}
+
+    # {{{ device hooks (pair lanes)
+
+    def _basis_pairs(self, rel, kind, conj_phase, scale=1.0):
+        """(..., 2p+1) re/im lanes of J_n/H_n(k r) e^{+-i n th}."""
+        p = self.order
+        pw = self._dpow(scale, -1 if kind == "J" else +1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
+        r = jnp.sqrt(rel[0] ** 2 + rel[1] ** 2)
+        ok = r > 0
+        r_safe = jnp.where(ok, r, 1.0)
+        th = jnp.arctan2(rel[1], rel[0])
+        j, y = _device_JY(p, self._nstart, self.k * r_safe)
+        signs = jnp.asarray((-1.0) ** np.arange(1, p + 1))
+
+        def full(base):
+            neg = base[..., 1:] * signs
+            return jnp.concatenate([neg[..., ::-1], base], axis=-1)
+
+        ns = jnp.asarray(self._ns)
+        c = jnp.cos(ns * th[..., None])
+        s = conj_phase * jnp.sin(ns * th[..., None])
+        if kind == "J":
+            fj = full(j)
+            vr, vi = fj * c, fj * s
+        else:
+            fj, fy = full(j), full(y)
+            vr = fj * c - fy * s
+            vi = fj * s + fy * c
+        if pw is not None:
+            vr, vi = vr * pw, vi * pw
+        if kind == "J":
+            # exact r == 0 limit: J_n(0) = [n == 0]
+            one_hot = jnp.zeros(vr.shape[-1:], vr.dtype).at[p].set(1.0)
+            vr = jnp.where(ok[..., None], vr, one_hot)
+            vi = jnp.where(ok[..., None], vi, 0)
+        return vr, vi, ok
+
+    def _p2m_terms(self, rel, q, scale=1.0):
+        # 0.25 i * q * vals -> (-0.25 q v_i, 0.25 q v_r)
+        vr, vi, _ = self._basis_pairs(rel, "J", -1, scale)
+        qq = 0.25 * q.astype(self.dtype)[..., None]
+        return jnp.concatenate([-qq * vi, qq * vr], axis=-1)
+
+    def _l2p_eval(self, rel, loc, scale=1.0):
+        vr, vi, _ = self._basis_pairs(rel, "J", +1, scale)
+        nc = 2 * self.order + 1
+        lr, li = loc[..., :nc], loc[..., nc:]
+        return jnp.stack([jnp.sum(lr * vr - li * vi, axis=-1),
+                          jnp.sum(lr * vi + li * vr, axis=-1)], axis=-1)
+
+    def _m2p_eval(self, rel, mp, scale=1.0):
+        vr, vi, ok = self._basis_pairs(rel, "H", +1, scale)
+        nc = 2 * self.order + 1
+        mr, mi = mp[..., :nc], mp[..., nc:]
+        return jnp.stack(
+            [jnp.where(ok, jnp.sum(mr * vr - mi * vi, axis=-1), 0),
+             jnp.where(ok, jnp.sum(mr * vi + mi * vr, axis=-1), 0)],
+            axis=-1)
+
+    def _p2l_terms(self, rel, q, scale=1.0):
+        vr, vi, ok = self._basis_pairs(rel, "H", -1, scale)
+        qq = 0.25 * q.astype(self.dtype)[..., None]
+        t_re = jnp.where(ok[..., None], -qq * vi, 0)
+        t_im = jnp.where(ok[..., None], qq * vr, 0)
+        return jnp.concatenate([t_re, t_im], axis=-1)
+
+    def _p2p(self, tgt_pts, src_pts, src_valid, q):
+        diff = tgt_pts[:, None, :] - src_pts[None, :, :]
+        r = jnp.sqrt((diff * diff).sum(-1))
+        ok = (r > 0) & src_valid[None, :]
+        j, y = _device_JY(0, self._nstart,
+                          self.k * jnp.where(ok, r, 1.0))
+        # g = 0.25 i (J0 + i Y0) = (-0.25 Y0, 0.25 J0)
+        gr = jnp.where(ok, -0.25 * y[..., 0], 0)
+        gi = jnp.where(ok, 0.25 * j[..., 0], 0)
+        return jnp.stack([gr @ q, gi @ q], axis=-1)
+
+    # }}}
+
+
 def make_helmholtz_wrangler(traversal, helmholtz_k, order, **kwargs):
-    ti = HelmholtzTreeIndependentDataForWrangler(
-        traversal.tree.dimensions, helmholtz_k, order)
-    return Helmholtz2DExpansionWrangler(ti, traversal, **kwargs)
+    """Delegates to the dimension-dispatching factory (which also
+    handles the ``pairs=`` real-pair selection); kept here for
+    backward compatibility of imports."""
+    from boxtree_tpu.models.helmholtz3d import (
+        make_helmholtz_wrangler as make,
+    )
+    return make(traversal, helmholtz_k, order, **kwargs)

@@ -370,18 +370,204 @@ class Helmholtz3DExpansionWrangler(ExpansionWranglerBase):
     # }}}
 
 
-def make_helmholtz_wrangler(traversal, helmholtz_k, order, **kwargs):
+class Helmholtz3DPairsExpansionWrangler(Helmholtz3DExpansionWrangler):
+    """Complex-free 3D Helmholtz wrangler for TPU backends without
+    complex support: ``[re | im]`` real-pair coefficients and
+    2x2-expanded real operators (see
+    :class:`~boxtree_tpu.models.laplace.Laplace3DPairsExpansionWrangler`
+    for the rationale), and — because the Helmholtz potential is
+    genuinely complex — potentials carried as ``(..., 2)`` real
+    ``[re, im]`` lanes (``_pot_extra_dims``); ``drive_fmm`` returns a
+    ``(ntargets, 2)`` real array.  Real ``helmholtz_k`` only (the
+    radial j/y recurrences stay real there)."""
+
+    dtype = np.float64
+    _pot_extra_dims = (2,)
+    _p2p_pallas_kind = None
+
+    def __init__(self, tree_indep, traversal, **kwargs):
+        if complex(tree_indep.k).imag != 0:
+            raise NotImplementedError(
+                "real-pair Helmholtz wrangler requires real helmholtz_k")
+        super().__init__(tree_indep, traversal, **kwargs)
+
+    def reorder_sources(self, a):
+        if jnp.iscomplexobj(a):
+            raise TypeError(
+                "the real-pair wrangler takes REAL source weights; "
+                "complex weights are linear — drive the re/im parts "
+                "separately and combine")
+        return super().reorder_sources(a)
+
+    def _ncoeff(self):
+        return 2 * sh.ncoeffs(self.order)
+
+    def _coeff_orders(self):
+        return np.tile(self.tree_indep.nm_n, 2)
+
+    # {{{ host operators (complex builders, pair-expanded)
+
+    def _m2m_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Helmholtz3DExpansionWrangler._m2m_matrix(self, *a, **k))
+
+    def _l2l_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Helmholtz3DExpansionWrangler._l2l_matrix(self, *a, **k))
+
+    def _m2l_matrix(self, *a, **k):
+        return sh.pair_matrix(
+            Helmholtz3DExpansionWrangler._m2l_matrix(self, *a, **k))
+
+    _m2l_matrices_complex = Helmholtz3DExpansionWrangler._m2l_matrices
+
+    # }}}
+
+    # {{{ device hooks (pair lanes; w_nm = i * c with c real)
+
+    @property
+    def _w_c(self):
+        ti = self.tree_indep
+        return jnp.asarray(4 * np.pi * float(ti.k) * ti.D ** 2)
+
+    def _angular_pairs(self, rel):
+        r2 = (rel * rel).sum(axis=0)
+        ok = r2 > 0
+        r = jnp.sqrt(jnp.where(ok, r2, 1.0))
+        u = jnp.where(ok, rel, jnp.array([0.0, 0.0, 1.0])[
+            (slice(None),) + (None,) * (rel.ndim - 1)]) / r
+        a = sh.regular_pairs(u, self.order, xp=jnp)    # (..., 2K)
+        kc = sh.ncoeffs(self.order)
+        return r, ok, a[..., :kc], a[..., kc:]
+
+    def _p2m_terms(self, rel, q, scale=1.0):
+        pw = self._dpow(scale, -1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
+        r, ok, ar, ai = self._angular_pairs(rel)
+        j = self._radial_j(r)
+        br, bi = j * ar, -j * ai                       # j * conj(a)
+        if pw is not None:
+            br, bi = br * pw, bi * pw
+        # terms = q * (i c) * b  ->  (-q c b_i, q c b_r)
+        qc = q.astype(self.dtype)[..., None] * self._w_c
+        t_re, t_im = -qc * bi, qc * br
+        kc = sh.ncoeffs(self.order)
+        # r = 0 exact limit: j_n(0) = delta_n0, A_0^0 = 1
+        z_im = jnp.zeros(kc, self.dtype).at[0].set(1.0) * qc
+        t_re = jnp.where(ok[..., None], t_re, 0)
+        t_im = jnp.where(ok[..., None], t_im, z_im)
+        return jnp.concatenate([t_re, t_im], axis=-1)
+
+    def _l2p_eval(self, rel, loc, scale=1.0):
+        pw = self._dpow(scale, -1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
+        r, ok, ar, ai = self._angular_pairs(rel)
+        j = self._radial_j(r)
+        br, bi = j * ar, j * ai
+        if pw is not None:
+            br, bi = br * pw, bi * pw
+        kc = sh.ncoeffs(self.order)
+        lr, li = loc[..., :kc], loc[..., kc:]
+        v_re = jnp.sum(lr * br - li * bi, axis=-1)
+        v_im = jnp.sum(lr * bi + li * br, axis=-1)
+        v_re = jnp.where(ok, v_re, loc[..., 0])
+        v_im = jnp.where(ok, v_im, loc[..., kc])
+        return jnp.stack([v_re, v_im], axis=-1)
+
+    def _m2p_eval(self, rel, mp, scale=1.0):
+        pw = self._dpow(scale, +1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
+        r, ok, ar, ai = self._angular_pairs(rel)
+        j = self._radial_j(r)
+        y = self._radial_y(r)
+        br, bi = j * ar - y * ai, j * ai + y * ar      # h * a
+        if pw is not None:
+            br, bi = br * pw, bi * pw
+        kc = sh.ncoeffs(self.order)
+        mr, mi = mp[..., :kc], mp[..., kc:]
+        v_re = jnp.where(ok, jnp.sum(mr * br - mi * bi, axis=-1), 0)
+        v_im = jnp.where(ok, jnp.sum(mr * bi + mi * br, axis=-1), 0)
+        return jnp.stack([v_re, v_im], axis=-1)
+
+    def _p2l_terms(self, rel, q, scale=1.0):
+        pw = self._dpow(scale, +1)
+        if pw is not None:
+            rel = rel * jnp.asarray(scale)
+        r, ok, ar, ai = self._angular_pairs(rel)
+        j = self._radial_j(r)
+        y = self._radial_y(r)
+        br, bi = j * ar + y * ai, y * ar - j * ai      # h * conj(a)
+        if pw is not None:
+            br, bi = br * pw, bi * pw
+        qc = q.astype(self.dtype)[..., None] * self._w_c
+        t_re = jnp.where(ok[..., None], -qc * bi, 0)
+        t_im = jnp.where(ok[..., None], qc * br, 0)
+        return jnp.concatenate([t_re, t_im], axis=-1)
+
+    def _radial_y(self, r):
+        hr = sb.spherical_yn(self.k * r, self.order)
+        return hr[..., jnp.asarray(self.tree_indep.nm_n)]
+
+    def _p2p(self, tgt_pts, src_pts, src_valid, q):
+        diff = tgt_pts[:, None, :] - src_pts[None, :, :]
+        r2 = (diff * diff).sum(-1)
+        ok = (r2 > 0) & src_valid[None, :]
+        r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+        inv = jnp.where(ok, 1.0 / r, 0.0)
+        gr = jnp.cos(self.k * r) * inv
+        gi = jnp.sin(self.k * r) * inv
+        return jnp.stack([gr @ q, gi @ q], axis=-1)
+
+    # }}}
+
+
+def make_helmholtz_wrangler(traversal, helmholtz_k, order, *,
+                            pairs=None, **kwargs):
     """Factory choosing the Helmholtz wrangler by dimension (2D:
-    :mod:`boxtree_tpu.models.helmholtz`; 3D: this module)."""
+    :mod:`boxtree_tpu.models.helmholtz`; 3D: this module).
+
+    :arg pairs: use the complex-free ``[re | im]`` real-pair wrangler
+        (3D, real *helmholtz_k* only; potentials come back as
+        ``(ntargets, 2)`` real lanes).  Default *None* = automatic:
+        real pairs on accelerator backends, complex on CPU.
+    """
     dim = traversal.tree.dimensions
+    if dim not in (2, 3):
+        raise NotImplementedError(f"no Helmholtz wrangler for dim={dim}")
+
+    def want_pairs():
+        if pairs is not None:
+            return pairs
+        dt = kwargs.get("dtype")
+        return (jax.default_backend() != "cpu"
+                and complex(helmholtz_k).imag == 0
+                and not (dt is not None
+                         and np.issubdtype(np.dtype(dt),
+                                           np.complexfloating)))
+
+    def real_dtype_kwargs():
+        dt = kwargs.get("dtype")
+        if dt is not None and np.issubdtype(np.dtype(dt),
+                                            np.complexfloating):
+            kwargs["dtype"] = np.zeros(0, dt).real.dtype
+        return kwargs
+
     if dim == 2:
         from boxtree_tpu.models.helmholtz import (
             Helmholtz2DExpansionWrangler,
+            Helmholtz2DPairsExpansionWrangler,
             HelmholtzTreeIndependentDataForWrangler,
         )
         ti = HelmholtzTreeIndependentDataForWrangler(2, helmholtz_k, order)
+        if want_pairs():
+            return Helmholtz2DPairsExpansionWrangler(
+                ti, traversal, **real_dtype_kwargs())
         return Helmholtz2DExpansionWrangler(ti, traversal, **kwargs)
-    if dim == 3:
-        ti = Helmholtz3DTreeIndependentDataForWrangler(helmholtz_k, order)
-        return Helmholtz3DExpansionWrangler(ti, traversal, **kwargs)
-    raise NotImplementedError(f"no Helmholtz wrangler for dim={dim}")
+    ti = Helmholtz3DTreeIndependentDataForWrangler(helmholtz_k, order)
+    if want_pairs():
+        return Helmholtz3DPairsExpansionWrangler(
+            ti, traversal, **real_dtype_kwargs())
+    return Helmholtz3DExpansionWrangler(ti, traversal, **kwargs)

@@ -532,6 +532,14 @@ class Laplace3DPairsExpansionWrangler(Laplace3DExpansionWrangler):
     #: blocks themselves (RotationM2L extracts axial sub-blocks)
     _m2l_matrices_complex = Laplace3DExpansionWrangler._m2l_matrices
 
+    def reorder_sources(self, a):
+        if jnp.iscomplexobj(a):
+            raise TypeError(
+                "the real-pair wrangler takes REAL source weights; "
+                "complex weights are linear — drive the re/im parts "
+                "separately and combine")
+        return super().reorder_sources(a)
+
     def _ncoeff(self):
         return 2 * sh.ncoeffs(self.order)
 

@@ -549,7 +549,11 @@ class DistributedFMMRunner:
                 l2l_rows, l2l_dsz, l2l_slices, loc)
 
             pot = pot + wrangler.eval_locals(None, None, loc)
-            pot = jnp.where(resp_mask[pot_box_map], pot, 0)
+            keep = resp_mask[pot_box_map]
+            if wrangler._pot_extra_dims:
+                keep = keep[(...,) + (None,)
+                            * len(wrangler._pot_extra_dims)]
+            pot = jnp.where(keep, pot, 0)
             return jax.lax.psum(pot, axis)
 
         try:
@@ -630,8 +634,11 @@ class DistributedFMMRunner:
             # responsible boxes partition the targets, so a psum merges
             valid = tgt_pm & (tgt_boxes >= 0)[:, None] & (tgt_idx >= 0)
             safe = jnp.where(valid, tgt_idx.astype(jnp.int64), ntargets)
-            pot = jnp.zeros(ntargets, wrangler.dtype).at[safe].add(
-                jnp.where(valid, pot_b, 0), mode="drop")
+            extra = wrangler._pot_extra_dims
+            vmask = valid if not extra else \
+                valid[(...,) + (None,) * len(extra)]
+            pot = jnp.zeros((ntargets, *extra), wrangler.dtype) \
+                .at[safe].add(jnp.where(vmask, pot_b, 0), mode="drop")
             return jax.lax.psum(pot, axis)
 
         try:

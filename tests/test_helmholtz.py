@@ -151,3 +151,33 @@ def test_helmholtz2d_rscale_dipoles():
     ref = g @ weights
     rel = np.max(np.abs(pot - ref)) / np.max(np.abs(ref))
     assert rel < 1e-5, rel
+
+
+def test_helmholtz2d_pairs_matches_complex():
+    """The complex-free real-pair 2D wrangler == the complex wrangler
+    (plain / rscale / dipoles, real weights; potentials come back as
+    (ntargets, 2) [re, im] lanes)."""
+    from boxtree_tpu.models.helmholtz3d import make_helmholtz_wrangler
+
+    rng = np.random.default_rng(88)
+    n = 1100
+    pts = rng.random((2, n))
+    k = 4.0
+    tree = build_tree(pts, max_particles_in_box=20)
+    trav = build_traversal(tree)
+    q = rng.standard_normal(n)
+
+    cases = [
+        {"order": 10},
+        {"order": 10, "rscale": "auto"},
+        {"order": 8, "dipole_vec": rng.standard_normal((2, n))},
+    ]
+    for kw in cases:
+        ref = np.asarray(drive_fmm(
+            make_helmholtz_wrangler(trav, k, pairs=False, **kw), (q,)))
+        w = make_helmholtz_wrangler(trav, k, pairs=True, **kw)
+        pot = np.asarray(drive_fmm(w, (q,)))
+        assert pot.shape == (n, 2)
+        got = pot[:, 0] + 1j * pot[:, 1]
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 1e-12, (kw, err)

@@ -135,3 +135,42 @@ def test_helmholtz3d_fmm_dipoles():
     ref = ((gp * np.where(r > 0, num / rs, 0)) * q[None, :]).sum(1)
     err = np.abs(pot - ref).max() / np.abs(ref).max()
     assert err < 1e-5, err
+
+
+def test_helmholtz3d_pairs_matches_complex():
+    """The complex-free real-pair Helmholtz wrangler ([re | im]
+    coefficients, (ntargets, 2) potential lanes) == the complex
+    wrangler, for plain / rscale / dipole cases with real weights."""
+    from boxtree_tpu.models.helmholtz3d import (
+        Helmholtz3DPairsExpansionWrangler,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 900
+    pts = rng.random((3, n))
+    k = 3.0
+    tree = build_tree(pts, max_particles_in_box=25)
+    trav = build_traversal(tree)
+    q = rng.standard_normal(n)
+
+    cases = [
+        {"order": 8},
+        {"order": 8, "rscale": "auto"},
+        {"order": 6, "dipole_vec": rng.standard_normal((3, n))},
+    ]
+    for kw in cases:
+        ref = np.asarray(drive_fmm(
+            make_helmholtz_wrangler(trav, k, pairs=False, **kw), (q,)))
+        w = make_helmholtz_wrangler(trav, k, pairs=True, **kw)
+        assert isinstance(w, Helmholtz3DPairsExpansionWrangler)
+        pot = np.asarray(drive_fmm(w, (q,)))
+        assert pot.shape == (n, 2)
+        got = pot[:, 0] + 1j * pot[:, 1]
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 1e-12, (kw, err)
+
+    # complex weights must be rejected loudly (re/im linearity is the
+    # documented workaround)
+    w = make_helmholtz_wrangler(trav, k, order=6, pairs=True)
+    with pytest.raises(TypeError):
+        drive_fmm(w, (q.astype(np.complex128),))
