@@ -6,7 +6,8 @@ survive a timeout:
 
   A. 3D tree build + traversal at TPU_BATCH_N (default 2e6): warm +
      steady-state Mpts/s (effect of the round-3 traversal rework).
-  B. Laplace 3D FMM wall-clock at the same size, order 8, complex64,
+  B. Laplace 3D FMM wall-clock at the same size, order 8, float32
+     real pairs (the chip has no complex support),
      whole driver under ONE jit — dense-table and rotation
      (point-and-shoot) M2L modes, plus a 512-target direct-sum
      accuracy check (VERDICT round-2 items 2 and 3).
@@ -87,8 +88,9 @@ for mode in ("dense", "rotation"):
         break
     try:
         t0 = time.perf_counter()
-        w = make_laplace_wrangler(trav, order=8, dtype=np.complex64,
-                                  rscale="auto", m2l_mode=mode)
+        w = make_laplace_wrangler(trav, order=8, dtype=np.float32,
+                                  pairs=True, rscale="auto",
+                                  m2l_mode=mode)
         setup = time.perf_counter() - t0
         if mode == "dense":
             dense_wrangler = w
@@ -178,8 +180,9 @@ if left() > 900:
             break
         try:
             t0 = time.perf_counter()
-            w = make_laplace_wrangler(trav, order=16, dtype=np.complex64,
-                                      rscale="auto", m2l_mode=mode)
+            w = make_laplace_wrangler(trav, order=16, dtype=np.float32,
+                                      pairs=True, rscale="auto",
+                                      m2l_mode=mode)
             setup = time.perf_counter() - t0
             f = jax.jit(lambda q, _w=w: drive_fmm(_w, (q,)))
             pot = f(charges)
