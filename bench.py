@@ -36,9 +36,11 @@ import time
 
 T_START = time.monotonic()
 # Measured through the tunnel: a fresh process repays all remote
-# compiles; warm-up is compile-dominated (round 2: ~380 s at 2e6,
-# ~400+ s at 1e7) and mostly independent of n.
-WARM_ESTIMATE_S = 500.0
+# compiles; warm-up is compile-dominated and mostly independent of n.
+# Round 3's traversal rework cut it to ~102 s at 2e6 (was ~380 s in
+# round 2).  The gate can be optimistic: step 1's result line is
+# already printed, so a timed-out step 2 loses nothing.
+WARM_ESTIMATE_S = 220.0
 BASELINE_RATE = 12.5   # Mpts/s single-chip equivalent of the north star
 
 
