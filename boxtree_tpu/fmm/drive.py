@@ -27,6 +27,11 @@ class ExpansionWranglerInterface(ABC):
     """Abstract expansion handling interface for :func:`drive_fmm`.
     Mirrors ``boxtree/fmm.py:69-337``."""
 
+    #: trailing dims of per-particle potential arrays: () for scalar
+    #: potentials, (2,) for kernels carrying a complex potential as
+    #: [re, im] real lanes (the complex-free TPU pairs wranglers)
+    _pot_extra_dims = ()
+
     def __init__(self, tree_indep, traversal):
         self.tree_indep = tree_indep
         self.traversal = traversal

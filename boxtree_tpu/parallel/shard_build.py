@@ -213,3 +213,226 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
         (P(axis, None), P(axis, None)),
         (P(axis, None), P(axis, None))))(codes_sh, w_sh)
     return leaf.reshape(-1), np.asarray(counts)[0]
+
+
+
+def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
+                         dimensions, depth):
+    """Per-shard phase B box skeleton: each device materializes the box
+    arrays for the boxes whose FIRST particle lies in its shard, with
+    only O(nranks * nlevels) cross-device data.
+
+    Third building block of the sharded tree build (after the
+    distributed Morton sort and :func:`sharded_leaf_levels`).  The
+    single-device ``_phase_b`` (``tree/build.py``) numbers boxes
+    level-major and by first-particle order within a level; here each
+    shard computes, for ITS boxes,
+
+    - the global box id (local segment-start count + an exclusive scan
+      of per-shard start counts — one tiny ``all_gather`` per level),
+    - Morton prefix, level, global first-particle index, cumulative
+      particle count (a shard's LAST box may continue into following
+      shards; their continuation-run head counts are folded in via the
+      same chain-of-summaries trick as :func:`sharded_leaf_levels`),
+    - the parent's global box id: the global count of level-(l-1)
+      segment starts at or before the representative, which is the
+      local inclusive cumsum plus the shard's start-count offset —
+      valid even when the parent starts in an earlier shard,
+    - child links: a child whose parent starts in an earlier shard
+      (possible only for the single level-(l-1) box spanning my left
+      boundary, so at most ``2^d`` children per shard per level) is
+      shipped home via one small ``all_gather``.
+
+    No-extents trees only (like :func:`sharded_leaf_levels`).
+
+    :arg counts: host (depth + 2,) packed per-level box counts from
+        :func:`sharded_leaf_levels`.
+    :returns: dict of per-shard arrays (leading axis = rank, rows
+        padded to a uniform capacity): ``box_id`` (global id, -1 pad),
+        ``box_morton``, ``box_level``, ``box_start`` (global
+        first-particle index), ``box_count_cumul``, ``box_parent``
+        (global id, -1 for root), ``box_child`` ((nranks, cap, 2^d)
+        global ids, -1 where absent), and ``nboxes`` (per-shard valid
+        counts).
+    """
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    n = codes_s.shape[0]
+    if n % nranks:
+        raise ValueError(f"n={n} not divisible by nranks={nranks}")
+    per = n // nranks
+    nchild = 2 ** dimensions
+    counts = np.asarray(counts)[:-1]
+    nlevels = (int(np.max(np.nonzero(counts)[0])) + 1
+               if counts.any() else 1)
+    level_starts = np.concatenate(
+        [[0], np.cumsum(counts[:nlevels])]).astype(np.int64)
+    # capacity: a shard owns at most one box per particle, plus at most
+    # one boundary spillover per level
+    cap = int(min(level_starts[-1], per + nlevels))
+    iota = np.arange(cap)
+
+    def step(codes, leaf):
+        codes = codes[0]
+        leaf = leaf[0].astype(jnp.int32)
+        rank = lax.axis_index(axis).astype(jnp.int64)
+        base = rank * per                                # global offset
+
+        left_code = lax.ppermute(
+            codes[-1], axis, [(i, i + 1) for i in range(nranks - 1)])
+        left_leaf = lax.ppermute(
+            leaf[-1], axis, [(i, i + 1) for i in range(nranks - 1)])
+        no_left = rank == 0
+
+        box_id = jnp.full(cap, -1, jnp.int64)
+        box_morton = jnp.zeros(cap, jnp.int64)
+        box_level = jnp.zeros(cap, jnp.int32)
+        box_start = jnp.zeros(cap, jnp.int64)
+        box_cumul = jnp.zeros(cap, jnp.int64)
+        box_parent = jnp.full(cap, -1, jnp.int64)
+        box_child = jnp.full((cap, nchild), -1, jnp.int64)
+        nmine = jnp.int64(0)
+
+        # previous level's state, for parent links
+        prev_cumstart = jnp.zeros(per, jnp.int64)
+        prev_offset = jnp.int64(0)
+        prev_lstart = jnp.int64(0)
+        prev_rowbase = jnp.int64(0)
+        prev_nlocal = jnp.int64(0)
+
+        rowidx = jnp.asarray(iota, jnp.int64)
+
+        for level in range(nlevels):
+            b0 = int(level_starts[level])
+            if level_starts[level + 1] == b0:
+                continue
+            shift = jnp.int64(dimensions * (depth - level))
+            pfx = codes >> shift
+            active = leaf >= level
+            lpfx = jnp.where(no_left, jnp.int64(-1), left_code >> shift)
+            lact = jnp.where(no_left, False, left_leaf >= level)
+            prev_act = jnp.concatenate([lact[None], active[:-1]])
+            diff = jnp.concatenate(
+                [(pfx[:1] != lpfx), pfx[1:] != pfx[:-1]])
+            is_start = active & (diff | ~prev_act)
+
+            cumstart = jnp.cumsum(is_start.astype(jnp.int64))
+            nlocal = cumstart[-1]
+            all_counts = lax.all_gather(nlocal, axis)    # (nranks,)
+            offset = (jnp.cumsum(all_counts) - all_counts)[rank]
+
+            # k-th local start position (k = 0..cap-1); >= per if absent
+            reps = jnp.searchsorted(
+                cumstart, rowidx + 1, side="left")
+            mine = rowidx < nlocal
+            reps_c = jnp.clip(reps, 0, per - 1)
+
+            # cumulative active-particle counts per local box; the last
+            # local box may continue into following shards
+            cum0 = jnp.concatenate(
+                [jnp.zeros(1, jnp.int64),
+                 jnp.cumsum(active.astype(jnp.int64))])
+            nxt = jnp.concatenate(
+                [reps_c[1:], jnp.full(1, per, jnp.int64)])
+            nxt = jnp.where(rowidx == nlocal - 1, per, nxt)
+            cumul = cum0[jnp.clip(nxt, 0, per)] - cum0[reps_c]
+
+            # chain summaries: actives before each shard's first start
+            # (= the continuation run of the box spanning its left
+            # boundary), its first prefix/active flag, has-any-start
+            any_start = is_start.any()
+            first_start_pos = jnp.where(any_start, reps_c[0], per)
+            head_act = cum0[jnp.clip(first_start_pos, 0, per)]
+            summ = jnp.stack([
+                pfx[0], head_act, any_start.astype(jnp.int64),
+                active[0].astype(jnp.int64)])
+            summs = lax.all_gather(summ, axis)           # (nranks, 4)
+            g_first, g_head = summs[:, 0], summs[:, 1]
+            g_any, g_factive = summs[:, 2], summs[:, 3]
+            ranks_i = jnp.arange(nranks, dtype=jnp.int64)
+            after = ranks_i > rank
+            brk = after & ((g_any == 1) | (g_first != pfx[-1])
+                           | (g_factive == 0))
+            chain = jnp.cumsum(brk.astype(jnp.int64)) \
+                - jnp.where(brk, 1, 0)
+            link_ok = after & (g_first == pfx[-1]) & (g_factive == 1) \
+                & (chain == 0)
+            # a start-free linked shard contributes ALL its actives
+            # (head_act there counts them: first_start_pos == per)
+            contrib = jnp.where(link_ok, g_head, 0).sum()
+            cumul = jnp.where(rowidx == nlocal - 1, cumul + contrib,
+                              cumul)
+
+            gid = b0 + offset + rowidx                   # my global ids
+            rows = nmine + rowidx                        # my table rows
+            # masked scatters go OUT OF BOUNDS and are dropped (a
+            # clipped fallback slot could clobber a real row)
+            srows = jnp.where(mine & (rows < cap), rows, cap)
+
+            box_id = box_id.at[srows].set(gid, mode="drop")
+            box_morton = box_morton.at[srows].set(pfx[reps_c],
+                                                  mode="drop")
+            box_level = box_level.at[srows].set(level, mode="drop")
+            box_start = box_start.at[srows].set(base + reps_c,
+                                                mode="drop")
+            box_cumul = box_cumul.at[srows].set(cumul, mode="drop")
+
+            if level > 0:
+                # parent global id = level base + (global level-(l-1)
+                # start count at-or-before my representative) - 1
+                par = (prev_lstart + prev_offset
+                       + prev_cumstart[reps_c] - 1)
+                box_parent = box_parent.at[srows].set(par, mode="drop")
+
+                # child links into MY parent rows
+                digit = (pfx[reps_c] & (nchild - 1)).astype(jnp.int64)
+                par_local = prev_cumstart[reps_c] >= 1
+                prow = prev_rowbase + prev_cumstart[reps_c] - 1
+                ok = mine & par_local & (prow < cap)
+                box_child = box_child.at[
+                    jnp.where(ok, prow, cap),
+                    jnp.where(ok, digit, 0)].set(gid, mode="drop")
+
+                # children whose parent spans my LEFT boundary (starts
+                # on an earlier shard): only my first boxes, at most
+                # nchild of them.  Ship (gid, parent, digit) triples.
+                remote = (mine & ~par_local)[:nchild]
+                rbuf = jnp.where(
+                    remote[:, None],
+                    jnp.stack([gid[:nchild], par[:nchild],
+                               digit[:nchild]], axis=1),
+                    jnp.int64(-1))
+                allr = lax.all_gather(rbuf, axis)  # (nranks, nchild, 3)
+                allr = allr.reshape(-1, 3)
+                # adopt shipped children whose parent row is mine
+                my_lo = prev_lstart + prev_offset
+                my_hi = my_lo + prev_nlocal
+                c_gid, c_par, c_dig = allr[:, 0], allr[:, 1], allr[:, 2]
+                own = (c_gid >= 0) & (c_par >= my_lo) & (c_par < my_hi)
+                prow2 = prev_rowbase + (c_par - my_lo)
+                box_child = box_child.at[
+                    jnp.where(own & (prow2 < cap), prow2, cap),
+                    jnp.where(own, c_dig, 0)].set(c_gid, mode="drop")
+
+            prev_cumstart = cumstart
+            prev_offset = offset
+            prev_lstart = jnp.int64(b0)
+            prev_rowbase = nmine
+            prev_nlocal = nlocal
+            nmine = nmine + nlocal
+
+        return (box_id[None], box_morton[None], box_level[None],
+                box_start[None], box_cumul[None], box_parent[None],
+                box_child[None], nmine[None])
+
+    codes_sh = jax.device_put(codes_s.reshape(nranks, per),
+                              NamedSharding(mesh, P(axis, None)))
+    leaf_sh = jax.device_put(
+        jnp.asarray(leaf_level).reshape(nranks, per),
+        NamedSharding(mesh, P(axis, None)))
+    outs = jax.jit(_shard_map(
+        step, mesh, (P(axis, None), P(axis, None)),
+        tuple([P(axis, None)] * 7 + [P(axis)])))(codes_sh, leaf_sh)
+    keys = ("box_id", "box_morton", "box_level", "box_start",
+            "box_count_cumul", "box_parent", "box_child", "nboxes")
+    return dict(zip(keys, outs))

@@ -66,3 +66,66 @@ def test_sharded_phase_a_nonuniform_weights(mesh):
         max_weight=17, dimensions=dims, depth=depth)
     np.testing.assert_array_equal(np.asarray(leaf), leaf_ref)
     np.testing.assert_array_equal(counts, counts_ref)
+
+
+def test_sharded_box_skeleton_matches_tree(mesh):
+    """The per-shard phase B box skeleton (ids, prefixes, levels,
+    particle ranges, parents, children) == the single-device tree,
+    row-for-row after gathering each shard's owned boxes."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import sharded_box_skeleton
+
+    rng = np.random.default_rng(51)
+    for dims, n, mpb in ((2, 1 << 12, 25), (3, 1 << 13, 40)):
+        pts = np.concatenate([
+            rng.random((dims, n // 2)) * 0.04,      # cluster: deep tree
+            rng.random((dims, n // 2)),
+        ], axis=1)
+        weights = np.ones(n, np.int64)
+        codes_s, order, leaf_ref, counts_ref, depth = \
+            _single_device_oracle(pts, weights, mpb, dims)
+
+        out = sharded_box_skeleton(
+            jnp.asarray(codes_s), jnp.asarray(leaf_ref),
+            counts_ref, mesh, dimensions=dims, depth=depth)
+
+        # single-device oracle tree (same particle order: sorted)
+        tree = build_tree(pts, max_particles_in_box=mpb)
+        nboxes = tree.nboxes
+
+        nb = np.asarray(out["nboxes"])
+        assert nb.sum() == nboxes
+        ids = np.concatenate(
+            [np.asarray(out["box_id"])[r, :nb[r]] for r in range(8)])
+        # every box appears exactly once across shards
+        np.testing.assert_array_equal(np.sort(ids), np.arange(nboxes))
+
+        def gathered(key):
+            vals = np.concatenate(
+                [np.asarray(out[key])[r, :nb[r]] for r in range(8)])
+            full = np.empty(vals.shape, vals.dtype)
+            full[ids] = vals
+            return full
+
+        np.testing.assert_array_equal(
+            gathered("box_morton"), np.asarray(tree.box_morton_prefixes))
+        np.testing.assert_array_equal(
+            gathered("box_level"), np.asarray(tree.box_levels))
+        np.testing.assert_array_equal(
+            gathered("box_parent")[1:],
+            np.asarray(tree.box_parent_ids)[1:])
+        # particle ranges: sources == sorted particles here, so the
+        # tree's box_source_starts/counts_cumul are the oracle
+        np.testing.assert_array_equal(
+            gathered("box_start"), np.asarray(tree.box_source_starts))
+        np.testing.assert_array_equal(
+            gathered("box_count_cumul"),
+            np.asarray(tree.box_source_counts_cumul))
+        # children: (nboxes, 2^d) vs tree's (2^d, nboxes) with 0 = none
+        ch = np.concatenate(
+            [np.asarray(out["box_child"])[r, :nb[r]] for r in range(8)])
+        full_ch = np.empty(ch.shape, ch.dtype)
+        full_ch[ids] = ch
+        ref_ch = np.asarray(tree.box_child_ids).T.astype(np.int64)
+        np.testing.assert_array_equal(
+            np.where(full_ch < 0, 0, full_ch), ref_ch)
