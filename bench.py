@@ -44,6 +44,15 @@ WARM_ESTIMATE_S = 220.0
 BASELINE_RATE = 12.5   # Mpts/s single-chip equivalent of the north star
 
 
+def run_probe():
+    """Executed in a subprocess: device init only (the tunneled TPU can
+    be down for hours, hanging init — probe before spending budget)."""
+    import jax
+
+    import boxtree_tpu  # noqa: F401
+    print(jax.devices()[0].platform)
+
+
 def run_single(n):
     """Executed in a subprocess: benchmark one size, print one line."""
     os.environ.setdefault("BOXTREE_TPU_CACHE",
@@ -83,14 +92,16 @@ def remaining_s(budget):
     return budget - (time.monotonic() - T_START)
 
 
-def try_size(n, timeout_s):
+def try_size(n, timeout_s, env=None):
     """Run one size in a subprocess; return its result dict or None."""
     if timeout_s < 30:
         return None
+    run_env = dict(os.environ, **(env or {}))
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", str(n)],
-            capture_output=True, text=True, timeout=timeout_s)
+            capture_output=True, text=True, timeout=timeout_s,
+            env=run_env)
     except subprocess.TimeoutExpired:
         print(f"# n={n} timed out after {timeout_s:.0f}s", file=sys.stderr)
         return None
@@ -103,6 +114,19 @@ def try_size(n, timeout_s):
     print(f"# n={n} failed (rc={proc.returncode}); "
           f"{err[-1][:200] if err else ''}", file=sys.stderr)
     return None
+
+
+def device_alive(timeout_s=90):
+    """Can the accelerator backend initialize at all?  (The tunneled
+    TPU can be DOWN for hours, hanging device init — a hang here must
+    not eat the measurement budget.)"""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "cpu" not in proc.stdout
 
 
 def emit(result):
@@ -123,24 +147,44 @@ def main():
                           os.path.expanduser("~/.cache/jax_tpu"))
     budget = float(os.environ.get("BENCH_BUDGET_S", 560))
 
+    # Step 0: is the accelerator reachable?  A down tunnel hangs device
+    # init; fall back to a CPU measurement so a number is ALWAYS
+    # recorded (clearly marked via the stderr comment's device field).
+    alive = device_alive()
+    if not alive:
+        print("# accelerator unreachable; falling back to CPU",
+              file=sys.stderr)
+
     # Step 1: a guaranteed number.  Ladder down from the safe size.
+    # Each attempt's timeout is capped so one hang can't eat the budget.
+    cap = WARM_ESTIMATE_S + 140
     n = int(float(os.environ.get("BENCH_N_SAFE", 2e6)))
+    env = None if alive else {"JAX_PLATFORMS": "cpu"}
+    if not alive:
+        n = min(n, 500_000)            # CPU: keep compiles in budget
     result = None
     while result is None:
-        result = try_size(n, remaining_s(budget) - 10)
+        result = try_size(n, min(remaining_s(budget) - 10, cap), env=env)
         if result is None:
             n //= 2
-            if n < 125_000:
+            if n < 62_500:
                 break
-            if remaining_s(budget) > 75:
+            if alive and remaining_s(budget) > 75:
                 time.sleep(45)         # let a crashed worker recover
+    if result is None and alive:
+        # accelerator attempts all failed: one CPU rescue attempt
+        print("# accelerator attempts failed; CPU fallback",
+              file=sys.stderr)
+        result = try_size(500_000, remaining_s(budget) - 10,
+                          env={"JAX_PLATFORMS": "cpu"})
     if result is None:
         raise SystemExit("benchmark failed at every size")
     emit(result)
 
     # Step 2: upgrade to the big size only with clear headroom.
     n_big = int(float(os.environ.get("BENCH_N", 1e7)))
-    if n_big > result["n"] and remaining_s(budget) > WARM_ESTIMATE_S + 60:
+    if (alive and n_big > result["n"]
+            and remaining_s(budget) > WARM_ESTIMATE_S + 60):
         big = try_size(n_big, remaining_s(budget) - 10)
         if big is not None:
             emit(big)
@@ -149,5 +193,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--single":
         run_single(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        run_probe()
     else:
         main()
