@@ -58,8 +58,10 @@ def run_fmm(n, seed, with_accuracy):
          warm_s=round(bt_warm, 1))
 
     t0 = time.perf_counter()
+    # float32 everywhere: the tunneled TPU's X64 rewrite rejects 64-bit
+    # dot_generals, and f32 is the production precision anyway
     w = make_laplace_wrangler(trav, order=ORDER, pairs=True,
-                              rscale="auto")
+                              rscale="auto", dtype=np.float32)
     jax.block_until_ready(w._m2l_opsT)
     setup = time.perf_counter() - t0
     emit(stage="wrangler_setup", n=n, order=ORDER,
