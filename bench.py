@@ -37,10 +37,12 @@ import time
 T_START = time.monotonic()
 # Measured through the tunnel: a fresh process repays all remote
 # compiles; warm-up is compile-dominated and mostly independent of n.
-# Round 3's traversal rework cut it to ~102 s at 2e6 (was ~380 s in
-# round 2).  The gate can be optimistic: step 1's result line is
-# already printed, so a timed-out step 2 loses nothing.
-WARM_ESTIMATE_S = 220.0
+# The remote compile service's speed VARIES BY HOURS-SCALE CONDITIONS:
+# round 3 measured both ~102 s and ~491 s warm-up at 2e6 for the same
+# code.  Budget for the bad case; a timed-out accelerator attempt
+# falls back to a guaranteed CPU measurement.
+WARM_ESTIMATE_S = 520.0
+RESCUE_RESERVE_S = 110.0   # kept back for the CPU fallback measurement
 BASELINE_RATE = 12.5   # Mpts/s single-chip equivalent of the north star
 
 
@@ -155,28 +157,41 @@ def main():
         print("# accelerator unreachable; falling back to CPU",
               file=sys.stderr)
 
-    # Step 1: a guaranteed number.  Ladder down from the safe size.
-    # Each attempt's timeout is capped so one hang can't eat the budget.
-    cap = WARM_ESTIMATE_S + 140
+    # Step 1: a guaranteed number.  The accelerator attempt gets the
+    # whole budget minus a reserve for the CPU fallback; a *timeout*
+    # means the remote compiles are slow today (size-independent), so
+    # we go straight to the CPU rescue instead of laddering; a fast
+    # *crash* retries a smaller size after a worker-recovery pause.
     n = int(float(os.environ.get("BENCH_N_SAFE", 2e6)))
     env = None if alive else {"JAX_PLATFORMS": "cpu"}
     if not alive:
         n = min(n, 500_000)            # CPU: keep compiles in budget
     result = None
     while result is None:
-        result = try_size(n, min(remaining_s(budget) - 10, cap), env=env)
+        reserve = RESCUE_RESERVE_S if alive else 10
+        allowed = remaining_s(budget) - reserve
+        t_attempt = time.monotonic()
+        result = try_size(n, allowed, env=env)
         if result is None:
+            attempt_s = time.monotonic() - t_attempt
+            if alive and attempt_s > 0.8 * allowed:
+                break                  # timed out: compile-bound, bail
             n //= 2
             if n < 62_500:
                 break
-            if alive and remaining_s(budget) > 75:
+            if alive and remaining_s(budget) > reserve + 120:
                 time.sleep(45)         # let a crashed worker recover
+            elif alive:
+                break
     if result is None and alive:
-        # accelerator attempts all failed: one CPU rescue attempt
+        # accelerator attempts failed or timed out: CPU rescue
         print("# accelerator attempts failed; CPU fallback",
               file=sys.stderr)
         result = try_size(500_000, remaining_s(budget) - 10,
                           env={"JAX_PLATFORMS": "cpu"})
+        if result is None:
+            result = try_size(125_000, remaining_s(budget) - 5,
+                              env={"JAX_PLATFORMS": "cpu"})
     if result is None:
         raise SystemExit("benchmark failed at every size")
     emit(result)

@@ -36,6 +36,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from boxtree_tpu import config
+from boxtree_tpu.ops import morton
 from boxtree_tpu.tree.build import _seg_totals
 
 
@@ -46,6 +48,49 @@ def _shard_map(fn, mesh, in_specs, out_specs):
         from jax.experimental.shard_map import shard_map
     return shard_map(fn, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs)
+
+
+def sharded_morton_codes(coords, mesh, *, depth=None):
+    """Per-shard full-depth Morton codes with the single-device bbox
+    conventions — the front end of the sharded build pipeline.
+
+    The global bounding box is two ``psum``-style reductions (local
+    min/max + ``pmin``/``pmax`` over the mesh); float min/max is exact,
+    so the box — and therefore every code — is bitwise equal to the
+    single-device ``_phase_a`` (``tree/build.py``: device min/max,
+    squarify, ``ROOT_EXTENT_STRETCH_FACTOR`` stretch, mirroring
+    ``boxtree/tree_build.py:456-510``).
+
+    :arg coords: (dimensions, n) float array, n divisible by the mesh
+        size; sharded (or shardable) along the particle axis.
+    :returns: ``(codes, bbox_min, root_extent)`` — (n,) int64 codes
+        sharded over the mesh, and the host-replicated bbox.
+    """
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    dims, n = coords.shape
+    if n % nranks:
+        raise ValueError(f"n={n} not divisible by nranks={nranks}")
+    if depth is None:
+        depth = config.max_morton_depth(dims)
+
+    def step(block):
+        block = block[0]                               # (dims, per)
+        lo = lax.pmin(jnp.min(block, axis=1), axis)
+        hi = lax.pmax(jnp.max(block, axis=1), axis)
+        root_extent = (jnp.max(hi - lo)
+                       * (1 + config.ROOT_EXTENT_STRETCH_FACTOR))
+        codes = morton.encode_points(block, lo, root_extent, depth)
+        return codes[None], lo[None], root_extent[None, None]
+
+    coords_sh = jax.device_put(
+        jnp.asarray(coords).reshape(dims, nranks, -1).swapaxes(0, 1),
+        NamedSharding(mesh, P(axis, None, None)))
+    codes, lo, ext = jax.jit(_shard_map(
+        step, mesh, (P(axis, None, None),),
+        (P(axis, None), P(axis, None), P(axis, None))))(coords_sh)
+    return (codes.reshape(-1), np.asarray(lo[0]),
+            float(np.asarray(ext[0, 0])))
 
 
 def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
@@ -436,3 +481,184 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
     keys = ("box_id", "box_morton", "box_level", "box_start",
             "box_count_cumul", "box_parent", "box_child", "nboxes")
     return dict(zip(keys, outs))
+
+
+def sharded_build_tree(particles, mesh, *, max_particles_in_box,
+                       kind="adaptive"):
+    """Build a :class:`boxtree_tpu.Tree` through the sharded pipeline:
+    per-shard Morton codes -> distributed key-value sample sort ->
+    rebalance -> sharded leaf levels -> per-shard box skeleton, then
+    assemble the (small, O(nboxes)) box arrays on the host.
+
+    The result is field-for-field identical to
+    :func:`boxtree_tpu.build_tree` (that is the oracle in
+    ``tests/test_shard_build.py``): every stage reproduces the
+    single-device conventions bitwise.  Currently the flagship
+    configuration only — no-extent, sources-are-targets, unit refine
+    weights (``max_particles_in_box``); the assembly gathers particle
+    arrays to the host (fine for validation; keeping them sharded is
+    the remaining step toward the 1e8 north star, doc/PERF.md).
+    """
+    from boxtree_tpu.parallel.shard_sort import (
+        sharded_key_sort, sharded_rebalance)
+    from boxtree_tpu.tree.containers import Tree, box_flags_enum
+
+    if kind != "adaptive":
+        raise NotImplementedError("sharded build: kind='adaptive' only")
+    coords = jnp.asarray(particles)
+    dims, n = coords.shape
+    coord_dtype = coords.dtype
+    nranks = mesh.devices.size
+    if n % nranks:
+        raise ValueError(f"n={n} not divisible by nranks={nranks}"
+                         " (pad the input)")
+    depth = config.max_morton_depth(dims)
+
+    codes, bbox_min, root_extent = sharded_morton_codes(
+        coords, mesh, depth=depth)
+
+    cf = 2.0
+    for _ in range(6):
+        merged, mvals, counts, ok = sharded_key_sort(
+            codes, mesh, vals=jnp.arange(n, dtype=jnp.int64),
+            capacity_factor=cf)
+        if ok:
+            break
+        cf *= 2
+    else:
+        raise RuntimeError("sample sort bucket overflow at "
+                           f"capacity_factor={cf}")
+
+    radius = 2
+    while True:
+        reb = sharded_rebalance(merged, counts, mesh, radius=radius,
+                                vals=mvals)
+        shards, vshards, ok = reb
+        if ok:
+            break
+        if radius >= nranks:
+            raise RuntimeError("rebalance radius exhausted")
+        radius = min(2 * radius, nranks)
+
+    codes_s = shards.reshape(-1)
+    order = vshards.reshape(-1)
+
+    leaf_level, counts_and_unfit = sharded_leaf_levels(
+        codes_s, jnp.ones(n, jnp.int64), mesh,
+        max_weight=max_particles_in_box, dimensions=dims, depth=depth)
+    counts_h, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
+    if n_unfit:
+        from boxtree_tpu.tree.build import MaxLevelsExceeded
+        raise MaxLevelsExceeded(
+            f"{n_unfit} particles remain in overfull boxes at the "
+            f"deepest representable level ({depth})")
+
+    skel = sharded_box_skeleton(codes_s, leaf_level, counts_and_unfit,
+                                mesh, dimensions=dims, depth=depth)
+
+    # host assembly of the box arrays (O(nboxes))
+    counts_h = np.asarray(counts_h)
+    nlevels = int(np.max(np.nonzero(counts_h)[0])) + 1
+    level_starts = np.concatenate(
+        [[0], np.cumsum(counts_h[:nlevels])]).astype(np.int64)
+    nboxes = int(level_starts[-1])
+    nchild = 2 ** dims
+
+    nb = np.asarray(skel["nboxes"])
+    ids = np.concatenate(
+        [np.asarray(skel["box_id"])[r, :nb[r]] for r in range(nranks)])
+
+    def gathered(key):
+        vals = np.concatenate(
+            [np.asarray(skel[key])[r, :nb[r]] for r in range(nranks)])
+        full = np.empty(vals.shape, vals.dtype)
+        full[ids] = vals
+        return full
+
+    box_morton = gathered("box_morton")
+    box_level = gathered("box_level").astype(config.box_level_dtype)
+    box_start = gathered("box_start")
+    box_cumul = gathered("box_count_cumul")
+    box_parent = gathered("box_parent")
+    box_parent[0] = 0                       # root: matches _phase_b
+    chv = np.concatenate(
+        [np.asarray(skel["box_child"])[r, :nb[r]] for r in range(nranks)])
+    box_child = np.empty((nboxes, nchild), np.int64)
+    box_child[ids] = chv
+    has_children = (box_child >= 0).any(axis=1)
+    box_child = np.where(box_child < 0, 0, box_child).T.astype(
+        config.box_id_dtype)
+
+    # centers from prefix + level (same formula as _phase_b)
+    cells = np.asarray(morton.deinterleave(
+        jnp.asarray(box_morton), dims))
+    size = np.asarray(root_extent, coord_dtype) \
+        / (1 << box_level).astype(coord_dtype)
+    box_centers = (np.asarray(bbox_min)[:, None].astype(coord_dtype)
+                   + (cells.astype(coord_dtype) + 0.5) * size)
+
+    # no-extent: leaf boxes own all their particles, internal boxes none
+    nonchild = np.where(has_children, 0, box_cumul)
+    flags = np.where(
+        has_children & (box_cumul > nonchild),
+        box_flags_enum.HAS_SOURCE_CHILD_BOXES
+        | box_flags_enum.HAS_TARGET_CHILD_BOXES, 0).astype(np.int32)
+    flags |= np.where(
+        nonchild > 0,
+        box_flags_enum.IS_SOURCE_BOX | box_flags_enum.IS_TARGET_BOX, 0)
+    flags |= np.where(~has_children, box_flags_enum.IS_LEAF_BOX, 0)
+
+    order_np = np.asarray(order)
+    pid = config.particle_id_dtype
+    sorted_target_ids = np.zeros(n, pid)
+    sorted_target_ids[order_np] = np.arange(n, dtype=pid)
+    # per-particle leaf box: the deepest box whose range contains it
+    leaf_ids = np.flatnonzero(~has_children)
+    starts_leaf = box_start[leaf_ids]
+    o = np.argsort(starts_leaf)
+    leaf_sorted = leaf_ids[o]
+    box_id_of = leaf_sorted[
+        np.searchsorted(starts_leaf[o], np.arange(n), side="right") - 1
+        ].astype(config.box_id_dtype)
+
+    sources = jnp.asarray(coords)[:, order_np]
+
+    return Tree(
+        root_extent=root_extent,
+        box_centers=jnp.asarray(box_centers),
+        box_parent_ids=jnp.asarray(box_parent.astype(config.box_id_dtype)),
+        box_child_ids=jnp.asarray(box_child),
+        box_levels=jnp.asarray(box_level),
+        box_flags=jnp.asarray(flags),
+        box_morton_prefixes=jnp.asarray(box_morton),
+        level_start_box_nrs=tuple(int(x) for x in level_starts),
+        box_id_dtype=config.box_id_dtype,
+        box_level_dtype=config.box_level_dtype,
+        coord_dtype=np.dtype(coord_dtype),
+        sources_have_extent=False,
+        targets_have_extent=False,
+        extent_norm=None,
+        stick_out_factor=0.0,
+        _is_pruned=True,
+        max_depth=depth,
+        sources_are_targets=True,
+        particle_id_dtype=pid,
+        sources=sources,
+        source_radii=None,
+        targets=sources,
+        target_radii=None,
+        user_source_ids=jnp.asarray(order_np.astype(pid)),
+        sorted_target_ids=jnp.asarray(sorted_target_ids),
+        box_source_starts=jnp.asarray(box_start.astype(pid)),
+        box_source_counts_nonchild=jnp.asarray(nonchild.astype(pid)),
+        box_source_counts_cumul=jnp.asarray(box_cumul.astype(pid)),
+        box_target_starts=jnp.asarray(box_start.astype(pid)),
+        box_target_counts_nonchild=jnp.asarray(nonchild.astype(pid)),
+        box_target_counts_cumul=jnp.asarray(box_cumul.astype(pid)),
+        box_source_bounding_box_min=None,
+        box_source_bounding_box_max=None,
+        box_target_bounding_box_min=None,
+        box_target_bounding_box_max=None,
+        box_id_of_source=jnp.asarray(box_id_of),
+        box_id_of_target=jnp.asarray(box_id_of),
+    )

@@ -34,11 +34,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _PAD = np.int64(np.iinfo(np.int64).max)
 
 
-def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0):
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map
+    except ImportError:                                # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs)
+
+
+def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0,
+                     vals=None):
     """Sort int64 *keys* distributed over the 1D *mesh*.
 
     :arg keys: (n,) int64, n divisible by the mesh size (pad with
         ``jnp.iinfo(jnp.int64).max`` if needed; padding sorts last).
+    :arg vals: optional (n,) int64 payload carried through the sort
+        (key-value sort; e.g. particle ids, so the caller can apply the
+        sort permutation to coordinates).  Ties keep input order (every
+        constituent ``lax.sort`` is stable and buckets travel in rank
+        order).
     :returns: ``(sorted_padded, counts, ok)`` — per-device padded
         sorted shards of shape (nranks, nranks * slot) where ``slot ≈
         capacity_factor * per / nranks`` (per-device memory stays
@@ -46,7 +61,8 @@ def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0):
         counts (nranks,), and a bool scalar that is False iff some
         (device, destination) bucket overflowed its slot (retry with a
         larger factor).  Concatenating ``sorted_padded[d, :counts[d]]``
-        over devices yields the globally sorted sequence.
+        over devices yields the globally sorted sequence.  With *vals*,
+        returns ``(sorted_padded, vals_padded, counts, ok)``.
     """
     (axis,) = mesh.axis_names
     nranks = mesh.devices.size
@@ -56,9 +72,13 @@ def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0):
     per = n // nranks
     cap = int(np.ceil(capacity_factor * per / nranks))
     nsamp = min(per, oversample)
+    with_vals = vals is not None
 
-    def step(local):
-        local = lax.sort(local[0])                     # (per,)
+    def step(local, lvals=None):
+        if with_vals:
+            local, lvals = lax.sort((local[0], lvals[0]), num_keys=1)
+        else:
+            local = lax.sort(local[0])                 # (per,)
 
         # splitters from the sorted global sample
         stride = max(1, per // nsamp)
@@ -79,28 +99,140 @@ def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0):
         j = jnp.arange(cap, dtype=jnp.int64)
         rows = starts[:-1, None] + j[None, :]          # (nranks, cap)
         valid = j[None, :] < lens[:, None]
-        send = jnp.where(valid, local[jnp.clip(rows, 0, per - 1)], _PAD)
+        rows_c = jnp.clip(rows, 0, per - 1)
+        send = jnp.where(valid, local[rows_c], _PAD)
 
         recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
-        merged = lax.sort(recv.reshape(-1))            # (nranks*cap,)
+        if with_vals:
+            vsend = jnp.where(valid, lvals[rows_c], 0)
+            vrecv = lax.all_to_all(vsend, axis, 0, 0, tiled=False)
+            merged, mvals = lax.sort(
+                (recv.reshape(-1), vrecv.reshape(-1)), num_keys=1)
+        else:
+            merged = lax.sort(recv.reshape(-1))        # (nranks*cap,)
         count = (merged != _PAD).sum()
 
         # capacity check must survive across devices
         ok = lax.psum(ok.astype(jnp.int32), axis) == nranks
-        return (merged[None, :cap * nranks], count[None], ok[None])
+        outs = (merged[None], count[None], ok[None])
+        if with_vals:
+            outs = (merged[None], mvals[None], count[None], ok[None])
+        return outs
 
-    try:
-        from jax import shard_map
-    except ImportError:                                # older jax
-        from jax.experimental.shard_map import shard_map
-
-    keys = jax.device_put(
-        keys.reshape(nranks, per),
-        NamedSharding(mesh, P(axis, None)))
-    merged, counts, oks = jax.jit(shard_map(
-        step, mesh=mesh, in_specs=(P(axis, None),),
-        out_specs=(P(axis, None), P(axis), P(axis))))(keys)
+    spec = NamedSharding(mesh, P(axis, None))
+    keys = jax.device_put(keys.reshape(nranks, per), spec)
+    if with_vals:
+        vals = jax.device_put(
+            jnp.asarray(vals).reshape(nranks, per), spec)
+        merged, mvals, counts, oks = jax.jit(_shard_map(
+            step, mesh, (P(axis, None), P(axis, None)),
+            (P(axis, None), P(axis, None), P(axis), P(axis))))(keys, vals)
+        return merged, mvals, counts, bool(np.asarray(oks).all())
+    merged, counts, oks = jax.jit(_shard_map(
+        step, mesh, (P(axis, None),),
+        (P(axis, None), P(axis), P(axis))))(keys)
     return merged, counts, bool(np.asarray(oks).all())
+
+
+def sharded_rebalance(merged, counts, mesh, *, radius=2, vals=None):
+    """Equalize the sample sort's ragged shards to exactly ``n/nranks``
+    keys each, preserving global sorted order.
+
+    After :func:`sharded_key_sort`, device ``d`` holds ``counts[d]``
+    valid keys; downstream phases (:func:`sharded_leaf_levels`) want
+    equal static shards.  Because the data is already globally ordered,
+    the key at global position ``p`` belongs to device ``p // per`` —
+    a monotone, almost-diagonal redistribution: each device keeps its
+    diagonal slice and exchanges only the drift with neighbors within
+    ``radius`` ranks (one ``ppermute`` of one contiguous slice per
+    offset, O(radius * per) work, no all_to_all).
+
+    :arg merged: (nranks, L) padded sorted shards from the sample sort.
+    :arg counts: (nranks,) per-device valid counts; ``sum(counts)``
+        must be divisible by nranks.
+    :arg vals: optional (nranks, L) payload shards to carry along.
+    :returns: ``(shards, ok)`` — (nranks, per) equalized shards and a
+        bool that is False iff some key needed to travel farther than
+        *radius* ranks (retry with a larger radius).  With *vals*,
+        ``(shards, val_shards, ok)``.
+    """
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    counts_h = np.asarray(counts)
+    n = int(counts_h.sum())
+    if n % nranks:
+        raise ValueError(f"total={n} not divisible by nranks={nranks}")
+    per = n // nranks
+    big = merged.shape[1]
+    with_vals = vals is not None
+    per64 = np.int64(per)
+
+    def step(buf, cnt, vbuf=None):
+        buf = buf[0]                                   # (big,)
+        c = cnt[0, 0].astype(jnp.int64)
+        rank = lax.axis_index(axis).astype(jnp.int64)
+        all_c = lax.all_gather(c, axis).astype(jnp.int64)
+        off = (jnp.cumsum(all_c) - all_c)[rank]
+
+        # every key of mine must land within `radius` ranks
+        first_dest = jnp.where(c > 0, off // per64, rank)
+        last_dest = jnp.where(c > 0, (off + c - 1) // per64, rank)
+        ok = (first_dest >= rank - radius) & (last_dest <= rank + radius)
+        ok = lax.psum(ok.astype(jnp.int32), axis) == nranks
+
+        i = jnp.arange(per, dtype=jnp.int64)
+        out = jnp.full(per, _PAD)
+        vout = jnp.zeros(per, jnp.int64) if with_vals else None
+        bufp = jnp.concatenate([buf, jnp.full(per, _PAD)])
+        vbufp = (jnp.concatenate([vbuf[0], jnp.zeros(per, jnp.int64)])
+                 if with_vals else None)
+
+        for j in range(-radius, radius + 1):
+            t = rank + j                               # my destination
+            g0 = jnp.maximum(off, t * per64)
+            g1 = jnp.minimum(off + c, (t + 1) * per64)
+            ln = jnp.where((t >= 0) & (t < nranks),
+                           jnp.maximum(g1 - g0, 0), 0)
+            sl = jnp.clip(g0 - off, 0, big)
+            seg = lax.dynamic_slice(bufp, (sl,), (per,))
+            vseg = (lax.dynamic_slice(vbufp, (sl,), (per,))
+                    if with_vals else None)
+            hdr = jnp.stack([g0, ln])
+            if j != 0:
+                pairs = [(s, s + j) for s in range(nranks)
+                         if 0 <= s + j < nranks]
+                seg = lax.ppermute(seg, axis, pairs)
+                hdr = lax.ppermute(hdr, axis, pairs)
+                if with_vals:
+                    vseg = lax.ppermute(vseg, axis, pairs)
+            t0 = hdr[0] - rank * per64
+            sel = (i >= t0) & (i < t0 + hdr[1])
+            src = jnp.clip(i - t0, 0, per - 1)
+            out = jnp.where(sel, seg[src], out)
+            if with_vals:
+                vout = jnp.where(sel, vseg[src], vout)
+
+        outs = (out[None], ok[None])
+        if with_vals:
+            outs = (out[None], vout[None], ok[None])
+        return outs
+
+    spec = NamedSharding(mesh, P(axis, None))
+    merged = jax.device_put(merged, spec)
+    counts = jax.device_put(jnp.asarray(counts).reshape(nranks, 1),
+                            NamedSharding(mesh, P(axis, None)))
+    if with_vals:
+        vals = jax.device_put(vals, spec)
+        out, vout, oks = jax.jit(_shard_map(
+            step, mesh,
+            (P(axis, None), P(axis, None), P(axis, None)),
+            (P(axis, None), P(axis, None), P(axis))))(merged, counts,
+                                                      vals)
+        return out, vout, bool(np.asarray(oks).all())
+    out, oks = jax.jit(_shard_map(
+        step, mesh, (P(axis, None), P(axis, None)),
+        (P(axis, None), P(axis))))(merged, counts)
+    return out, bool(np.asarray(oks).all())
 
 
 def sharded_sort_gather(keys, mesh, **kwargs):

@@ -68,6 +68,94 @@ def test_sharded_phase_a_nonuniform_weights(mesh):
     np.testing.assert_array_equal(counts, counts_ref)
 
 
+def test_sharded_front_end_pipeline(mesh):
+    """Full sharded front end: points -> sharded Morton codes ->
+    distributed key-value sample sort -> rebalance -> sharded leaf
+    levels, bitwise equal to the single-device ``_phase_a``."""
+    from boxtree_tpu.parallel.shard_build import sharded_morton_codes
+    from boxtree_tpu.parallel.shard_sort import (
+        sharded_key_sort, sharded_rebalance)
+
+    rng = np.random.default_rng(61)
+    dims, n = 3, 1 << 13
+    pts = np.concatenate([
+        rng.random((dims, n // 2)) * 0.03,          # cluster: deep tree
+        rng.random((dims, n // 2)),
+    ], axis=1)
+    weights = np.ones(n, np.int64)
+    codes_ref, order_ref, leaf_ref, counts_ref, depth = \
+        _single_device_oracle(pts, weights, 30, dims)
+
+    codes, bbox_min, root_extent = sharded_morton_codes(pts, mesh)
+    merged, mvals, counts, ok = sharded_key_sort(
+        codes, mesh, vals=jnp.arange(n, dtype=jnp.int64),
+        capacity_factor=4.0)   # clustered keys: skewed buckets
+    assert ok
+    shards, vshards, ok2 = sharded_rebalance(
+        merged, counts, mesh, vals=mvals)
+    assert ok2
+
+    codes_s = np.asarray(shards).reshape(-1)
+    order = np.asarray(vshards).reshape(-1)
+    np.testing.assert_array_equal(codes_s, codes_ref)
+    np.testing.assert_array_equal(order, order_ref)
+
+    leaf, counts_out = sharded_leaf_levels(
+        jnp.asarray(codes_s), jnp.asarray(weights[order]), mesh,
+        max_weight=30, dimensions=dims, depth=depth)
+    np.testing.assert_array_equal(np.asarray(leaf), leaf_ref)
+    np.testing.assert_array_equal(counts_out, counts_ref)
+
+
+def test_sharded_build_tree_matches_build_tree(mesh):
+    """End-to-end: the sharded pipeline's assembled Tree is
+    field-for-field identical to ``build_tree``'s, and drives the
+    counting FMM to exact completeness."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import sharded_build_tree
+
+    rng = np.random.default_rng(71)
+    dims, n, mpb = 3, 1 << 13, 30
+    pts = np.concatenate([
+        rng.random((dims, n // 2)) * 0.05,
+        rng.random((dims, n // 2)),
+    ], axis=1)
+
+    tree_s = sharded_build_tree(pts, mesh, max_particles_in_box=mpb)
+    tree = build_tree(pts, max_particles_in_box=mpb)
+
+    assert tree_s.level_start_box_nrs == tree.level_start_box_nrs
+    for field in ("box_morton_prefixes", "box_levels", "box_parent_ids",
+                  "box_child_ids", "box_flags", "box_source_starts",
+                  "box_source_counts_cumul", "box_source_counts_nonchild",
+                  "box_target_starts", "box_target_counts_cumul",
+                  "user_source_ids", "sorted_target_ids",
+                  "box_id_of_source", "box_id_of_target"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tree_s, field)),
+            np.asarray(getattr(tree, field)), err_msg=field)
+    # centers: XLA fuses (cells + 0.5) * size + bbox_min into an FMA
+    # inside _phase_b; the host assembly rounds the mul and add
+    # separately -> up to 1 ulp apart
+    np.testing.assert_allclose(
+        np.asarray(tree_s.box_centers), np.asarray(tree.box_centers),
+        rtol=5e-16)
+    np.testing.assert_array_equal(
+        np.asarray(tree_s.sources), np.asarray(tree.sources))
+
+    # the assembled tree drives the counting FMM exactly
+    from boxtree_tpu.fmm import drive_fmm
+    from boxtree_tpu.models.constant_one import (
+        ConstantOneExpansionWrangler,
+        ConstantOneTreeIndependentDataForWrangler)
+    from boxtree_tpu.traversal import build_traversal
+    trav = build_traversal(tree_s)
+    pot = drive_fmm(ConstantOneExpansionWrangler(
+        ConstantOneTreeIndependentDataForWrangler(), trav),
+        (jnp.ones(n),))
+    np.testing.assert_allclose(np.asarray(pot), n, rtol=0, atol=1e-9)
+
+
 def test_sharded_box_skeleton_matches_tree(mesh):
     """The per-shard phase B box skeleton (ids, prefixes, levels,
     particle ranges, parents, children) == the single-device tree,

@@ -7,6 +7,7 @@ import pytest
 
 from boxtree_tpu.parallel.shard_sort import (
     sharded_key_sort,
+    sharded_rebalance,
     sharded_sort_gather,
 )
 
@@ -41,6 +42,64 @@ def test_sharded_sort_skewed_distribution(mesh):
     got = sharded_sort_gather(jax.numpy.asarray(keys), mesh,
                               capacity_factor=2.0)
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sharded_sort_with_payload(mesh):
+    # key-value sort: the payload must follow its key, and ties must
+    # keep input order (stability), matching the single-device
+    # lax.sort((keys, vals), num_keys=1)
+    rng = np.random.default_rng(33)
+    n = 1 << 13
+    keys = rng.integers(0, 64, n, dtype=np.int64)    # heavy duplicates
+    vals = np.arange(n, dtype=np.int64)
+    merged, mvals, counts, ok = sharded_key_sort(
+        jax.numpy.asarray(keys), mesh, vals=jax.numpy.asarray(vals),
+        capacity_factor=4.0)
+    assert ok
+    merged, mvals, counts = (np.asarray(merged), np.asarray(mvals),
+                             np.asarray(counts))
+    got_k = np.concatenate(
+        [merged[d, :counts[d]] for d in range(merged.shape[0])])
+    got_v = np.concatenate(
+        [mvals[d, :counts[d]] for d in range(merged.shape[0])])
+    np.testing.assert_array_equal(got_k, np.sort(keys))
+    np.testing.assert_array_equal(got_v, np.argsort(keys, kind="stable"))
+
+
+def test_sharded_rebalance(mesh):
+    # sort (ragged shards) then rebalance to equal shards: the result
+    # is the globally sorted sequence split evenly, payload attached
+    rng = np.random.default_rng(34)
+    n = 1 << 13
+    keys = ((rng.integers(0, 1 << 40, n, dtype=np.int64) << 20)
+            | np.arange(n, dtype=np.int64))
+    vals = np.arange(n, dtype=np.int64)
+    merged, mvals, counts, ok = sharded_key_sort(
+        jax.numpy.asarray(keys), mesh, vals=jax.numpy.asarray(vals))
+    assert ok
+    shards, vshards, ok2 = sharded_rebalance(
+        merged, counts, mesh, vals=mvals)
+    assert ok2
+    np.testing.assert_array_equal(
+        np.asarray(shards).reshape(-1), np.sort(keys))
+    np.testing.assert_array_equal(
+        np.asarray(vshards).reshape(-1), np.argsort(keys, kind="stable"))
+
+
+def test_sharded_rebalance_radius_flag(mesh):
+    # all keys land on one device after the sort (constant keys) -> the
+    # rebalance must report radius overflow for a small radius
+    n = 1 << 12
+    keys = np.full(n, 7, np.int64)
+    merged, counts, ok = sharded_key_sort(
+        jax.numpy.asarray(keys), mesh, capacity_factor=8.0)
+    assert ok
+    _, ok2 = sharded_rebalance(merged, counts, mesh, radius=1)
+    assert not ok2
+    shards, ok3 = sharded_rebalance(merged, counts, mesh, radius=7)
+    assert ok3
+    np.testing.assert_array_equal(
+        np.asarray(shards).reshape(-1), keys)
 
 
 def test_sharded_sort_overflow_flag(mesh):
