@@ -3,10 +3,12 @@ from boxtree_tpu.fmm.drive import (
     ExpansionWranglerInterface,
     TreeIndependentDataForWrangler,
     drive_fmm,
+    jit_drive_fmm,
 )
 
 __all__ = [
     "ExpansionWranglerInterface",
     "TreeIndependentDataForWrangler",
     "drive_fmm",
+    "jit_drive_fmm",
 ]

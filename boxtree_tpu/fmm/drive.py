@@ -238,3 +238,116 @@ def drive_fmm(wrangler, src_weight_vecs, *,
     result = wrangler.reorder_potentials(potentials)
     logger.debug("drive_fmm: done")
     return wrangler.finalize_potentials(result)
+
+
+# {{{ jit_drive_fmm: whole-driver jit without giant closure constants
+
+class _Slot:
+    __slots__ = ("i",)
+
+    def __init__(self, i):
+        self.i = i
+
+
+class _Tmpl:
+    __slots__ = ("kind", "meta", "items")
+
+    def __init__(self, kind, meta, items):
+        self.kind = kind
+        self.meta = meta
+        self.items = items
+
+
+def _harvest(v, leaves, seen, *, min_bytes):
+    """Template for *v* with every device array of at least *min_bytes*
+    moved into *leaves* (returned as a :class:`_Slot` placeholder)."""
+    import jax
+    import numpy as _np
+
+    if isinstance(v, jax.Array):
+        if v.nbytes < min_bytes:
+            return v                   # small: stays a trace constant
+        leaves.append(v)
+        return _Slot(len(leaves) - 1)
+    if isinstance(v, dict):
+        return _Tmpl("dict", list(v.keys()),
+                     [_harvest(x, leaves, seen, min_bytes=min_bytes)
+                      for x in v.values()])
+    if isinstance(v, (list, tuple)) and type(v) in (list, tuple):
+        return _Tmpl("seq", type(v),
+                     [_harvest(x, leaves, seen, min_bytes=min_bytes)
+                      for x in v])
+    mod = getattr(type(v), "__module__", "") or ""
+    if mod.startswith("boxtree_tpu") and not isinstance(v, _np.dtype):
+        if id(v) in seen:
+            return v                   # break cycles: keep original ref
+        seen.add(id(v))
+        import jax.tree_util as jtu
+        flat, treedef = jtu.tree_flatten(v)
+        if not (len(flat) == 1 and flat[0] is v):
+            # a registered pytree (Tree, FMMTraversalInfo, ...)
+            return _Tmpl("pytree", treedef,
+                         [_harvest(x, leaves, seen, min_bytes=min_bytes)
+                          for x in flat])
+        if hasattr(v, "__dict__"):
+            return _Tmpl("obj", v,
+                         [(k, _harvest(x, leaves, seen,
+                                       min_bytes=min_bytes))
+                          for k, x in vars(v).items()])
+    return v
+
+
+def _fill(t, leaves):
+    import copy
+    import jax.tree_util as jtu
+
+    if isinstance(t, _Slot):
+        return leaves[t.i]
+    if not isinstance(t, _Tmpl):
+        return t
+    if t.kind == "dict":
+        return dict(zip(t.meta, (_fill(x, leaves) for x in t.items)))
+    if t.kind == "seq":
+        return t.meta(_fill(x, leaves) for x in t.items)
+    if t.kind == "pytree":
+        return jtu.tree_unflatten(t.meta,
+                                  [_fill(x, leaves) for x in t.items])
+    # obj: shallow-copy the original, overwrite harvested attrs
+    o = copy.copy(t.meta)
+    for k, x in t.items:
+        setattr(o, k, _fill(x, leaves))
+    return o
+
+
+def jit_drive_fmm(wrangler, *, min_bytes=65536):
+    """A compiled ``f(*src_weight_vecs) -> potentials`` over the whole
+    FMM driver, with every large device array reachable from *wrangler*
+    (operator tables, stage plans, traversal/tree arrays) passed to the
+    XLA program as a runtime argument.
+
+    ``jax.jit(lambda q: drive_fmm(w, (q,)))`` embeds the closure's
+    arrays as literal constants in the serialized program; a dense M2L
+    operator table (~130 MB at order 8 / float32) inflates the compile
+    payload past what a remote compile service accepts (the tunneled
+    TPU rejects the request with HTTP 413).  This wrapper performs the
+    identical trace with the arrays as parameters, so the program body
+    stays small and device data flows over the data path.
+
+    Arrays under *min_bytes* stay closure constants (cheap, and some —
+    e.g. per-level group sizes — may legitimately feed host-side
+    planning).  Single-process use only (the distributed runner manages
+    its own sharding).
+    """
+    import jax
+
+    leaves = []
+    tmpl = _harvest(wrangler, leaves, set(), min_bytes=min_bytes)
+
+    @jax.jit
+    def f(leaves, src_weight_vecs):
+        w = _fill(tmpl, leaves)
+        return drive_fmm(w, src_weight_vecs)
+
+    return lambda *src_weight_vecs: f(leaves, src_weight_vecs)
+
+# }}}

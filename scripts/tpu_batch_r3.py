@@ -45,7 +45,7 @@ import jax                                                  # noqa: E402
 import jax.numpy as jnp                                     # noqa: E402
 
 from boxtree_tpu import build_tree                          # noqa: E402
-from boxtree_tpu.fmm import drive_fmm                       # noqa: E402
+from boxtree_tpu.fmm import drive_fmm, jit_drive_fmm                       # noqa: E402
 from boxtree_tpu.models.laplace import make_laplace_wrangler  # noqa: E402
 from boxtree_tpu.traversal import build_traversal           # noqa: E402
 
@@ -94,7 +94,7 @@ for mode in ("dense", "rotation"):
         setup = time.perf_counter() - t0
         if mode == "dense":
             dense_wrangler = w
-        f = jax.jit(lambda q, _w=w: drive_fmm(_w, (q,)))
+        f = jit_drive_fmm(w)
         t0 = time.perf_counter()
         pot = f(charges)
         jax.block_until_ready(pot)
@@ -136,7 +136,7 @@ if dense_wrangler is not None:
             return acc
 
         ref = direct(charges)
-        f = jax.jit(lambda q: drive_fmm(dense_wrangler, (q,)))
+        f = jit_drive_fmm(dense_wrangler)
         pot = f(charges)
         err = float(jnp.max(jnp.abs(jnp.real(pot[idx]) - ref))
                     / jnp.max(jnp.abs(ref)))
@@ -184,7 +184,7 @@ if left() > 900:
                                       pairs=True, rscale="auto",
                                       m2l_mode=mode)
             setup = time.perf_counter() - t0
-            f = jax.jit(lambda q, _w=w: drive_fmm(_w, (q,)))
+            f = jit_drive_fmm(w)
             pot = f(charges)
             jax.block_until_ready(pot)
             t0 = time.perf_counter()
