@@ -662,3 +662,136 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         box_id_of_source=jnp.asarray(box_id_of),
         box_id_of_target=jnp.asarray(box_id_of),
     )
+
+
+def sharded_neighbor_table(tree, skel, mesh):
+    """Per-rank rows of the packed neighbor table
+    (:func:`boxtree_tpu.traversal.neighbors.build_neighbor_table`),
+    built level-synchronously under ``shard_map``.
+
+    First sharded-traversal building block (doc/PERF.md design note,
+    item 4): each device computes the (3^d)-column neighbor rows for
+    the boxes it owns (the rows of :func:`sharded_box_skeleton`).  Box
+    *metadata* (prefixes, parents, child entries — O(nboxes)) is
+    replicated, like the distributed runner's box skeleton and the
+    reference's local trees; the table ROWS — the O(nboxes * 3^d) part
+    — are sharded.  Per level the only cross-device exchange is one
+    ``all_gather`` of each rank's LAST row of the parent level: the
+    parent of a rank's first level-``l`` box is the one box that can
+    live on another rank (it spans the shard boundary, so it is its
+    owner's last level-``l-1`` box).
+
+    :arg tree: the (replicated) single-device-equivalent tree; only
+        O(nboxes) fields are read.
+    :arg skel: output dict of :func:`sharded_box_skeleton`.
+    :returns: (nranks, cap, 3^d) int32 per-rank row blocks aligned
+        with ``skel["box_id"]`` (-1 pad rows).
+    """
+    from boxtree_tpu.traversal.neighbors import (
+        ID_MASK, SRC_BIT, TGT_BIT, _offsets1)
+    from boxtree_tpu.tree.containers import box_flags_enum as _F
+
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    d = tree.dimensions
+    offs = _offsets1(d)
+    m = offs.shape[0]
+    nchild = 2 ** d
+    nboxes = tree.nboxes
+    nlevels = tree.nlevels
+    col_w = 3 ** (d - 1 - np.arange(d))
+
+    tgt_mask = (jnp.asarray(tree.box_flags) & _F.IS_TARGET_BOX) != 0
+    iota = jnp.arange(nboxes, dtype=jnp.int32)
+    ent = (iota
+           | jnp.where((jnp.asarray(tree.box_flags)
+                        & _F.IS_SOURCE_BOX) != 0, SRC_BIT, 0)
+           | jnp.where(tgt_mask, TGT_BIT, 0)).astype(jnp.int32)
+    child_ent = jnp.where(
+        jnp.asarray(tree.box_child_ids).T > 0,
+        ent[jnp.clip(jnp.asarray(tree.box_child_ids).T, 0).astype(
+            jnp.int64)],
+        np.int32(-1))                               # (nboxes, 2^d)
+    prefixes = jnp.asarray(tree.box_morton_prefixes)
+    parents = jnp.asarray(tree.box_parent_ids).astype(jnp.int64)
+
+    # static (child digit, column) -> (parent column, child digit) maps
+    pcol = np.zeros((nchild, m), np.int64)
+    cdig = np.zeros((nchild, m), np.int64)
+    for q in range(nchild):
+        qb = np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
+        for j in range(m):
+            dp = (qb + offs[j]) >> 1
+            pcol[q, j] = ((dp + 1) * col_w).sum()
+            cdig[q, j] = (((qb + offs[j]) & 1)
+                          << (d - 1 - np.arange(d))).sum()
+    pcol_j = jnp.asarray(pcol)
+    cdig_j = jnp.asarray(cdig)
+
+    box_id = skel["box_id"]                         # (nranks, cap)
+    box_level = skel["box_level"]
+    cap = box_id.shape[1]
+
+    def step(bid, blev):
+        bid = bid[0].astype(jnp.int64)              # (cap,), -1 pad
+        blev = blev[0]
+        valid = bid >= 0
+        buf = jnp.full((cap, m), -1, jnp.int32)
+
+        # root row (level 0): whichever rank owns box 0
+        own_root = valid & (bid == 0)
+        buf = jnp.where(own_root[:, None]
+                        & (jnp.arange(m) == m // 2)[None, :],
+                        ent[0], buf)
+
+        bid_c = jnp.clip(bid, 0)
+        par = parents[bid_c]                        # (cap,)
+        digit = (prefixes[bid_c] & (nchild - 1)).astype(jnp.int64)
+
+        # local row of each box's parent (box_id ascending across rows)
+        plr = jnp.searchsorted(
+            jnp.where(valid, bid, jnp.int64(nboxes) + 1), par)
+        plr_c = jnp.clip(plr, 0, cap - 1)
+        par_local = valid & (bid[plr_c] == par)
+
+        for lev in range(1, nlevels):
+            mine = valid & (blev == lev)
+
+            # each rank's LAST level-(lev-1) row + its global id
+            is_pl = valid & (blev == lev - 1)
+            last = jnp.where(is_pl.any(),
+                             (cap - 1) - jnp.argmax(is_pl[::-1]),
+                             cap - 1)
+            last_id = jnp.where(is_pl.any(), bid[last], jnp.int64(-1))
+            g = lax.all_gather(
+                jnp.concatenate([last_id[None].astype(jnp.int64),
+                                 buf[last].astype(jnp.int64)]),
+                axis)                               # (nranks, 1+m)
+            halo_ids, halo_rows = g[:, 0], g[:, 1:].astype(jnp.int32)
+
+            pn_local = buf[plr_c]                   # (cap, m)
+            hit = halo_ids[None, :] == par[:, None]  # (cap, nranks)
+            pn_halo = jnp.einsum(
+                "cr,rm->cm", hit.astype(jnp.int32), halo_rows + 1) - 1
+            pn = jnp.where(par_local[:, None], pn_local,
+                           jnp.where(hit.any(axis=1)[:, None],
+                                     pn_halo, np.int32(-1)))
+
+            pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)
+            ch = child_ent[pid]                     # (cap, m, 2^d)
+            ch = jnp.where((pn >= 0)[:, :, None], ch, np.int32(-1))
+            cols = pcol_j[digit]                    # (cap, m)
+            digs = cdig_j[digit]
+            rows = jnp.take_along_axis(
+                ch.reshape(cap, m * nchild),
+                cols * nchild + digs, axis=1)       # (cap, m)
+            buf = jnp.where(mine[:, None], rows, buf)
+
+        return buf[None]
+
+    spec = NamedSharding(mesh, P(axis, None))
+    outs = jax.jit(_shard_map(
+        step, mesh, (P(axis, None), P(axis, None)),
+        P(axis, None, None)))(
+        jax.device_put(box_id, spec), jax.device_put(box_level, spec))
+    return outs

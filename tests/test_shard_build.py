@@ -156,6 +156,49 @@ def test_sharded_build_tree_matches_build_tree(mesh):
     np.testing.assert_allclose(np.asarray(pot), n, rtol=0, atol=1e-9)
 
 
+def test_sharded_neighbor_table(mesh):
+    """Per-rank neighbor-table rows (sharded, level-synchronous with a
+    one-row-per-level halo) == the single-device packed table."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import (
+        sharded_box_skeleton, sharded_neighbor_table)
+    from boxtree_tpu.traversal.neighbors import build_neighbor_table
+    from boxtree_tpu.tree.containers import box_flags_enum
+
+    rng = np.random.default_rng(81)
+    for dims, n, mpb in ((2, 1 << 12, 25), (3, 1 << 13, 40)):
+        pts = np.concatenate([
+            rng.random((dims, n // 2)) * 0.04,
+            rng.random((dims, n // 2)),
+        ], axis=1)
+        weights = np.ones(n, np.int64)
+        codes_s, order, leaf_ref, counts_ref, depth = \
+            _single_device_oracle(pts, weights, mpb, dims)
+        skel = sharded_box_skeleton(
+            jnp.asarray(codes_s), jnp.asarray(leaf_ref),
+            counts_ref, mesh, dimensions=dims, depth=depth)
+        tree = build_tree(pts, max_particles_in_box=mpb)
+
+        rows = np.asarray(sharded_neighbor_table(tree, skel, mesh))
+
+        lsb = tree.level_start_box_nrs
+        tgt_mask = (np.asarray(tree.box_flags)
+                    & box_flags_enum.IS_TARGET_BOX) != 0
+        ref = np.asarray(build_neighbor_table(
+            tree.box_morton_prefixes, tree.box_parent_ids,
+            tree.box_child_ids, tree.box_flags,
+            jnp.asarray(tgt_mask), dimensions=dims, lsb=lsb))
+
+        nb = np.asarray(skel["nboxes"])
+        ids = np.concatenate(
+            [np.asarray(skel["box_id"])[r, :nb[r]] for r in range(8)])
+        got = np.concatenate(
+            [rows[r, :nb[r]] for r in range(8)])
+        full = np.empty_like(got, shape=(tree.nboxes, got.shape[1]))
+        full[ids] = got
+        np.testing.assert_array_equal(full, ref)
+
+
 def test_sharded_box_skeleton_matches_tree(mesh):
     """The per-shard phase B box skeleton (ids, prefixes, levels,
     particle ranges, parents, children) == the single-device tree,
