@@ -4,6 +4,7 @@ from boxtree_tpu.fmm.drive import (
     TreeIndependentDataForWrangler,
     drive_fmm,
     jit_drive_fmm,
+    staged_drive_fmm,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "TreeIndependentDataForWrangler",
     "drive_fmm",
     "jit_drive_fmm",
+    "staged_drive_fmm",
 ]

@@ -351,3 +351,104 @@ def jit_drive_fmm(wrangler, *, min_bytes=65536):
     return lambda *src_weight_vecs: f(leaves, src_weight_vecs)
 
 # }}}
+
+
+def staged_drive_fmm(wrangler, *, min_bytes=65536):
+    """Like :func:`jit_drive_fmm`, but each FMM stage compiles as its
+    OWN parameterized jit program (7-9 small programs instead of one
+    monolith).
+
+    The tunneled TPU's remote compiler crashes outright (HTTP 500) on
+    the whole-driver program at ~1e6 particles even with the small
+    parameterized payload; per-stage programs keep every compile unit
+    small.  Steady-state cost is a few extra dispatches (~25 ms each
+    through the tunnel).  Single-process, scalar-weights use only.
+    """
+    import jax
+
+    leaves = []
+    tmpl = _harvest(wrangler, leaves, set(), min_bytes=min_bytes)
+    trav = wrangler.traversal
+    has_c3 = trav.from_sep_close_smaller_starts is not None
+    has_c4 = trav.from_sep_close_bigger_starts is not None
+
+    def _w(ls):
+        return _fill(tmpl, ls)
+
+    @jax.jit
+    def s_up(ls, qs):
+        w = _w(ls)
+        t = w.traversal
+        qs = tuple(w.reorder_sources(q) for q in qs)
+        mp = w.form_multipoles(t.level_start_source_box_nrs,
+                               t.source_boxes, qs)
+        mp = w.coarsen_multipoles(t.level_start_source_parent_box_nrs,
+                                  t.source_parent_boxes, mp)
+        return qs, mp
+
+    @jax.jit
+    def s_p2p(ls, qs):
+        w = _w(ls)
+        t = w.traversal
+        pot = w.eval_direct(t.target_boxes,
+                            t.neighbor_source_boxes_starts,
+                            t.neighbor_source_boxes_lists, qs)
+        if has_c3:
+            pot = pot + w.eval_direct(t.target_boxes,
+                                      t.from_sep_close_smaller_starts,
+                                      t.from_sep_close_smaller_lists,
+                                      qs)
+        if has_c4:
+            pot = pot + w.eval_direct(t.target_boxes,
+                                      t.from_sep_close_bigger_starts,
+                                      t.from_sep_close_bigger_lists, qs)
+        return pot
+
+    @jax.jit
+    def s_m2l(ls, mp):
+        w = _w(ls)
+        t = w.traversal
+        return w.multipole_to_local(
+            t.level_start_target_or_target_parent_box_nrs,
+            t.target_or_target_parent_boxes,
+            t.from_sep_siblings_starts, t.from_sep_siblings_lists, mp)
+
+    @jax.jit
+    def s_m2p(ls, mp):
+        w = _w(ls)
+        t = w.traversal
+        return w.eval_multipoles(
+            t.target_boxes_sep_smaller_by_source_level,
+            t.from_sep_smaller_by_level, mp)
+
+    @jax.jit
+    def s_p2l(ls, qs):
+        w = _w(ls)
+        t = w.traversal
+        return w.form_locals(
+            t.level_start_target_or_target_parent_box_nrs,
+            t.target_or_target_parent_boxes,
+            t.from_sep_bigger_starts, t.from_sep_bigger_lists, qs)
+
+    @jax.jit
+    def s_down_eval(ls, le, pots):
+        w = _w(ls)
+        t = w.traversal
+        le = w.refine_locals(
+            t.level_start_target_or_target_parent_box_nrs,
+            t.target_or_target_parent_boxes, le)
+        pot = w.eval_locals(t.level_start_target_box_nrs,
+                            t.target_boxes, le)
+        for p in pots:
+            pot = pot + p
+        return w.finalize_potentials(w.reorder_potentials(pot))
+
+    def run(*src_weight_vecs):
+        qs, mp = s_up(leaves, tuple(src_weight_vecs))
+        pot_d = s_p2p(leaves, qs)
+        le = s_m2l(leaves, mp)
+        pot_m = s_m2p(leaves, mp)
+        le = le + s_p2l(leaves, qs)
+        return s_down_eval(leaves, le, (pot_d, pot_m))
+
+    return run

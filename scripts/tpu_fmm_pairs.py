@@ -36,7 +36,7 @@ import jax                                                  # noqa: E402
 import jax.numpy as jnp                                     # noqa: E402
 
 from boxtree_tpu import build_tree                          # noqa: E402
-from boxtree_tpu.fmm import drive_fmm, jit_drive_fmm                       # noqa: E402
+from boxtree_tpu.fmm import drive_fmm, staged_drive_fmm                   # noqa: E402
 from boxtree_tpu.models.laplace import make_laplace_wrangler  # noqa: E402
 from boxtree_tpu.traversal import build_traversal           # noqa: E402
 
@@ -69,7 +69,9 @@ def run_fmm(n, seed, with_accuracy):
          table_mb=round(w._m2l_opsT.size * 4 / 1e6, 1),
          setup_s=round(setup, 1))
 
-    f = jit_drive_fmm(w)
+    # per-stage jits: the whole-driver program crashes the tunneled
+    # remote compiler (HTTP 500) even with the parameterized payload
+    f = staged_drive_fmm(w)
     t0 = time.perf_counter()
     pot = f(charges)
     jax.block_until_ready(pot)

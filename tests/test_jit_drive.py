@@ -46,6 +46,15 @@ def test_jit_drive_fmm_pairs_wrangler():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_staged_drive_fmm_matches_eager():
+    from boxtree_tpu.fmm import staged_drive_fmm
+    w, charges = _setup()
+    pot_eager = drive_fmm(w, (charges,))
+    pot = staged_drive_fmm(w)(charges)
+    np.testing.assert_allclose(np.asarray(pot), np.asarray(pot_eager),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_jit_drive_fmm_payload_is_small():
     w, charges = _setup(n=2000, order=8)
 
