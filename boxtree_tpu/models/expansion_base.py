@@ -146,7 +146,11 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 if rs.shape != (nlevels,):
                     raise ValueError("rscale must have shape (nlevels,)")
             self._rscale_np = rs
-            self._scale_of_level = jnp.asarray(rs)
+            # real precision of the wrangler: an f64 scale would
+            # promote f32 coordinates (and the whole P2M term chain) to
+            # f64, tripping the f64->f32 scatter-dtype deprecation
+            self._scale_of_level = jnp.asarray(
+                rs, np.zeros(0, self.dtype).real.dtype)
 
         # }}}
 
