@@ -353,17 +353,9 @@ def jit_drive_fmm(wrangler, *, min_bytes=65536):
 # }}}
 
 
-def staged_drive_fmm(wrangler, *, min_bytes=65536):
-    """Like :func:`jit_drive_fmm`, but each FMM stage compiles as its
-    OWN parameterized jit program (7-9 small programs instead of one
-    monolith).
-
-    The tunneled TPU's remote compiler crashes outright (HTTP 500) on
-    the whole-driver program at ~1e6 particles even with the small
-    parameterized payload; per-stage programs keep every compile unit
-    small.  Steady-state cost is a few extra dispatches (~25 ms each
-    through the tunnel).  Single-process, scalar-weights use only.
-    """
+def _staged_fns(wrangler, *, min_bytes=65536):
+    """The per-stage jit programs of :func:`staged_drive_fmm` plus the
+    harvested parameter leaves (exposed for per-stage compile probes)."""
     import jax
 
     leaves = []
@@ -443,12 +435,30 @@ def staged_drive_fmm(wrangler, *, min_bytes=65536):
             pot = pot + p
         return w.finalize_potentials(w.reorder_potentials(pot))
 
+    return leaves, {"up": s_up, "p2p": s_p2p, "m2l": s_m2l,
+                    "m2p": s_m2p, "p2l": s_p2l,
+                    "down_eval": s_down_eval}
+
+
+def staged_drive_fmm(wrangler, *, min_bytes=65536):
+    """Like :func:`jit_drive_fmm`, but each FMM stage compiles as its
+    OWN parameterized jit program (7-9 small programs instead of one
+    monolith).
+
+    The tunneled TPU's remote compiler crashes outright (HTTP 500) on
+    the whole-driver program at ~1e6 particles even with the small
+    parameterized payload; per-stage programs keep every compile unit
+    small.  Steady-state cost is a few extra dispatches (~25 ms each
+    through the tunnel).  Single-process, scalar-weights use only.
+    """
+    leaves, s = _staged_fns(wrangler, min_bytes=min_bytes)
+
     def run(*src_weight_vecs):
-        qs, mp = s_up(leaves, tuple(src_weight_vecs))
-        pot_d = s_p2p(leaves, qs)
-        le = s_m2l(leaves, mp)
-        pot_m = s_m2p(leaves, mp)
-        le = le + s_p2l(leaves, qs)
-        return s_down_eval(leaves, le, (pot_d, pot_m))
+        qs, mp = s["up"](leaves, tuple(src_weight_vecs))
+        pot_d = s["p2p"](leaves, qs)
+        le = s["m2l"](leaves, mp)
+        pot_m = s["m2p"](leaves, mp)
+        le = le + s["p2l"](leaves, qs)
+        return s["down_eval"](leaves, le, (pot_d, pot_m))
 
     return run
