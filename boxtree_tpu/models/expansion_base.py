@@ -559,23 +559,66 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         return self.multipole_to_local_edges(
             plan.tgt, plan.src, plan.group_sizes, mpole_exps)
 
+    #: max edges per M2L chunk: bounds the (chunk, ncoeff) gather /
+    #: matmul / scatter buffers to a few hundred MB.  The one-shot
+    #: full-edge-set formulation allocated 3-4 (E, K) temporaries —
+    #: ~5 GB each at 1e6 particles / order 8 — which the TPU compiler's
+    #: buffer assignment rejects outright (the staged-probe HTTP 500,
+    #: scripts/tpu_probe_stages.py).
+    _M2L_EDGE_CHUNK = 1 << 19
+
     def multipole_to_local_edges(self, tgt_e, src_e, group_sizes,
                                  mpole_exps):
         """M2L over flat edge arrays pre-sorted by operator id (see
         :class:`~boxtree_tpu.models.particle_blocks.M2LPlan`); edges
-        padded with -1 targets are dropped."""
+        padded with -1 targets are dropped.  Large edge sets stream
+        through a ``lax.scan`` over fixed-size chunks (the same pattern
+        as the P2P/M2P/P2L stages), with per-chunk group sizes read off
+        the global group-start cumsum."""
         nboxes = self.tree.nboxes
         local_exps = self.local_expansion_zeros()
-        if tgt_e.shape[0] == 0:
+        e = tgt_e.shape[0]
+        if e == 0:
             return local_exps
-        mp = mpole_exps[jnp.clip(src_e, 0)]
-        mp = jnp.where((tgt_e >= 0)[:, None], mp, 0)
-        if self._m2l_rot is not None:
-            out = self._m2l_rot.apply(mp, group_sizes)
-        else:
-            out = grouped_matmul(mp, self._m2l_opsT, group_sizes)
-        safe = jnp.where(tgt_e >= 0, tgt_e, nboxes)
-        return local_exps.at[safe].add(out, mode="drop")
+
+        def apply_ops(mp_c, sizes_c):
+            if self._m2l_rot is not None:
+                return self._m2l_rot.apply(mp_c, sizes_c)
+            return grouped_matmul(mp_c, self._m2l_opsT, sizes_c)
+
+        c = self._M2L_EDGE_CHUNK
+        if e <= c:
+            mp = mpole_exps[jnp.clip(src_e, 0)]
+            mp = jnp.where((tgt_e >= 0)[:, None], mp, 0)
+            out = apply_ops(mp, group_sizes)
+            safe = jnp.where(tgt_e >= 0, tgt_e, nboxes)
+            return local_exps.at[safe].add(out, mode="drop")
+
+        nchunks = -(-e // c)
+        pad = nchunks * c - e
+        tgt_p = jnp.concatenate([tgt_e, jnp.full(pad, -1, tgt_e.dtype)])
+        src_p = jnp.concatenate([src_e, jnp.zeros(pad, src_e.dtype)])
+        gstart = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64),
+             jnp.cumsum(group_sizes.astype(jnp.int64))])
+        lo = (jnp.arange(nchunks, dtype=jnp.int64) * c)[:, None]
+        sizes = (jnp.clip(gstart[None, 1:], lo, lo + c)
+                 - jnp.clip(gstart[None, :-1], lo, lo + c)).astype(
+                     group_sizes.dtype)                 # (nchunks, nops)
+
+        def body(carry, inp):
+            tgt_c, src_c, sizes_c = inp
+            mp_c = mpole_exps[jnp.clip(src_c, 0)]
+            mp_c = jnp.where((tgt_c >= 0)[:, None], mp_c, 0)
+            out = apply_ops(mp_c, sizes_c)
+            safe = jnp.where(tgt_c >= 0, tgt_c, nboxes)
+            return carry.at[safe].add(out, mode="drop"), None
+
+        local_exps, _ = jax.lax.scan(
+            body, local_exps,
+            (tgt_p.reshape(nchunks, c), src_p.reshape(nchunks, c),
+             sizes))
+        return local_exps
 
     # }}}
 

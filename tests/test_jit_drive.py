@@ -55,6 +55,27 @@ def test_staged_drive_fmm_matches_eager():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_m2l_edge_chunking_matches_one_shot(monkeypatch):
+    """The chunked (scan-over-edge-chunks) M2L must equal the one-shot
+    formulation bitwise, in both dense and rotation modes."""
+    from boxtree_tpu.models.expansion_base import ExpansionWranglerBase
+
+    for mode in ("dense", "rotation"):
+        w, charges = _setup(n=3000, order=4, m2l_mode=mode)
+        mp = w.form_multipoles(
+            w.traversal.level_start_source_box_nrs,
+            w.traversal.source_boxes, (w.reorder_sources(charges),))
+        one = w.multipole_to_local_edges(
+            w.m2l_plan.tgt, w.m2l_plan.src, w.m2l_plan.group_sizes, mp)
+        assert int(w.m2l_plan.tgt.shape[0]) > 64   # chunking will kick in
+        monkeypatch.setattr(ExpansionWranglerBase, "_M2L_EDGE_CHUNK", 64)
+        chunked = w.multipole_to_local_edges(
+            w.m2l_plan.tgt, w.m2l_plan.src, w.m2l_plan.group_sizes, mp)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(chunked),
+                                      np.asarray(one))
+
+
 def test_jit_drive_fmm_payload_is_small():
     w, charges = _setup(n=2000, order=8)
 
