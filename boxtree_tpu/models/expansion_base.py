@@ -269,6 +269,14 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             self._m2l_opsT = jnp.zeros(
                 (0, self.ncoeff, self.ncoeff), self.dtype)
 
+        # populate the tile-aligned plan EAGERLY when the tiled M2L
+        # path will run: under a traced driver the lazy path would call
+        # np.asarray on traced group sizes (and cache tracers)
+        if (self._m2l_rot is None and self.m2l_plan.nops
+                and int(self.m2l_plan.tgt.shape[0])
+                > self._M2L_EDGE_CHUNK):
+            self.m2l_plan.tiled(self._M2L_TILE)
+
         # per-(level, digit) M2M / L2L operator stacks (transposed for
         # row-vector application) + digit-sorted box plans
         nchild = 2 ** self.dim
@@ -552,12 +560,58 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     # {{{ M2L
 
+    #: tile / tile-batch of the tile-aligned M2L path (dense mode)
+    _M2L_TILE = 512
+    _M2L_TILE_BATCH = 8
+
     def multipole_to_local(self, level_start_target_or_target_parent_box_nrs,
                            target_or_target_parent_boxes, starts, lists,
                            mpole_exps):
         plan = self.m2l_plan
+        if (self._m2l_rot is None and plan.nops
+                and int(plan.tgt.shape[0]) > self._M2L_EDGE_CHUNK):
+            return self._m2l_tiled(mpole_exps)
         return self.multipole_to_local_edges(
             plan.tgt, plan.src, plan.group_sizes, mpole_exps)
+
+    def _m2l_tiled(self, mpole_exps):
+        """Dense M2L over the tile-aligned plan: a scan over batches of
+        fixed-size tiles, each batch ONE (B, tile, K) x (B, K, K)
+        batched matmul (MXU-shaped), with per-tile operator gathers."""
+        nboxes = self.tree.nboxes
+        local_exps = self.local_expansion_zeros()
+        t = self._M2L_TILE
+        b = self._M2L_TILE_BATCH
+        tgt_t, src_t, tile_gid = self.m2l_plan.tiled(t)
+        ntiles = tile_gid.shape[0]
+        nb = -(-ntiles // b)
+        padt = nb * b - ntiles
+        if padt:
+            tgt_t = jnp.concatenate(
+                [tgt_t, jnp.full(padt * t, -1, tgt_t.dtype)])
+            src_t = jnp.concatenate(
+                [src_t, jnp.zeros(padt * t, src_t.dtype)])
+            tile_gid = jnp.concatenate(
+                [tile_gid, jnp.zeros(padt, tile_gid.dtype)])
+
+        def body(carry, inp):
+            tg, sc, gd = inp                    # (b*t,), (b*t,), (b,)
+            mp = mpole_exps[jnp.clip(sc, 0).astype(jnp.int64)]
+            mp = jnp.where((tg >= 0)[:, None], mp, 0)
+            y = jnp.einsum(
+                "btk,bkj->btj",
+                mp.reshape(b, t, -1),
+                self._m2l_opsT[gd.astype(jnp.int64)],
+                preferred_element_type=mp.dtype)
+            safe = jnp.where(tg >= 0, tg, nboxes).astype(jnp.int64)
+            return carry.at[safe].add(
+                y.reshape(b * t, -1), mode="drop"), None
+
+        local_exps, _ = lax.scan(
+            body, local_exps,
+            (tgt_t.reshape(nb, b * t), src_t.reshape(nb, b * t),
+             tile_gid.reshape(nb, b)))
+        return local_exps
 
     #: max edges per M2L chunk: bounds the (chunk, ncoeff) gather /
     #: matmul / scatter buffers to a few hundred MB.  The one-shot

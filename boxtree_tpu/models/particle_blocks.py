@@ -263,6 +263,41 @@ class M2LPlan:
         self.group_sizes = jnp.asarray(
             hist[used_keys].astype(np.int32))
 
+    def tiled(self, tile):
+        """Tile-aligned edge arrays: each operator's edge run padded to
+        a multiple of *tile* (padding edges carry target -1 and are
+        dropped at the scatter), plus the per-tile operator id.
+
+        This turns the grouped M2L matmul into a plain scan over
+        fixed-size tiles with ONE operator gather per tile and no
+        per-call group-boundary arithmetic — the serial tile-64
+        formulation ran at <1% MXU utilization on the TPU
+        (doc/PERF.md, FMM stage profile).  Cached per tile size.
+        """
+        cache = getattr(self, "_tiled_cache", None)
+        if cache is not None and cache[0] == tile:
+            return cache[1:]
+        gs = np.asarray(self.group_sizes).astype(np.int64)
+        e = int(gs.sum())
+        gpad = (-gs) % tile
+        epad = int((gs + gpad).sum())
+        shift = np.concatenate([[0], np.cumsum(gpad)])[:-1]
+        gstart = jnp.asarray(np.concatenate([[0], np.cumsum(gs)]))
+        shift_d = jnp.asarray(shift)
+
+        i = jnp.arange(e, dtype=jnp.int64)
+        gid = jnp.searchsorted(gstart, i, side="right") - 1
+        pos = i + shift_d[gid]
+        tgt_t = jnp.full(epad, -1, jnp.int32).at[pos].set(
+            self.tgt, unique_indices=True)
+        src_t = jnp.zeros(epad, jnp.int32).at[pos].set(
+            self.src, unique_indices=True)
+        tile_gid = jnp.asarray(np.repeat(
+            np.arange(len(gs), dtype=np.int32),
+            ((gs + gpad) // tile).astype(np.int64)))
+        self._tiled_cache = (tile, tgt_t, src_t, tile_gid)
+        return tgt_t, src_t, tile_gid
+
     def _opkey(self, tgt, src):
         if self._cells_np is None:
             from boxtree_tpu.ops import morton

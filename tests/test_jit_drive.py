@@ -76,6 +76,36 @@ def test_m2l_edge_chunking_matches_one_shot(monkeypatch):
                                       np.asarray(one))
 
 
+def test_m2l_tiled_matches_one_shot(monkeypatch):
+    """The tile-aligned batched M2L path (big-edge-set fast path) must
+    equal the one-shot grouped formulation bitwise, eagerly and under
+    the staged driver."""
+    from boxtree_tpu.models.expansion_base import ExpansionWranglerBase
+
+    monkeypatch.setattr(ExpansionWranglerBase, "_M2L_EDGE_CHUNK", 128)
+    monkeypatch.setattr(ExpansionWranglerBase, "_M2L_TILE", 32)
+    monkeypatch.setattr(ExpansionWranglerBase, "_M2L_TILE_BATCH", 4)
+    w, charges = _setup(n=3000, order=4)
+    assert int(w.m2l_plan.tgt.shape[0]) > 128
+    assert getattr(w.m2l_plan, "_tiled_cache", None) is not None
+
+    mp = w.form_multipoles(
+        w.traversal.level_start_source_box_nrs,
+        w.traversal.source_boxes, (w.reorder_sources(charges),))
+    one = w.multipole_to_local_edges(
+        w.m2l_plan.tgt, w.m2l_plan.src,
+        w.m2l_plan.group_sizes, mp)
+    tiled = w.multipole_to_local(None, None, None, None, mp)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(one))
+
+    # full staged driver through the tiled path == eager driver
+    pot_eager = drive_fmm(w, (charges,))
+    from boxtree_tpu.fmm import staged_drive_fmm
+    pot = staged_drive_fmm(w)(charges)
+    np.testing.assert_allclose(np.asarray(pot), np.asarray(pot_eager),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_jit_drive_fmm_payload_is_small():
     w, charges = _setup(n=2000, order=8)
 
