@@ -452,8 +452,12 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                    tree.box_id_of_target])
         return pot_box_blocks[tree.box_id_of_target, off]
 
-    @staticmethod
-    def _pad_edges(*arrays, chunk=_EDGE_CHUNK):
+    #: edges per scan trip in the P2P/M2P/P2L stages (tunable per
+    #: instance for benchmarking)
+    _EDGE_CHUNK = _EDGE_CHUNK
+
+    def _pad_edges(self, *arrays):
+        chunk = self._EDGE_CHUNK
         nedges = int(arrays[0].shape[0])
         npad = max(chunk, -(-nedges // chunk) * chunk)
         padded = [jnp.pad(a, (0, npad - nedges)) for a in arrays]
