@@ -269,13 +269,17 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             self._m2l_opsT = jnp.zeros(
                 (0, self.ncoeff, self.ncoeff), self.dtype)
 
-        # populate the tile-aligned plan EAGERLY when the tiled M2L
-        # path will run: under a traced driver the lazy path would call
-        # np.asarray on traced group sizes (and cache tracers)
-        if (self._m2l_rot is None and self.m2l_plan.nops
+        # populate the fast-path plans EAGERLY when they will run:
+        # under a traced driver the lazy paths would call np.asarray on
+        # traced group sizes (and cache tracers)
+        if self._m2l_use_class_dense():
+            self.m2l_plan.class_dense()
+        elif (self._m2l_rot is None and self.m2l_plan.nops
                 and int(self.m2l_plan.tgt.shape[0])
                 > self._M2L_EDGE_CHUNK):
             self.m2l_plan.tiled(self._M2L_TILE)
+
+        self._build_l1_row_plan(traversal)
 
         # per-(level, digit) M2M / L2L operator stacks (transposed for
         # row-vector application) + digit-sorted box plans
@@ -498,7 +502,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 lambda r: self._p2m_terms(r, src_weights, scale=sarg),
                 (rel,), (dip,))
         mp = self.multipole_expansion_zeros()
-        mp = mp.at[tree.box_id_of_source].add(terms)
+        mp = mp.at[tree.box_id_of_source].add(terms.astype(mp.dtype))
         if self._coeff_mask is not None:
             mp = mp * self._coeff_mask[tree.box_levels]
         return mp
@@ -567,16 +571,78 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     #: tile / tile-batch of the tile-aligned M2L path (dense mode)
     _M2L_TILE = 512
     _M2L_TILE_BATCH = 8
+    #: rows per chunk of the class-dense M2L path, and the cap on its
+    #: (nboxes, nclasses) map memory
+    _M2L_DENSE_ROWS = 256
+    _M2L_DENSE_MAP_BYTES = 1 << 30
+
+    def _m2l_use_class_dense(self):
+        plan = self.m2l_plan
+        return (self._m2l_rot is None and plan.nops
+                and int(plan.tgt.shape[0]) > self._M2L_EDGE_CHUNK
+                and 4 * self.tree.nboxes * plan.nclasses
+                <= self._M2L_DENSE_MAP_BYTES
+                and os.environ.get("BOXTREE_TPU_M2L_CLASS_DENSE",
+                                   "1") == "1")
 
     def multipole_to_local(self, level_start_target_or_target_parent_box_nrs,
                            target_or_target_parent_boxes, starts, lists,
                            mpole_exps):
         plan = self.m2l_plan
+        if self._m2l_use_class_dense():
+            return self._m2l_class_dense(mpole_exps)
         if (self._m2l_rot is None and plan.nops
                 and int(plan.tgt.shape[0]) > self._M2L_EDGE_CHUNK):
             return self._m2l_tiled(mpole_exps)
         return self.multipole_to_local_edges(
             plan.tgt, plan.src, plan.group_sizes, mpole_exps)
+
+    def _m2l_class_dense(self, mpole_exps):
+        """Scatter-free M2L: per level the target box ids are one
+        contiguous range, so with the (nboxes, nclasses) class->source
+        map each row chunk is ONE (rows, C*K) x (C*K, K) matmul —
+        MXU-shaped, single gather per row, pure contiguous writes.
+        Rows a chunk pads past its level boundary are masked to zero
+        and overwritten when their own (later) level runs."""
+        cmap, level_opid = self.m2l_plan.class_dense()
+        base = self.local_expansion_zeros()
+        bc = self._M2L_DENSE_ROWS
+        nrows = base.shape[0]
+        out = jnp.zeros((nrows + bc,) + base.shape[1:], base.dtype)
+        c = cmap.shape[1]
+        k = self._m2l_opsT.shape[1]
+        lsb = [int(x) for x in self._lsb]
+        nlevels = len(lsb) - 1
+
+        for lev in range(nlevels):
+            opid_l = level_opid[lev]                    # np (C,)
+            b0, b1 = lsb[lev], lsb[lev + 1]
+            if b1 == b0 or (opid_l < 0).all():
+                continue
+            used = jnp.asarray(opid_l >= 0)
+            ops_l = jnp.where(
+                used[:, None, None],
+                self._m2l_opsT[jnp.asarray(
+                    np.clip(opid_l, 0, None).astype(np.int64))], 0)
+            ops_flat = ops_l.reshape(c * k, k)
+            nch = -(-(b1 - b0) // bc)
+
+            def body(carry, i, *, b0=b0, b1=b1, ops_flat=ops_flat):
+                ids0 = b0 + i * bc
+                rows = ids0 + jnp.arange(bc, dtype=jnp.int64)
+                src = lax.dynamic_slice(
+                    cmap, (ids0, jnp.int64(0)), (bc, c))
+                mpg = mpole_exps[jnp.clip(src, 0).astype(jnp.int64)]
+                mpg = jnp.where((src >= 0)[..., None], mpg, 0)
+                y = mpg.reshape(bc, c * k) @ ops_flat
+                y = jnp.where((rows < b1)[:, None], y, 0)
+                return lax.dynamic_update_slice(
+                    carry, y.astype(carry.dtype),
+                    (ids0, jnp.int64(0))), None
+
+            out, _ = lax.scan(body, out,
+                              jnp.arange(nch, dtype=jnp.int64))
+        return out[:nrows]
 
     def _m2l_tiled(self, mpole_exps):
         """Dense M2L over the tile-aligned plan: a scan over batches of
@@ -682,10 +748,8 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     # {{{ P2P
 
-    #: set by kernels that can route P2P through the Pallas kernel
-    #: (:mod:`boxtree_tpu.ops.pallas_p2p`); opt in with
-    #: ``BOXTREE_TPU_PALLAS_P2P=1``.
-    _p2p_pallas_kind = None
+    #: target rows per scan trip of the row-major List-1 P2P
+    _P2P_ROW_CHUNK = 128
 
     def eval_direct(self, target_boxes, neighbor_sources_starts,
                     neighbor_sources_lists, src_weight_vecs):
@@ -694,16 +758,111 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         if nedges == 0:
             return self.output_zeros()
 
-        if (self._p2p_pallas_kind is not None
-                and self.dipole_vec is None
-                and os.environ.get("BOXTREE_TPU_PALLAS_P2P") == "1"):
-            return self._eval_direct_pallas(
-                target_boxes, neighbor_sources_starts,
-                neighbor_sources_lists, src_weights)
+        # row-major fast path for the standard List-1 call (identity
+        # check works under tracing: the driver passes the wrangler's
+        # own traversal fields)
+        if (self._l1_rowmap is not None
+                and neighbor_sources_starts
+                is self.traversal.neighbor_source_boxes_starts):
+            return self._eval_direct_rowmajor(src_weights)
 
         rows = csr_rows(neighbor_sources_starts, nedges)
         return self.eval_direct_edges(
             target_boxes[rows], neighbor_sources_lists, None, src_weights)
+
+    def _build_l1_row_plan(self, traversal):
+        """Padded (ntarget_boxes, max_row_len) List-1 neighbor map +
+        target-row-of-box map, for the row-major P2P: one source-block
+        gather per (row, slot) and pure contiguous writes, replacing
+        the edge formulation's 4 gathers + 1 scatter per edge (the FMM
+        stage profile's dominant stage, doc/PERF.md)."""
+        self._l1_rowmap = None
+        if np.issubdtype(np.dtype(self.dtype), np.complexfloating):
+            return                      # complex path: CPU-only, keep old
+        lists = traversal.neighbor_source_boxes_lists
+        e = int(lists.shape[0])
+        if e == 0:
+            return
+        starts = traversal.neighbor_source_boxes_starts
+        starts_h = np.asarray(starts).astype(np.int64)   # small pull
+        lens = starts_h[1:] - starts_h[:-1]
+        lmax = int(lens.max())
+        ntb = len(lens)
+        if not 0 < lmax <= 1024:
+            return
+        rows = csr_rows(starts, e)
+        pos = (jnp.arange(e, dtype=jnp.int64)
+               - starts.astype(jnp.int64)[rows])
+        self._l1_rowmap = jnp.full((ntb, lmax), -1, jnp.int32).at[
+            rows, pos].set(lists.astype(jnp.int32), unique_indices=True)
+        self._l1_row_of_box = jnp.zeros(
+            self.tree.nboxes + 1, jnp.int32).at[
+            traversal.target_boxes.astype(jnp.int64)].set(
+            jnp.arange(ntb, dtype=jnp.int32))
+
+    def _eval_direct_rowmajor(self, src_weights):
+        tree = self.tree
+        tb, sb = self.tgt_blocks, self.src_blocks
+        rmap = self._l1_rowmap
+        ntb, lmax = rmap.shape
+        bt = self._P2P_ROW_CHUNK
+        d = self.dim
+        pm = sb.pmax
+
+        q_blocks = sb.gather_values(src_weights.astype(self.dtype))
+        lanes = [sb.points,
+                 sb.mask.astype(sb.points.dtype)[..., None],
+                 q_blocks[..., None].astype(sb.points.dtype)]
+        if self.dipole_vec is not None:
+            lanes.append(self._dip_blocks.astype(sb.points.dtype))
+        pack = jnp.concatenate(lanes, axis=-1)
+        pack = jnp.concatenate(
+            [pack, jnp.zeros((1,) + pack.shape[1:], pack.dtype)])
+
+        ntb_pad = -(-ntb // bt) * bt
+        rmap_p = jnp.concatenate(
+            [rmap, jnp.full((ntb_pad - ntb, lmax), -1, rmap.dtype)])
+        tboxes_p = jnp.concatenate(
+            [self.traversal.target_boxes.astype(jnp.int64),
+             jnp.zeros(ntb_pad - ntb, jnp.int64)])
+
+        out = jnp.zeros((ntb_pad, tb.pmax, *self._pot_extra_dims),
+                        self.dtype)
+
+        def body(carry, i):
+            r0 = i * bt
+            tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
+            tpts = tb.points[tbox]
+            nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
+                                    (bt, lmax))
+            sp = pack[jnp.where(nbr >= 0, nbr,
+                                tree.nboxes).astype(jnp.int64)]
+            spts = sp[..., :d].reshape(bt, lmax * pm, d)
+            sval = sp[..., d].reshape(bt, lmax * pm) > 0
+            qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(self.dtype)
+            if self.dipole_vec is None:
+                vals = jax.vmap(self._p2p)(tpts, spts, sval, qv)
+            else:
+                dip = sp[..., d + 2:].reshape(bt, lmax * pm, d)
+
+                def per_box(tp, s, v, qq, dd):
+                    return jax.jvp(
+                        lambda ss: self._p2p(tp, ss, v, qq),
+                        (s,), (dd,))[1]
+                vals = jax.vmap(per_box)(tpts, spts, sval, qv, dip)
+            idx = (r0,) + (jnp.int64(0),) * (out.ndim - 1)
+            return lax.dynamic_update_slice(
+                carry, vals.astype(carry.dtype), idx), None
+
+        out, _ = lax.scan(body, out,
+                          jnp.arange(ntb_pad // bt, dtype=jnp.int64))
+
+        row = self._l1_row_of_box[
+            tree.box_id_of_target.astype(jnp.int64)].astype(jnp.int64)
+        off = (jnp.arange(tree.ntargets, dtype=jnp.int64)
+               - tree.box_target_starts.astype(jnp.int64)[
+                   tree.box_id_of_target])
+        return out[row, off]
 
     def eval_direct_edges(self, tgt_e, src_e, valid_e, src_weights):
         """List-1 P2P over flat (target box, source box) edges; returns
@@ -749,36 +908,6 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             (tgts.reshape(nchunks, -1), srcs.reshape(nchunks, -1),
              valid.reshape(nchunks, -1)))
         return self._target_block_to_particles(pot_box[:tree.nboxes])
-
-    def _eval_direct_pallas(self, target_boxes, starts, lists,
-                            src_weights):
-        from boxtree_tpu.ops.pallas_p2p import p2p_edges
-        tree = self.tree
-        tb, sb = self.tgt_blocks, self.src_blocks
-        nedges = int(lists.shape[0])
-        rows = csr_rows(starts, nedges)
-        qc = src_weights.astype(self.dtype)
-        if jnp.iscomplexobj(qc):
-            # complex charges run as two real channels through the kernel
-            q = jnp.stack(
-                [sb.gather_values(jnp.real(qc)).astype(tb.points.dtype),
-                 sb.gather_values(jnp.imag(qc)).astype(tb.points.dtype)],
-                axis=-1)
-        else:
-            q = sb.gather_values(qc).astype(tb.points.dtype)
-        interpret = jax.devices()[0].platform != "tpu"
-        vals = p2p_edges(
-            target_boxes[rows], lists, tb.points, sb.points, q, sb.mask,
-            kind=self._p2p_pallas_kind, interpret=interpret)
-        if jnp.iscomplexobj(qc):
-            vals = vals[..., 0] + 1j * vals[..., 1]
-        pot_rows = jnp.zeros((target_boxes.shape[0] + 1, tb.pmax),
-                             vals.dtype)
-        pot_rows = pot_rows.at[rows].add(vals)
-        pot_box = jnp.zeros((tree.nboxes, tb.pmax), self.dtype)
-        pot_box = pot_box.at[target_boxes].set(
-            pot_rows[:target_boxes.shape[0]].astype(self.dtype))
-        return self._target_block_to_particles(pot_box)
 
     # }}}
 

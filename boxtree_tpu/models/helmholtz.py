@@ -303,7 +303,6 @@ class Helmholtz2DPairsExpansionWrangler(Helmholtz2DExpansionWrangler):
 
     dtype = np.float64
     _pot_extra_dims = (2,)
-    _p2p_pallas_kind = None
 
     def reorder_sources(self, a):
         if jnp.iscomplexobj(a):

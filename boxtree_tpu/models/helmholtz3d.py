@@ -383,7 +383,6 @@ class Helmholtz3DPairsExpansionWrangler(Helmholtz3DExpansionWrangler):
 
     dtype = np.float64
     _pot_extra_dims = (2,)
-    _p2p_pallas_kind = None
 
     def __init__(self, tree_indep, traversal, **kwargs):
         if complex(tree_indep.k).imag != 0:

@@ -75,7 +75,6 @@ class Laplace2DExpansionWrangler(ExpansionWranglerBase):
     """
 
     dtype = np.complex128
-    _p2p_pallas_kind = "log"
     _supports_rscale = True
 
     def __init__(self, tree_indep, traversal, **kwargs):
@@ -381,7 +380,6 @@ class Laplace3DExpansionWrangler(ExpansionWranglerBase):
     """3D Laplace FMM wrangler (solid harmonics); see module docstring."""
 
     dtype = np.complex128
-    _p2p_pallas_kind = "coulomb"
     _supports_rscale = True
 
     def __init__(self, tree_indep, traversal, **kwargs):

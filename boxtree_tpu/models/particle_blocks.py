@@ -298,6 +298,43 @@ class M2LPlan:
         self._tiled_cache = (tile, tgt_t, src_t, tile_gid)
         return tgt_t, src_t, tile_gid
 
+    def class_dense(self):
+        """Class-dense M2L maps: ``cmap[box, c]`` = the source box that
+        interacts with *box* through translation class ``c`` (-1 if
+        none), plus ``level_opid[level, c]`` = index into the operator
+        table for (level, c) (-1 if unused).
+
+        Powers the scatter-free M2L formulation: per level the targets
+        are a CONTIGUOUS box-id range, so the stage becomes chunked
+        ``(rows, C*K) @ (C*K, K)`` matmuls with pure contiguous writes.
+        Memory: nboxes * nclasses int32.  Cached.
+        """
+        if getattr(self, "_class_dense_cache", None) is not None:
+            return self._class_dense_cache
+        tree = self._tree
+        nboxes = tree.nboxes
+        e = int(self.tgt.shape[0])
+        gs = np.asarray(self.group_sizes).astype(np.int64)
+        gstart = jnp.asarray(np.concatenate([[0], np.cumsum(gs)]))
+        used_cls = jnp.asarray(self._used_keys % self.nclasses)
+
+        i = jnp.arange(e, dtype=jnp.int64)
+        gid = jnp.searchsorted(gstart, i, side="right") - 1
+        cls_e = used_cls[gid]
+        # 1024 pad rows so chunked dynamic_slice reads never clamp
+        # (row chunks must be <= 1024)
+        cmap = jnp.full((nboxes + 1024, self.nclasses), -1, jnp.int32)
+        cmap = cmap.at[self.tgt.astype(jnp.int64), cls_e].set(
+            self.src, unique_indices=True)
+
+        level_opid = np.full((tree.nlevels, self.nclasses), -1,
+                             np.int32)
+        for i_op, key in enumerate(self._used_keys):
+            level_opid[int(key) // self.nclasses,
+                       int(key) % self.nclasses] = i_op
+        self._class_dense_cache = (cmap, level_opid)
+        return self._class_dense_cache
+
     def _opkey(self, tgt, src):
         if self._cells_np is None:
             from boxtree_tpu.ops import morton

@@ -45,16 +45,14 @@ emit(stage="built", nboxes=int(tree.nboxes),
 q = jax.device_put(rng.standard_normal(N).astype(np.float32))
 
 
-def time_p2p(label, *, chunk=None, pallas=False):
-    if pallas:
-        os.environ["BOXTREE_TPU_PALLAS_P2P"] = "1"
-    else:
-        os.environ.pop("BOXTREE_TPU_PALLAS_P2P", None)
+def time_p2p(label, *, chunk=None, rowmajor=True):
     try:
         w = make_laplace_wrangler(trav, order=8, pairs=True,
                                   rscale="auto", dtype=np.float32)
         if chunk is not None:
             w._EDGE_CHUNK = chunk
+        if not rowmajor:
+            w._l1_rowmap = None        # force the edge path
         leaves = []
         tmpl = _harvest(w, leaves, set(), min_bytes=65536)
 
@@ -80,12 +78,8 @@ def time_p2p(label, *, chunk=None, pallas=False):
              timed_s=round(min(ts), 3), checksum=csum)
     except Exception as e:                              # noqa: BLE001
         emit(stage="error", label=label, err=repr(e)[:250])
-    finally:
-        os.environ.pop("BOXTREE_TPU_PALLAS_P2P", None)
 
 
-time_p2p("chunk4096")
-time_p2p("chunk16384", chunk=16384)
-time_p2p("chunk65536", chunk=65536)
-time_p2p("pallas", pallas=True)
+time_p2p("rowmajor")
+time_p2p("edges4096", rowmajor=False)
 emit(stage="done")

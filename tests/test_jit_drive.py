@@ -82,6 +82,7 @@ def test_m2l_tiled_matches_one_shot(monkeypatch):
     the staged driver."""
     from boxtree_tpu.models.expansion_base import ExpansionWranglerBase
 
+    monkeypatch.setenv("BOXTREE_TPU_M2L_CLASS_DENSE", "0")
     monkeypatch.setattr(ExpansionWranglerBase, "_M2L_EDGE_CHUNK", 128)
     monkeypatch.setattr(ExpansionWranglerBase, "_M2L_TILE", 32)
     monkeypatch.setattr(ExpansionWranglerBase, "_M2L_TILE_BATCH", 4)
@@ -104,6 +105,38 @@ def test_m2l_tiled_matches_one_shot(monkeypatch):
     pot = staged_drive_fmm(w)(charges)
     np.testing.assert_allclose(np.asarray(pot), np.asarray(pot_eager),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_m2l_class_dense_matches_one_shot(monkeypatch):
+    """The scatter-free class-dense M2L (contiguous per-level row
+    chunks x one big matmul) must match the one-shot grouped
+    formulation to roundoff, eagerly and under the staged driver."""
+    from boxtree_tpu.models.expansion_base import ExpansionWranglerBase
+
+    monkeypatch.setattr(ExpansionWranglerBase, "_M2L_EDGE_CHUNK", 128)
+    monkeypatch.setattr(ExpansionWranglerBase, "_M2L_DENSE_ROWS", 32)
+    w, charges = _setup(n=3000, order=4)
+    assert w._m2l_use_class_dense()
+    assert getattr(w.m2l_plan, "_class_dense_cache", None) is not None
+
+    mp = w.form_multipoles(
+        w.traversal.level_start_source_box_nrs,
+        w.traversal.source_boxes, (w.reorder_sources(charges),))
+    one = w.multipole_to_local_edges(
+        w.m2l_plan.tgt, w.m2l_plan.src,
+        w.m2l_plan.group_sizes, mp)
+    dense = w.multipole_to_local(None, None, None, None, mp)
+    # different reduction order (big matmul vs per-edge adds):
+    # roundoff-level agreement, not bitwise
+    scale = np.abs(np.asarray(one)).max()
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(one),
+                               atol=1e-12 * max(scale, 1e-300))
+
+    pot_eager = drive_fmm(w, (charges,))
+    from boxtree_tpu.fmm import staged_drive_fmm
+    pot = staged_drive_fmm(w)(charges)
+    np.testing.assert_allclose(np.asarray(pot), np.asarray(pot_eager),
+                               rtol=1e-11, atol=1e-11)
 
 
 def test_jit_drive_fmm_payload_is_small():
