@@ -495,9 +495,10 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     ``tests/test_shard_build.py``): every stage reproduces the
     single-device conventions bitwise.  Currently the flagship
     configuration only — no-extent, sources-are-targets, unit refine
-    weights (``max_particles_in_box``); the assembly gathers particle
-    arrays to the host (fine for validation; keeping them sharded is
-    the remaining step toward the 1e8 north star, doc/PERF.md).
+    weights (``max_particles_in_box``).  Particle-sized arrays
+    (coordinates, permutations, per-particle leaf boxes) stay sharded
+    over the mesh end to end (:func:`..shard_sort.sharded_permute`);
+    only the O(nboxes) box arrays are assembled on the host.
     """
     from boxtree_tpu.parallel.shard_sort import (
         sharded_key_sort, sharded_rebalance)
@@ -608,20 +609,45 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         box_flags_enum.IS_SOURCE_BOX | box_flags_enum.IS_TARGET_BOX, 0)
     flags |= np.where(~has_children, box_flags_enum.IS_LEAF_BOX, 0)
 
-    order_np = np.asarray(order)
+    # particle-sized arrays stay sharded: one distributed permutation
+    # routes the coordinates to sorted order (and yields the inverse
+    # permutation = sorted_target_ids), and the per-particle leaf box
+    # is a per-shard searchsorted over the (replicated, O(nboxes))
+    # leaf starts
+    from boxtree_tpu.parallel.shard_sort import sharded_permute
     pid = config.particle_id_dtype
-    sorted_target_ids = np.zeros(n, pid)
-    sorted_target_ids[order_np] = np.arange(n, dtype=pid)
+    cf = 2.0
+    for _ in range(6):
+        src_sh, inv_sh, ok = sharded_permute(
+            order, jnp.asarray(coords).T, mesh, capacity_factor=cf)
+        if ok:
+            break
+        cf *= 2
+    else:
+        raise RuntimeError("sharded_permute capacity exhausted at "
+                           f"capacity_factor={cf}")
+    sorted_target_ids = inv_sh.reshape(-1).astype(pid)
+    sources = jnp.swapaxes(src_sh.reshape(n, dims), 0, 1)
+
     # per-particle leaf box: the deepest box whose range contains it
     leaf_ids = np.flatnonzero(~has_children)
     starts_leaf = box_start[leaf_ids]
     o = np.argsort(starts_leaf)
-    leaf_sorted = leaf_ids[o]
-    box_id_of = leaf_sorted[
-        np.searchsorted(starts_leaf[o], np.arange(n), side="right") - 1
-        ].astype(config.box_id_dtype)
+    leaf_sorted = jnp.asarray(leaf_ids[o].astype(config.box_id_dtype))
+    starts_sorted = jnp.asarray(starts_leaf[o])
+    per = n // nranks
 
-    sources = jnp.asarray(coords)[:, order_np]
+    def leaf_of(_ids):
+        r0 = lax.axis_index(mesh.axis_names[0]).astype(jnp.int64) \
+            * np.int64(per)
+        i = r0 + jnp.arange(per, dtype=jnp.int64)
+        return leaf_sorted[jnp.searchsorted(
+            starts_sorted, i, side="right").astype(jnp.int64) - 1][None]
+
+    box_id_of = jax.jit(_shard_map(
+        leaf_of, mesh, (P(mesh.axis_names[0], None),),
+        P(mesh.axis_names[0], None)))(
+        jnp.zeros((nranks, 1), jnp.int32)).reshape(-1)
 
     return Tree(
         root_extent=root_extent,
@@ -647,8 +673,8 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         source_radii=None,
         targets=sources,
         target_radii=None,
-        user_source_ids=jnp.asarray(order_np.astype(pid)),
-        sorted_target_ids=jnp.asarray(sorted_target_ids),
+        user_source_ids=order.reshape(-1).astype(pid),
+        sorted_target_ids=sorted_target_ids,
         box_source_starts=jnp.asarray(box_start.astype(pid)),
         box_source_counts_nonchild=jnp.asarray(nonchild.astype(pid)),
         box_source_counts_cumul=jnp.asarray(box_cumul.astype(pid)),
@@ -659,8 +685,8 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         box_source_bounding_box_max=None,
         box_target_bounding_box_min=None,
         box_target_bounding_box_max=None,
-        box_id_of_source=jnp.asarray(box_id_of),
-        box_id_of_target=jnp.asarray(box_id_of),
+        box_id_of_source=box_id_of,
+        box_id_of_target=box_id_of,
     )
 
 

@@ -235,6 +235,115 @@ def sharded_rebalance(merged, counts, mesh, *, radius=2, vals=None):
     return out, bool(np.asarray(oks).all())
 
 
+def sharded_permute(order, data, mesh, *, capacity_factor=2.0):
+    """Apply a distributed permutation to row-sharded *data*.
+
+    After the sharded sort + rebalance, device ``r`` knows ``order[s]``
+    (the ORIGINAL index of the particle at global sorted slot ``s``)
+    for its slots, while the particle payloads (coordinates, radii,
+    weights) still live in original order: device ``q`` owns originals
+    ``[q*per, (q+1)*per)``.  This routine materializes
+    ``data[order]`` sharded the same way as *order* — the step that
+    keeps particle arrays O(n/nranks) per device through the sharded
+    tree build instead of gathering them to one host (doc/PERF.md,
+    sharded-build design note; the reference redistributes particles
+    with ``MPI_Alltoallv`` in `boxtree/distributed/local_tree.py`).
+
+    Pull-based, three fixed-shape hops, all O(capacity_factor * per)
+    per device:
+
+    1. each device sorts its ``(order, slot)`` pairs by original index
+       and ships each contiguous owner-rank bucket to its owner in one
+       fixed-capacity ``all_to_all`` (owner of original ``o`` is
+       ``o // per`` — no splitter sampling needed);
+    2. the owner gathers the requested rows of its local data block
+       (and records ``inverse[o] = s``, the sorted slot of each of its
+       originals — the inverse permutation falls out for free);
+    3. a mirror ``all_to_all`` returns the rows, which the requester
+       unpacks back to slot order.
+
+    :arg order: (n,) int64, a permutation of ``0..n-1``; sharded or
+        shardable over the 1D *mesh*.
+    :arg data: (n, k) array in original row order (any real dtype).
+    :returns: ``(sorted_data, inverse, ok)`` — ``data[order]`` and the
+        inverse permutation (both mesh-sharded along rows), and a bool
+        that is False iff an owner bucket overflowed the fixed capacity
+        (retry with a larger *capacity_factor*; only pathological
+        original->sorted skew needs it).
+    """
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    n = order.shape[0]
+    if n % nranks:
+        raise ValueError(f"n={n} not divisible by nranks={nranks}")
+    per = n // nranks
+    cap = int(np.ceil(capacity_factor * per / nranks))
+    k = data.shape[1]
+    per64 = np.int64(per)
+
+    def step(ord_s, data_s):
+        ord_s = ord_s[0]                               # (per,)
+        data_s = data_s[0]                             # (per, k)
+        rank = lax.axis_index(axis).astype(jnp.int64)
+        j = jnp.arange(per, dtype=jnp.int64)
+
+        # 1. bucket requests by owner rank
+        o_sorted, j_sorted = lax.sort((ord_s, j), num_keys=1)
+        starts = jnp.searchsorted(
+            o_sorted, jnp.arange(nranks, dtype=jnp.int64) * per64
+        ).astype(jnp.int64)
+        starts = jnp.concatenate(
+            [starts, jnp.full(1, per, jnp.int64)])
+        lens = starts[1:] - starts[:-1]
+        ok = (lens <= cap).all()
+        ok = lax.psum(ok.astype(jnp.int32), axis) == nranks
+
+        lane = jnp.arange(cap, dtype=jnp.int64)
+        rows = starts[:-1, None] + lane[None, :]       # (nranks, cap)
+        valid = lane[None, :] < lens[:, None]
+        rows_c = jnp.clip(rows, 0, per - 1)
+        req_o = jnp.where(valid, o_sorted[rows_c], _PAD)
+        req_s = jnp.where(valid, rank * per64 + j_sorted[rows_c], 0)
+        req = jnp.stack([req_o, req_s], axis=-1)       # (nranks, cap, 2)
+        req = lax.all_to_all(req, axis, 0, 0, tiled=False)
+
+        # 2. serve: gather my rows; record the inverse permutation
+        got_o, got_s = req[..., 0], req[..., 1]
+        got_valid = got_o != _PAD
+        loc = jnp.clip(got_o - rank * per64, 0, per - 1)
+        reply = jnp.where(got_valid[..., None],
+                          data_s[loc.reshape(-1)].reshape(
+                              nranks, cap, k), 0)
+        # pads scatter to distinct out-of-range rows (dropped), keeping
+        # the index set genuinely unique
+        pad_idx = per + jnp.arange(nranks * cap, dtype=jnp.int64)
+        inv_idx = jnp.where(got_valid.reshape(-1), loc.reshape(-1),
+                            pad_idx)
+        inv = jnp.zeros(per, jnp.int64).at[inv_idx].set(
+            got_s.reshape(-1), mode="drop", unique_indices=True)
+
+        # 3. route replies back and unpack to slot order
+        reply = lax.all_to_all(reply, axis, 0, 0, tiled=False)
+        dest_k = jnp.searchsorted(
+            starts[1:], j, side="right").astype(jnp.int64)
+        lane_k = j - starts[dest_k]
+        val_sorted = reply[dest_k, jnp.clip(lane_k, 0, cap - 1)]
+        out = jnp.zeros((per, k), data_s.dtype).at[j_sorted].set(
+            val_sorted, unique_indices=True)
+        return out[None], inv[None], ok[None]
+
+    spec = NamedSharding(mesh, P(axis, None))
+    ord_sh = jax.device_put(
+        jnp.asarray(order).reshape(nranks, per), spec)
+    data_sh = jax.device_put(
+        jnp.asarray(data).reshape(nranks, per, k),
+        NamedSharding(mesh, P(axis, None, None)))
+    out, inv, oks = jax.jit(_shard_map(
+        step, mesh, (P(axis, None), P(axis, None, None)),
+        (P(axis, None, None), P(axis, None), P(axis))))(ord_sh, data_sh)
+    return out, inv, bool(np.asarray(oks).all())
+
+
 def sharded_sort_gather(keys, mesh, **kwargs):
     """Convenience: sharded sort + host-side gather of the valid
     entries (for tests / small n)."""

@@ -113,3 +113,48 @@ def test_sharded_sort_overflow_flag(mesh):
     got = sharded_sort_gather(jax.numpy.asarray(keys), mesh,
                               capacity_factor=1.5)
     np.testing.assert_array_equal(got, keys)
+
+
+def test_sharded_permute_matches_fancy_indexing(mesh):
+    # data[order] and the inverse permutation, both mesh-sharded; the
+    # oracle is plain numpy fancy indexing
+    from boxtree_tpu.parallel.shard_sort import sharded_permute
+    rng = np.random.default_rng(35)
+    n = 1 << 13
+    order = rng.permutation(n).astype(np.int64)
+    data = rng.standard_normal((n, 3)).astype(np.float32)
+    out, inv, ok = sharded_permute(
+        jax.numpy.asarray(order), jax.numpy.asarray(data), mesh)
+    assert ok
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(n, 3), data[order])
+    invh = np.empty(n, np.int64)
+    invh[order] = np.arange(n)
+    np.testing.assert_array_equal(np.asarray(inv).reshape(-1), invh)
+
+
+def test_sharded_permute_overflow_flag(mesh):
+    # a permutation that maps one owner's originals to one requester
+    # (identity blocks reversed) still fits; an adversarial one where
+    # one rank requests EVERYTHING from rank 0 must trip the flag at a
+    # small capacity and pass at nranks
+    from boxtree_tpu.parallel.shard_sort import sharded_permute
+    n = 1 << 12
+    per = n // 8
+    order = np.arange(n, dtype=np.int64)
+    # rank 0's sorted slots pull one original from every rank,
+    # rank-local position 0..: fine at any capacity >= per/nranks + 1.
+    # Make rank 0 request ONLY rank 7's originals instead:
+    order[:per] = np.arange(7 * per, 8 * per)
+    order[7 * per:] = np.arange(per)
+    data = np.arange(n, dtype=np.float64)[:, None]
+    _, _, ok = sharded_permute(
+        jax.numpy.asarray(order), jax.numpy.asarray(data), mesh,
+        capacity_factor=2.0)
+    assert not ok
+    out, inv, ok2 = sharded_permute(
+        jax.numpy.asarray(order), jax.numpy.asarray(data), mesh,
+        capacity_factor=8.0)
+    assert ok2
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1), data[order].reshape(-1))
