@@ -631,34 +631,44 @@ def _fill_l2_parent_chunked(gen, prows, child_level_parents, lsb_child,
     return out
 
 
-def _emit_keys(gen, rows_pfx, aux, buf, base):
-    """Contiguous-write key emission: blocks of pre-packed keys (invalid
-    -> ``_INVALID_KEY``) land at static offsets; one later sort both
-    compacts and row-orders them."""
+def _emit_compact(gen, rows_pfx, aux, buf, off):
+    """Fused key emission + chunk-local sort + compaction.
+
+    Each scan chunk's keys are sorted locally (valid keys first —
+    ``_INVALID_KEY`` sorts last) and the WHOLE sorted chunk — garbage
+    tail included — is written at the running valid offset *off*; the
+    offset then advances by the chunk's valid count, so the next write
+    overwrites the previous tail.  After the scan ``buf[:off]`` holds
+    exactly the valid keys (sorted per chunk) and ``buf[off:]`` is all
+    ``_INVALID_KEY`` (*buf* must arrive pre-filled with it).
+
+    TPU rationale (doc/PERF.md): the emitted lanes are ~85-95% invalid
+    pad (the cross-level windows rarely hit leaf boxes), so the former
+    design's ONE global sort over every padded lane paid multi-GB
+    multi-pass traffic; chunk sorts pay only ~log^2(chunk) passes over
+    O(chunk) memory and the final compaction sort (``_edge_sort_pass``)
+    runs over just the real edges, whose count became static at the
+    host sync."""
     padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
     nrows = rows_pfx.shape[0]
     aux_p = [_pad_rows(a, _ROW_CHUNK)[0] for a in aux]
     valid_row = jnp.arange(padded.shape[0]) < nrows
-    k = jax.eval_shape(
-        gen, padded[:_ROW_CHUNK],
-        *[a[:_ROW_CHUNK] for a in aux_p]).shape[1]
-    block = _ROW_CHUNK * k
 
     def body(carry, inp):
-        buf = carry
-        i, vr = inp[0], inp[-1]
-        keys = jnp.where(vr[:, None], gen(inp[1], *inp[2:-1]),
+        buf, off = carry
+        vr = inp[-1]
+        keys = jnp.where(vr[:, None], gen(inp[0], *inp[1:-1]),
                          _INVALID_KEY)
-        buf = lax.dynamic_update_slice(
-            buf, keys.reshape(-1), (base + i * block,))
-        return buf, None
+        skeys = lax.sort(keys.reshape(-1))
+        nv = jnp.searchsorted(skeys, _INVALID_KEY).astype(jnp.int64)
+        buf = lax.dynamic_update_slice(buf, skeys, (off,))
+        return (buf, off + nv), None
 
-    buf, _ = lax.scan(
-        body, buf,
-        (jnp.arange(nchunks, dtype=jnp.int64),
-         *(a.reshape(nchunks, -1) for a in (padded, *aux_p)),
+    (buf, off), _ = lax.scan(
+        body, (buf, off),
+        (*(a.reshape(nchunks, -1) for a in (padded, *aux_p)),
          valid_row.reshape(nchunks, -1)))
-    return buf, base + nchunks * block
+    return buf, off
 
 
 # }}}
@@ -965,19 +975,20 @@ def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
 @partial(jax.jit, static_argnames=(
     "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "fast",
     "src_levels", "tgt_levels", "ls_totp", "ext", "crit", "min_nsources"))
-def _edge_fill_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
+def _edge_emit_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
                     ntable, parents, totp_boxes, ext_data, *, dimensions,
                     n_away, lsb, ls_tgt, ntarget_boxes, fast,
                     src_levels=None, tgt_levels=None, ls_totp=None,
                     ext=False, crit=None, min_nsources=0):
-    """Single-enumeration edge-list construction for List 1, the
-    per-source-level List 3, and (with target extents) the close lists:
-    emit every edge key into a padded buffer, sort, and read the CSR
-    starts, totals, and nonempty-row counts straight off the sorted
-    buffer.  Replaces the round-2 counts pass, which re-ran every
-    generator a second time just to size the outputs (doc/PERF.md); the
-    sorted buffers stay on device across the single host totals sync and
-    `_edge_slice_pass` extracts the final static-shape lists."""
+    """Single-enumeration edge emission for List 1, the per-source-level
+    List 3, and (with target extents) the close lists, via the
+    compaction scan (:func:`_emit_compact`): each buffer comes back with
+    its valid keys compacted to the front (sorted per chunk) plus the
+    exact valid count as a device scalar.  The host totals sync makes
+    the counts static; `_edge_sort_pass` then sorts just the real edges
+    and reads the CSR starts off them.  Replaces both the round-2 counts
+    pass (a full second enumeration) and the round-3 global sorts over
+    every padded lane (doc/PERF.md)."""
     nlevels = len(lsb) - 1
     l1_tgt, l1_src, l3g, l4cg = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
@@ -985,13 +996,12 @@ def _edge_fill_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
         ext_data=ext_data, crit=crit, min_nsources=min_nsources)
 
-    nboxes = lsb[-1]
-
     def emit_plan(plan):
-        """Run a list of (gen, rows, aux) emissions into one padded key
-        buffer; returns the sorted keys (invalid keys sort last, and the
-        ``searchsorted``-based starts stop at the real rows, so no
-        slicing of the key buffer itself is needed)."""
+        """Run a list of (gen, rows, aux) emissions through the
+        compaction scan into one shared buffer; returns (buf, nvalid).
+        The buffer is sized for the all-valid worst case (every chunk
+        write stays in bounds because the running offset can never
+        exceed the lanes already passed)."""
         size = 0
         for gen, rows, aux in plan:
             k = jax.eval_shape(
@@ -1000,18 +1010,11 @@ def _edge_fill_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
                   for a in aux]).shape[1]
             size += max(1, -(-rows.shape[0] // _ROW_CHUNK)) \
                 * _ROW_CHUNK * k
-        buf = jnp.zeros(size, jnp.int64)
-        base = 0
+        buf = jnp.full(size, _INVALID_KEY, jnp.int64)
+        off = jnp.int64(0)
         for gen, rows, aux in plan:
-            buf, base = _emit_keys(gen, rows, aux, buf, base)
-        return lax.sort(buf)
-
-    def nvalid(keys):
-        return jnp.searchsorted(keys, _INVALID_KEY).astype(jnp.int64)
-
-    def starts_of(keys):
-        return _starts_of_box_keys(keys >> np.int64(32), target_boxes,
-                                   nboxes)
+            buf, off = _emit_compact(gen, rows, aux, buf, off)
+        return buf, off
 
     # List 1
     l1_plan = []
@@ -1026,14 +1029,11 @@ def _edge_fill_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         l1_plan.append((l1_src(ls), ids_l, (ids_l.astype(jnp.int64),)))
-    l1_keys = emit_plan(l1_plan)
-    l1 = (l1_keys, starts_of(l1_keys), nvalid(l1_keys))
+    l1 = emit_plan(l1_plan)
 
     # List 3 per source level (a level can contribute iff any level at
     # or below it holds source boxes)
-    dummy = (jnp.full(1, _INVALID_KEY, jnp.int64),
-             jnp.zeros(ntarget_boxes + 1, jnp.int32),
-             jnp.int64(0), jnp.int64(0))
+    dummy = (jnp.full(1, _INVALID_KEY, jnp.int64), jnp.int64(0))
     l3 = []
     for ls in range(nlevels):
         if ls == 0 or (src_levels is not None
@@ -1041,16 +1041,11 @@ def _edge_fill_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             l3.append(dummy)
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-        keys = emit_plan(
-            [(l3g(ls), ids_l, (ids_l.astype(jnp.int64),))])
-        starts = starts_of(keys)
-        row_counts = starts[1:] - starts[:-1]
-        l3.append((keys, starts, nvalid(keys),
-                   (row_counts > 0).sum().astype(jnp.int64)))
+        l3.append(emit_plan(
+            [(l3g(ls), ids_l, (ids_l.astype(jnp.int64),))]))
 
     # close lists (target extents only): one CSR each over target rows
-    closed = (dummy[0], dummy[1], dummy[2])
-    l3c = l4c = closed
+    l3c = l4c = dummy
     if ext:
         l3c_plan = []
         for ls in range(1, nlevels):
@@ -1065,24 +1060,63 @@ def _edge_fill_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             rows = totp_boxes[r0:r1]
             l4c_plan.append((l4cg(lb), rows,
                              (rows.astype(jnp.int64),)))
-        l3c_keys = emit_plan(l3c_plan)
-        l4c_keys = emit_plan(l4c_plan)
-        l3c = (l3c_keys, starts_of(l3c_keys), nvalid(l3c_keys))
-        l4c = (l4c_keys, starts_of(l4c_keys), nvalid(l4c_keys))
+        l3c = emit_plan(l3c_plan)
+        l4c = emit_plan(l4c_plan)
 
     return l1, tuple(l3), (l3c, l4c)
 
 
-@partial(jax.jit, static_argnames=("nlevels", "l1_total", "l3_totals",
-                                   "l3_nonempty", "ext", "l3c_total",
+@partial(jax.jit, static_argnames=("nboxes", "nlevels", "l1_total",
+                                   "l3_totals", "ext", "l3c_total",
                                    "l4c_total"))
+def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
+                    nboxes, nlevels, l1_total, l3_totals, ext,
+                    l3c_total=0, l4c_total=0):
+    """Sort each compacted edge buffer's (now statically sized) valid
+    prefix and read the CSR starts + nonempty-row counts off it.  These
+    sorts run over real edges only — the padded emission lanes never
+    see a global sort."""
+    def starts_of(keys):
+        return _starts_of_box_keys(keys >> np.int64(32), target_boxes,
+                                   nboxes)
+
+    l1_keys = lax.sort(l1_buf[:l1_total])
+    l1 = (l1_keys, starts_of(l1_keys))
+
+    ntb = target_boxes.shape[0]
+    dummy = (jnp.full(1, _INVALID_KEY, jnp.int64),
+             jnp.zeros(ntb + 1, jnp.int32), jnp.int64(0))
+    l3 = []
+    for ls in range(nlevels):
+        total = l3_totals[ls]
+        if total == 0:
+            l3.append(dummy)
+            continue
+        keys = lax.sort(l3_bufs[ls][:total])
+        starts = starts_of(keys)
+        row_counts = starts[1:] - starts[:-1]
+        l3.append((keys, starts,
+                   (row_counts > 0).sum().astype(jnp.int64)))
+
+    l3c = l4c = (dummy[0], dummy[1])
+    if ext:
+        l3c_keys = lax.sort(l3c_buf[:l3c_total])
+        l4c_keys = lax.sort(l4c_buf[:l4c_total])
+        l3c = (l3c_keys, starts_of(l3c_keys))
+        l4c = (l4c_keys, starts_of(l4c_keys))
+
+    return l1, tuple(l3), (l3c, l4c)
+
+
+@partial(jax.jit, static_argnames=("nlevels", "l3_totals",
+                                   "l3_nonempty", "ext"))
 def _edge_slice_pass(l1_keys, l3_keys, l3_starts, l3c_keys, l4c_keys,
-                     target_boxes, *, nlevels, l1_total, l3_totals,
-                     l3_nonempty, ext, l3c_total=0, l4c_total=0):
-    """Extract the final static-shape lists from the sorted key buffers
-    (totals became static via the host sync)."""
+                     target_boxes, *, nlevels, l3_totals,
+                     l3_nonempty, ext):
+    """Extract the final static-shape lists from the sorted compact key
+    buffers (all totals are static by now)."""
     mask32 = np.int64(0xFFFFFFFF)
-    l1_lists = (l1_keys[:l1_total] & mask32).astype(jnp.int32)
+    l1_lists = (l1_keys & mask32).astype(jnp.int32)
 
     l3_out = []
     for ls in range(nlevels):
@@ -1095,7 +1129,7 @@ def _edge_slice_pass(l1_keys, l3_keys, l3_starts, l3c_keys, l4c_keys,
                            jnp.zeros(0, jnp.int32)))
             continue
         starts = l3_starts[ls]
-        lists = (l3_keys[ls][:total] & mask32).astype(jnp.int32)
+        lists = (l3_keys[ls] & mask32).astype(jnp.int32)
         row_counts = starts[1:] - starts[:-1]
         ne_rows = _mask_to_list(row_counts > 0, total=nne)
         comp_starts = jnp.concatenate(
@@ -1106,8 +1140,8 @@ def _edge_slice_pass(l1_keys, l3_keys, l3_starts, l3c_keys, l4c_keys,
 
     close_out = None
     if ext:
-        close_out = ((l3c_keys[:l3c_total] & mask32).astype(jnp.int32),
-                     (l4c_keys[:l4c_total] & mask32).astype(jnp.int32))
+        close_out = ((l3c_keys & mask32).astype(jnp.int32),
+                     (l4c_keys & mask32).astype(jnp.int32))
     return l1_lists, tuple(l3_out), close_out
 
 # }}}
@@ -1287,12 +1321,12 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     _toc("counts_rowlists", _t, slnws_tot)
     _t = _tic()
 
-    # single-enumeration edge construction: emit every edge key into a
-    # sorted padded buffer; starts + totals read straight off it (the
-    # round-2 design ran a separate counts pass re-running every
-    # generator — doc/PERF.md roadmap item 3)
-    (l1_keys, l1_starts, l1_tot), l3_buf, (l3c_buf, l4c_buf) = (
-        _edge_fill_pass(
+    # single-enumeration edge construction: the compaction scan emits
+    # every edge key and compacts the valid ones to the buffer front
+    # with an exact device-scalar count (no global sort over the ~90%
+    # invalid padded lanes — doc/PERF.md)
+    (l1_buf, l1_tot), l3_em, (l3c_em, l4c_em) = (
+        _edge_emit_pass(
             prefixes, target_boxes, flags_dev, tgt_row_of_box_dev,
             ntable, parents_dev, target_or_target_parent_boxes,
             ext_data, dimensions=d, n_away=n_away, lsb=lsb,
@@ -1301,18 +1335,16 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
             ls_totp=ls_totp, ext=ext, crit=crit,
             min_nsources=min_nsources))
 
-    _toc("fill_edges", _t, l1_keys)
+    _toc("emit_edges", _t, l1_buf)
     _t = _tic()
 
-    # single host sync for every size
+    # first host sync: every list size
     packed = jax.device_get(_pack_totals(
-        slnws_tot, l2_tot, l4_tot, l1_tot, l3c_buf[2], l4c_buf[2],
-        jnp.stack([l3_buf[ls][2] for ls in range(nlevels)]),
-        jnp.stack([l3_buf[ls][3] for ls in range(nlevels)])))
+        slnws_tot, l2_tot, l4_tot, l1_tot, l3c_em[1], l4c_em[1],
+        jnp.stack([l3_em[ls][1] for ls in range(nlevels)])))
     slnws_total, l2_total, l4_total, l1_total, l3c_total, l4c_total = (
         int(packed[i]) for i in range(6))
     l3_totals = tuple(int(x) for x in packed[6:6 + nlevels])
-    l3_nonempty = tuple(int(x) for x in packed[6 + nlevels:])
 
     _toc("host_sync", _t)
     _t = _tic()
@@ -1330,17 +1362,29 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     _toc("fill_rowlists", _t, slnws_lists, l2_lists, l4_lists)
     _t = _tic()
 
-    l1_lists, l3_csr, close_lists = _edge_slice_pass(
-        l1_keys, tuple(l3_buf[ls][0] for ls in range(nlevels)),
-        tuple(l3_buf[ls][1] for ls in range(nlevels)),
-        l3c_buf[0], l4c_buf[0], target_boxes,
+    # sort the real edges (static sizes now) + CSR starts; the second
+    # sync pulls only the nonempty-List-3-row counts (nlevels ints)
+    (l1_keys, l1_starts), l3_srt, (l3c_srt, l4c_srt) = _edge_sort_pass(
+        l1_buf, tuple(l3_em[ls][0] for ls in range(nlevels)),
+        l3c_em[0], l4c_em[0], target_boxes, nboxes=nboxes,
         nlevels=nlevels, l1_total=l1_total, l3_totals=l3_totals,
-        l3_nonempty=l3_nonempty, ext=ext, l3c_total=l3c_total,
-        l4c_total=l4c_total)
+        ext=ext, l3c_total=l3c_total, l4c_total=l4c_total)
+    l3_nonempty = tuple(
+        int(x) for x in jax.device_get(jnp.stack(
+            [l3_srt[ls][2] for ls in range(nlevels)])))
+    _toc("sort_edges", _t, l1_keys)
+    _t = _tic()
+
+    l1_lists, l3_csr, close_lists = _edge_slice_pass(
+        l1_keys, tuple(l3_srt[ls][0] for ls in range(nlevels)),
+        tuple(l3_srt[ls][1] for ls in range(nlevels)),
+        l3c_srt[0], l4c_srt[0], target_boxes,
+        nlevels=nlevels, l3_totals=l3_totals,
+        l3_nonempty=l3_nonempty, ext=ext)
     close_csr = None
     if ext:
-        close_csr = ((l3c_buf[1], close_lists[0]),
-                     (l4c_buf[1], close_lists[1]))
+        close_csr = ((l3c_srt[1], close_lists[0]),
+                     (l4c_srt[1], close_lists[1]))
     _toc("slice_edges", _t, l1_lists)
 
     from_sep_smaller_by_level = []
