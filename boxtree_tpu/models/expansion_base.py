@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import os
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +53,57 @@ from boxtree_tpu.models.particle_blocks import (
 from boxtree_tpu.traversal.build import _offsets
 
 _EDGE_CHUNK = 4096
+
+
+@partial(jax.jit, static_argnames=("ntb", "lmax"))
+def _rowmap_from_edges(rows, srcs, *, ntb, lmax):
+    """Padded (ntb, lmax) row->source-box map from flat (row, src)
+    edges: one packed int64 key sort, contiguous unpack, unique
+    scatter.  Unused slots hold -1."""
+    key = (rows.astype(jnp.int64) << np.int64(32)) | srcs.astype(jnp.int64)
+    ks = lax.sort(key)
+    r = (ks >> np.int64(32)).astype(jnp.int64)
+    s = (ks & np.int64(0xFFFFFFFF)).astype(jnp.int32)
+    starts = jnp.searchsorted(
+        r, jnp.arange(ntb, dtype=jnp.int64)).astype(jnp.int64)
+    pos = (jnp.arange(r.shape[0], dtype=jnp.int64)
+           - starts[jnp.clip(r, 0, ntb - 1)])
+    return jnp.full((ntb, lmax), -1, jnp.int32).at[r, pos].set(
+        s, mode="drop", unique_indices=True)
+
+
+@partial(jax.jit, static_argnames=("ntb",))
+def _merge_level_edges(tgts_by_level, starts_by_level, lists_by_level,
+                       row_of_box, *, ntb):
+    """Merge per-source-level CSR edge lists (rows are global target-box
+    ids via *tgts_by_level*) into flat (row, src) edges over the
+    target_boxes row set, plus the max row length (for the padded
+    row map's static width)."""
+    rows_parts, src_parts = [], []
+    for tgts, starts, lists in zip(
+            tgts_by_level, starts_by_level, lists_by_level):
+        e = int(lists.shape[0])
+        rows = csr_rows(starts, e)
+        rows_parts.append(
+            row_of_box[tgts.astype(jnp.int64)[rows]].astype(jnp.int32))
+        src_parts.append(lists.astype(jnp.int32))
+    rows = jnp.concatenate(rows_parts)
+    srcs = jnp.concatenate(src_parts)
+    counts = jnp.zeros(ntb, jnp.int32).at[rows.astype(jnp.int64)].add(
+        1, mode="drop")
+    return rows, srcs, counts.max()
+
+
+@jax.jit
+def _csr_lmax(starts):
+    return (starts[1:] - starts[:-1]).max()
+
+
+@partial(jax.jit, static_argnames=("ntb", "lmax"))
+def _rowmap_from_csr(starts, lists, *, ntb, lmax):
+    rows = csr_rows(starts, int(lists.shape[0])).astype(jnp.int32)
+    return _rowmap_from_edges(rows, lists.astype(jnp.int32),
+                              ntb=ntb, lmax=lmax)
 
 
 def _digit_groups(digits, nchild):
@@ -279,7 +332,10 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 > self._M2L_EDGE_CHUNK):
             self.m2l_plan.tiled(self._M2L_TILE)
 
+        self._tgt_row_of_box = None
         self._build_l1_row_plan(traversal)
+        self._build_m2p_row_plan(traversal)
+        self._build_p2l_row_plan(traversal)
 
         # per-(level, digit) M2M / L2L operator stacks (transposed for
         # row-vector application) + digit-sorted box plans
@@ -780,25 +836,28 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         if np.issubdtype(np.dtype(self.dtype), np.complexfloating):
             return                      # complex path: CPU-only, keep old
         lists = traversal.neighbor_source_boxes_lists
-        e = int(lists.shape[0])
-        if e == 0:
+        if int(lists.shape[0]) == 0:
             return
         starts = traversal.neighbor_source_boxes_starts
-        starts_h = np.asarray(starts).astype(np.int64)   # small pull
-        lens = starts_h[1:] - starts_h[:-1]
-        lmax = int(lens.max())
-        ntb = len(lens)
+        ntb = int(starts.shape[0]) - 1
+        lmax = int(_csr_lmax(starts))                  # scalar pull
         if not 0 < lmax <= 1024:
             return
-        rows = csr_rows(starts, e)
-        pos = (jnp.arange(e, dtype=jnp.int64)
-               - starts.astype(jnp.int64)[rows])
-        self._l1_rowmap = jnp.full((ntb, lmax), -1, jnp.int32).at[
-            rows, pos].set(lists.astype(jnp.int32), unique_indices=True)
-        self._l1_row_of_box = jnp.zeros(
-            self.tree.nboxes + 1, jnp.int32).at[
-            traversal.target_boxes.astype(jnp.int64)].set(
-            jnp.arange(ntb, dtype=jnp.int32))
+        self._l1_rowmap = _rowmap_from_csr(starts, lists,
+                                           ntb=ntb, lmax=lmax)
+        self._l1_row_of_box = self._tgt_row_of_box_arr()
+
+    def _tgt_row_of_box_arr(self):
+        """(nboxes + 1,) map: global box id -> its row in
+        ``traversal.target_boxes`` (shared by the row-major P2P/M2P
+        output-to-particle mapping)."""
+        if self._tgt_row_of_box is None:
+            tb_ids = self.traversal.target_boxes
+            self._tgt_row_of_box = jnp.zeros(
+                self.tree.nboxes + 1, jnp.int32).at[
+                tb_ids.astype(jnp.int64)].set(
+                jnp.arange(tb_ids.shape[0], dtype=jnp.int32))
+        return self._tgt_row_of_box
 
     def _eval_direct_rowmajor(self, src_weights):
         tree = self.tree
@@ -913,8 +972,108 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     # {{{ M2P
 
+    #: target rows per scan trip of the row-major List-3 M2P
+    _M2P_ROW_CHUNK = 128
+
+    def _build_m2p_row_plan(self, traversal):
+        """Padded (ntarget_boxes, lmax) List-3 source-box map merged
+        over all source levels (the per-source rscale is looked up per
+        box, so one map suffices): contiguous writes replace the edge
+        formulation's per-edge (pmax,)-potential scatter-adds."""
+        self._m2p_rowmap = None
+        if np.issubdtype(np.dtype(self.dtype), np.complexfloating):
+            return
+        tgts, starts, lists = [], [], []
+        for tgt_l, ssn in zip(
+                traversal.target_boxes_sep_smaller_by_source_level,
+                traversal.from_sep_smaller_by_level):
+            if int(ssn.lists.shape[0]) == 0:
+                continue
+            tgts.append(tgt_l)
+            starts.append(ssn.starts)
+            lists.append(ssn.lists)
+        if not lists:
+            return
+        ntb = int(traversal.target_boxes.shape[0])
+        rows, srcs, lmax = _merge_level_edges(
+            tuple(tgts), tuple(starts), tuple(lists),
+            self._tgt_row_of_box_arr(), ntb=ntb)
+        lmax = int(lmax)                               # scalar pull
+        if not 0 < lmax <= 1024 or ntb * lmax > (1 << 27):
+            return
+        self._m2p_rowmap = _rowmap_from_edges(rows, srcs,
+                                              ntb=ntb, lmax=lmax)
+
+    def _eval_multipoles_rowmajor(self, mpole_exps):
+        tree = self.tree
+        tb = self.tgt_blocks
+        rmap = self._m2p_rowmap
+        ntb, lmax = rmap.shape
+        bt = self._M2P_ROW_CHUNK
+        ctr_t = self.centers.T                          # (nboxes, d)
+        scl = None
+        if self._scale_of_level is not None:
+            scl = self._scale_of_level[tree.box_levels]
+
+        ntb_pad = -(-ntb // bt) * bt
+        rmap_p = jnp.concatenate(
+            [rmap, jnp.full((ntb_pad - ntb, lmax), -1, rmap.dtype)])
+        tboxes_p = jnp.concatenate(
+            [self.traversal.target_boxes.astype(jnp.int64),
+             jnp.zeros(ntb_pad - ntb, jnp.int64)])
+
+        out = jnp.zeros((ntb_pad, tb.pmax, *self._pot_extra_dims),
+                        self.dtype)
+
+        def body(carry, i):
+            r0 = i * bt
+            tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
+            tpts = tb.points[tbox]                      # (bt, pm, d)
+            nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
+                                    (bt, lmax))
+            valid = nbr >= 0
+            nb = jnp.clip(nbr, 0).astype(jnp.int64)
+            sctr = ctr_t[nb]                            # (bt, lmax, d)
+            exps = mpole_exps[nb]                       # (bt, lmax, K)
+            if scl is None:
+                def per_src(tp, c, e):
+                    return self._m2p_eval(tp.T - c[:, None], e)
+                vals = jax.vmap(lambda tp, cs, es: jax.vmap(
+                    lambda c, e: per_src(tp, c, e))(cs, es))(
+                    tpts, sctr, exps)
+            else:
+                s = scl[nb]                             # (bt, lmax)
+
+                def per_src(tp, c, e, ss):
+                    return self._m2p_eval((tp.T - c[:, None]) / ss,
+                                          e, ss)
+                vals = jax.vmap(lambda tp, cs, es, ssv: jax.vmap(
+                    lambda c, e, ss: per_src(tp, c, e, ss))(
+                    cs, es, ssv))(tpts, sctr, exps, s)
+            # vals: (bt, lmax, pm, *extra) — mask dead slots, sum srcs
+            vmask = valid.reshape(bt, lmax,
+                                  *([1] * (vals.ndim - 2)))
+            vals = jnp.where(vmask, vals, 0).sum(axis=1)
+            idx = (r0,) + (jnp.int64(0),) * (out.ndim - 1)
+            return lax.dynamic_update_slice(
+                carry, vals.astype(carry.dtype), idx), None
+
+        out, _ = lax.scan(body, out,
+                          jnp.arange(ntb_pad // bt, dtype=jnp.int64))
+
+        row = self._tgt_row_of_box_arr()[
+            tree.box_id_of_target.astype(jnp.int64)].astype(jnp.int64)
+        off = (jnp.arange(tree.ntargets, dtype=jnp.int64)
+               - tree.box_target_starts.astype(jnp.int64)[
+                   tree.box_id_of_target])
+        return out[row, off]
+
     def eval_multipoles(self, target_boxes_by_source_level,
                         from_sep_smaller_by_level, mpole_exps):
+        if (self._m2p_rowmap is not None
+                and from_sep_smaller_by_level
+                is self.traversal.from_sep_smaller_by_level):
+            return self._eval_multipoles_rowmajor(mpole_exps)
         tgt_parts, src_parts = [], []
         for level, ssn in enumerate(from_sep_smaller_by_level):
             if ssn.count == 0:
@@ -972,6 +1131,115 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     # {{{ P2L
 
+    #: target rows per scan trip of the row-major List-4 P2L
+    _P2L_ROW_CHUNK = 128
+
+    def _build_p2l_row_plan(self, traversal):
+        """Padded (n_totp_rows, lmax) List-4 source-box map.  Each
+        target-or-target-parent row appears once, so the local-expansion
+        contributions come out as pure contiguous writes (one unique
+        scatter at the end) instead of per-edge (ncoeff,) scatter-adds —
+        the FMM stage profile's most expensive stage (doc/PERF.md)."""
+        self._p2l_rowmap = None
+        if np.issubdtype(np.dtype(self.dtype), np.complexfloating):
+            return
+        starts = traversal.from_sep_bigger_starts
+        lists = traversal.from_sep_bigger_lists
+        if int(lists.shape[0]) == 0:
+            return
+        nr = int(traversal.target_or_target_parent_boxes.shape[0])
+        lmax = int(_csr_lmax(starts))                  # scalar pull
+        if not 0 < lmax <= 1024 or nr * lmax > (1 << 27):
+            return
+        self._p2l_rowmap = _rowmap_from_csr(starts, lists,
+                                            ntb=nr, lmax=lmax)
+
+    def _form_locals_rowmajor(self, totp_boxes, src_weights):
+        tree = self.tree
+        sb = self.src_blocks
+        rmap = self._p2l_rowmap
+        nr, lmax = rmap.shape
+        bt = self._P2L_ROW_CHUNK
+        d = self.dim
+        pm = sb.pmax
+
+        q_blocks = sb.gather_values(src_weights.astype(self.dtype))
+        lanes = [sb.points,
+                 sb.mask.astype(sb.points.dtype)[..., None],
+                 q_blocks[..., None].astype(sb.points.dtype)]
+        if self.dipole_vec is not None:
+            lanes.append(self._dip_blocks.astype(sb.points.dtype))
+        pack = jnp.concatenate(lanes, axis=-1)
+        pack = jnp.concatenate(
+            [pack, jnp.zeros((1,) + pack.shape[1:], pack.dtype)])
+
+        ctr_t = self.centers.T                          # (nboxes, d)
+        scl = None
+        if self._scale_of_level is not None:
+            scl = self._scale_of_level[tree.box_levels]
+
+        nr_pad = -(-nr // bt) * bt
+        rmap_p = jnp.concatenate(
+            [rmap, jnp.full((nr_pad - nr, lmax), -1, rmap.dtype)])
+        totp_p = jnp.concatenate(
+            [totp_boxes.astype(jnp.int64),
+             jnp.zeros(nr_pad - nr, jnp.int64)])
+
+        out = jnp.zeros((nr_pad, self.ncoeff), self.dtype)
+
+        def body(carry, i):
+            r0 = i * bt
+            tbox = lax.dynamic_slice(totp_p, (r0,), (bt,))
+            ctr = ctr_t[tbox]                           # (bt, d)
+            nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
+                                    (bt, lmax))
+            sp = pack[jnp.where(nbr >= 0, nbr,
+                                tree.nboxes).astype(jnp.int64)]
+            spts = sp[..., :d].reshape(bt, lmax * pm, d)
+            sval = sp[..., d].reshape(bt, lmax * pm) > 0
+            qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(self.dtype)
+
+            if self.dipole_vec is None:
+                def per_row(c, pts, sv, qq, ss):
+                    rel = (pts.T - c[:, None]) / ss     # (d, lmax*pm)
+                    terms = self._p2l_terms(rel, qq, ss)
+                    return jnp.sum(
+                        jnp.where(sv[:, None], terms, 0), axis=0)
+            else:
+                dd = sp[..., d + 2:].reshape(bt, lmax * pm, d)
+
+                def per_row(c, pts, sv, qq, ss, dp):
+                    rel = (pts.T - c[:, None]) / ss
+                    _, terms = jax.jvp(
+                        lambda r: self._p2l_terms(r, qq, ss),
+                        (rel,), (dp.T.astype(rel.dtype) / ss,))
+                    return jnp.sum(
+                        jnp.where(sv[:, None], terms, 0), axis=0)
+
+            if scl is None:
+                args = (ctr, spts, sval, qv,
+                        jnp.ones(bt, spts.dtype))
+            else:
+                args = (ctr, spts, sval, qv, scl[tbox])
+            if self.dipole_vec is not None:
+                args = args + (dd,)
+            vals = jax.vmap(per_row)(*args)             # (bt, K)
+            return lax.dynamic_update_slice(
+                carry, vals.astype(carry.dtype),
+                (r0, jnp.int64(0))), None
+
+        out, _ = lax.scan(body, out,
+                          jnp.arange(nr_pad // bt, dtype=jnp.int64))
+
+        safe = jnp.concatenate(
+            [totp_boxes.astype(jnp.int64),
+             jnp.full(nr_pad - nr, tree.nboxes, jnp.int64)])
+        loc = jnp.zeros((tree.nboxes, self.ncoeff), self.dtype).at[
+            safe].set(out, mode="drop", unique_indices=True)
+        if self._coeff_mask is not None:
+            loc = loc * self._coeff_mask[tree.box_levels]
+        return loc
+
     def form_locals(self, level_start_target_or_target_parent_box_nrs,
                     target_or_target_parent_boxes, starts, lists,
                     src_weight_vecs):
@@ -979,6 +1247,10 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         nedges = int(lists.shape[0])
         if nedges == 0:
             return self.local_expansion_zeros()
+        if (self._p2l_rowmap is not None
+                and starts is self.traversal.from_sep_bigger_starts):
+            return self._form_locals_rowmajor(
+                target_or_target_parent_boxes, src_weights)
         rows = csr_rows(starts, nedges)
         return self.form_locals_edges(
             target_or_target_parent_boxes[rows], lists, None, src_weights)
