@@ -77,8 +77,8 @@ def _merge_level_edges(tgts_by_level, starts_by_level, lists_by_level,
                        row_of_box, *, ntb):
     """Merge per-source-level CSR edge lists (rows are global target-box
     ids via *tgts_by_level*) into flat (row, src) edges over the
-    target_boxes row set, plus the max row length (for the padded
-    row map's static width)."""
+    target_boxes row set, plus the max and nonempty row counts (for the
+    padded row map's static shape)."""
     rows_parts, src_parts = [], []
     for tgts, starts, lists in zip(
             tgts_by_level, starts_by_level, lists_by_level):
@@ -91,12 +91,49 @@ def _merge_level_edges(tgts_by_level, starts_by_level, lists_by_level,
     srcs = jnp.concatenate(src_parts)
     counts = jnp.zeros(ntb, jnp.int32).at[rows.astype(jnp.int64)].add(
         1, mode="drop")
-    return rows, srcs, counts.max()
+    return rows, srcs, counts.max(), (counts > 0).sum()
+
+
+@partial(jax.jit, static_argnames=("ntb", "nne", "lmax", "nboxes"))
+def _nonempty_rowmap(rows, srcs, boxes_of_row, *, ntb, nne, lmax,
+                     nboxes):
+    """Compress flat (row, src) edges to a (nne, lmax) padded map over
+    the NONEMPTY rows only (interaction lists 3/4 are sparse: most
+    boxes have no entries, and a full-row map wastes both memory and —
+    through the padded evaluation lanes — compute).  Returns the map,
+    the nonempty rows' global box ids, and the (nboxes+1,)
+    box -> compact-row inverse (-1 where absent)."""
+    counts = jnp.zeros(ntb, jnp.int32).at[rows.astype(jnp.int64)].add(
+        1, mode="drop")
+    mask = counts > 0
+    pos = jnp.cumsum(mask.astype(jnp.int64)) - 1
+    ne_rows = jnp.zeros(nne, jnp.int64).at[
+        jnp.where(mask, pos, nne)].set(
+        jnp.arange(ntb, dtype=jnp.int64), mode="drop",
+        unique_indices=True)
+    rank = pos[rows.astype(jnp.int64)].astype(jnp.int32)
+    rowmap = _rowmap_from_edges(rank, srcs, ntb=nne, lmax=lmax)
+    ne_boxes = boxes_of_row[ne_rows]
+    row_of_box = jnp.full(nboxes + 1, -1, jnp.int32).at[
+        ne_boxes.astype(jnp.int64)].set(
+        jnp.arange(nne, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    return rowmap, ne_boxes.astype(jnp.int64), row_of_box
 
 
 @jax.jit
 def _csr_lmax(starts):
     return (starts[1:] - starts[:-1]).max()
+
+
+@jax.jit
+def _csr_lmax_nne(starts):
+    lens = starts[1:] - starts[:-1]
+    return jnp.stack([lens.max().astype(jnp.int64),
+                      (lens > 0).sum().astype(jnp.int64)])
+
+
+_csr_rows_j = jax.jit(csr_rows, static_argnums=1)
 
 
 @partial(jax.jit, static_argnames=("ntb", "lmax"))
@@ -974,12 +1011,20 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     #: target rows per scan trip of the row-major List-3 M2P
     _M2P_ROW_CHUNK = 128
+    #: max padded-lane blowup (nne * lmax / nedges) the row-major M2P
+    #: map accepts; beyond it the padding costs more than the edge
+    #: path's scatter-adds (measured on the chip, doc/PERF.md)
+    _M2P_ROWMAJOR_MAX_WASTE = 2.0
 
     def _build_m2p_row_plan(self, traversal):
-        """Padded (ntarget_boxes, lmax) List-3 source-box map merged
+        """Padded (n_nonempty_rows, lmax) List-3 source-box map merged
         over all source levels (the per-source rscale is looked up per
         box, so one map suffices): contiguous writes replace the edge
-        formulation's per-edge (pmax,)-potential scatter-adds."""
+        formulation's per-edge (pmax,)-potential scatter-adds.  Only
+        the NONEMPTY rows are kept, and the map is skipped entirely
+        when row-length skew would still pad the evaluation lanes past
+        ~4x the real edge count (the edge path wins there — measured on
+        the chip, doc/PERF.md)."""
         self._m2p_rowmap = None
         if np.issubdtype(np.dtype(self.dtype), np.complexfloating):
             return
@@ -995,20 +1040,24 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         if not lists:
             return
         ntb = int(traversal.target_boxes.shape[0])
-        rows, srcs, lmax = _merge_level_edges(
+        rows, srcs, lmax, nne = _merge_level_edges(
             tuple(tgts), tuple(starts), tuple(lists),
             self._tgt_row_of_box_arr(), ntb=ntb)
-        lmax = int(lmax)                               # scalar pull
-        if not 0 < lmax <= 1024 or ntb * lmax > (1 << 27):
+        lmax, nne = int(lmax), int(nne)                # scalar pulls
+        nedges = int(rows.shape[0])
+        if (not 0 < lmax <= 1024
+                or nne * lmax > self._M2P_ROWMAJOR_MAX_WASTE * nedges):
             return
-        self._m2p_rowmap = _rowmap_from_edges(rows, srcs,
-                                              ntb=ntb, lmax=lmax)
+        (self._m2p_rowmap, self._m2p_rows,
+         self._m2p_row_of_box) = _nonempty_rowmap(
+            rows, srcs, traversal.target_boxes.astype(jnp.int64),
+            ntb=ntb, nne=nne, lmax=lmax, nboxes=self.tree.nboxes)
 
     def _eval_multipoles_rowmajor(self, mpole_exps):
         tree = self.tree
         tb = self.tgt_blocks
         rmap = self._m2p_rowmap
-        ntb, lmax = rmap.shape
+        ntb, lmax = rmap.shape                          # ntb = nne rows
         bt = self._M2P_ROW_CHUNK
         ctr_t = self.centers.T                          # (nboxes, d)
         scl = None
@@ -1019,8 +1068,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         rmap_p = jnp.concatenate(
             [rmap, jnp.full((ntb_pad - ntb, lmax), -1, rmap.dtype)])
         tboxes_p = jnp.concatenate(
-            [self.traversal.target_boxes.astype(jnp.int64),
-             jnp.zeros(ntb_pad - ntb, jnp.int64)])
+            [self._m2p_rows, jnp.zeros(ntb_pad - ntb, jnp.int64)])
 
         out = jnp.zeros((ntb_pad, tb.pmax, *self._pot_extra_dims),
                         self.dtype)
@@ -1061,12 +1109,17 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         out, _ = lax.scan(body, out,
                           jnp.arange(ntb_pad // bt, dtype=jnp.int64))
 
-        row = self._tgt_row_of_box_arr()[
+        # most target boxes have no List-3 entries: their particles
+        # read zero instead of a compact row
+        row = self._m2p_row_of_box[
             tree.box_id_of_target.astype(jnp.int64)].astype(jnp.int64)
         off = (jnp.arange(tree.ntargets, dtype=jnp.int64)
                - tree.box_target_starts.astype(jnp.int64)[
                    tree.box_id_of_target])
-        return out[row, off]
+        vals = out[jnp.clip(row, 0), off]
+        return jnp.where(
+            (row >= 0).reshape((-1,) + (1,) * (vals.ndim - 1)),
+            vals, 0)
 
     def eval_multipoles(self, target_boxes_by_source_level,
                         from_sep_smaller_by_level, mpole_exps):
@@ -1133,28 +1186,39 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     #: target rows per scan trip of the row-major List-4 P2L
     _P2L_ROW_CHUNK = 128
+    #: max padded-lane blowup for the row-major P2L map (the edge
+    #: path's per-edge (ncoeff,) scatter-adds cost more than M2P's, so
+    #: more padding is tolerable — measured, doc/PERF.md)
+    _P2L_ROWMAJOR_MAX_WASTE = 8.0
 
     def _build_p2l_row_plan(self, traversal):
-        """Padded (n_totp_rows, lmax) List-4 source-box map.  Each
-        target-or-target-parent row appears once, so the local-expansion
-        contributions come out as pure contiguous writes (one unique
-        scatter at the end) instead of per-edge (ncoeff,) scatter-adds —
-        the FMM stage profile's most expensive stage (doc/PERF.md)."""
+        """Padded (n_nonempty_rows, lmax) List-4 source-box map over the
+        NONEMPTY target-or-target-parent rows (List 4 is sparse).  Each
+        row appears once, so the local-expansion contributions come out
+        as contiguous writes plus one unique scatter, instead of
+        per-edge (ncoeff,) scatter-adds — formerly the FMM stage
+        profile's most expensive stage (doc/PERF.md)."""
         self._p2l_rowmap = None
         if np.issubdtype(np.dtype(self.dtype), np.complexfloating):
             return
         starts = traversal.from_sep_bigger_starts
         lists = traversal.from_sep_bigger_lists
-        if int(lists.shape[0]) == 0:
+        nedges = int(lists.shape[0])
+        if nedges == 0:
             return
         nr = int(traversal.target_or_target_parent_boxes.shape[0])
-        lmax = int(_csr_lmax(starts))                  # scalar pull
-        if not 0 < lmax <= 1024 or nr * lmax > (1 << 27):
+        lmax, nne = (int(x) for x in _csr_lmax_nne(starts))
+        if (not 0 < lmax <= 1024
+                or nne * lmax > self._P2L_ROWMAJOR_MAX_WASTE * nedges):
             return
-        self._p2l_rowmap = _rowmap_from_csr(starts, lists,
-                                            ntb=nr, lmax=lmax)
+        rows = _csr_rows_j(starts, nedges).astype(jnp.int32)
+        (self._p2l_rowmap, self._p2l_rows,
+         self._p2l_row_of_box) = _nonempty_rowmap(
+            rows, lists.astype(jnp.int32),
+            traversal.target_or_target_parent_boxes.astype(jnp.int64),
+            ntb=nr, nne=nne, lmax=lmax, nboxes=self.tree.nboxes)
 
-    def _form_locals_rowmajor(self, totp_boxes, src_weights):
+    def _form_locals_rowmajor(self, src_weights):
         tree = self.tree
         sb = self.src_blocks
         rmap = self._p2l_rowmap
@@ -1182,8 +1246,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         rmap_p = jnp.concatenate(
             [rmap, jnp.full((nr_pad - nr, lmax), -1, rmap.dtype)])
         totp_p = jnp.concatenate(
-            [totp_boxes.astype(jnp.int64),
-             jnp.zeros(nr_pad - nr, jnp.int64)])
+            [self._p2l_rows, jnp.zeros(nr_pad - nr, jnp.int64)])
 
         out = jnp.zeros((nr_pad, self.ncoeff), self.dtype)
 
@@ -1232,7 +1295,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                           jnp.arange(nr_pad // bt, dtype=jnp.int64))
 
         safe = jnp.concatenate(
-            [totp_boxes.astype(jnp.int64),
+            [self._p2l_rows,
              jnp.full(nr_pad - nr, tree.nboxes, jnp.int64)])
         loc = jnp.zeros((tree.nboxes, self.ncoeff), self.dtype).at[
             safe].set(out, mode="drop", unique_indices=True)
@@ -1249,8 +1312,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             return self.local_expansion_zeros()
         if (self._p2l_rowmap is not None
                 and starts is self.traversal.from_sep_bigger_starts):
-            return self._form_locals_rowmajor(
-                target_or_target_parent_boxes, src_weights)
+            return self._form_locals_rowmajor(src_weights)
         rows = csr_rows(starts, nedges)
         return self.form_locals_edges(
             target_or_target_parent_boxes[rows], lists, None, src_weights)

@@ -821,3 +821,149 @@ def sharded_neighbor_table(tree, skel, mesh):
         P(axis, None, None)))(
         jax.device_put(box_id, spec), jax.device_put(box_level, spec))
     return outs
+
+
+def sharded_l1_edges(tree, skel, ntable_rows, mesh):
+    """Per-rank List-1 edges over the sharded neighbor table.
+
+    Second sharded-traversal building block (doc/PERF.md design note,
+    item 4): each device emits the ``(tgt_box << 32) | src_box`` List-1
+    keys for the boxes it owns — the same-level neighbor row plus, per
+    cross-level shift ``s``, the <= 2^d coarser-level touching window of
+    the single-device fast generators
+    (:func:`boxtree_tpu.traversal.neighbors.fgen_list1_target_side` /
+    ``..._source_side``) — sorts and compacts them locally
+    (:func:`..traversal.build._emit_compact`'s chunk trick, one chunk
+    per rank).  The union over ranks equals the single-device
+    traversal's List 1 exactly (``tests/test_shard_build.py``).
+
+    The only cross-device exchange is ONE ``all_gather`` of each rank's
+    last owned neighbor-table row per level: a window's ancestor row
+    that is not locally owned belongs to a box that starts in an
+    earlier shard and spans into this one, which makes it precisely its
+    owner's LAST box of that level.
+
+    :arg ntable_rows: output of :func:`sharded_neighbor_table`, aligned
+        with ``skel["box_id"]``.
+    :returns: ``(keys, counts)`` — (nranks, cap * K) int64 per-rank key
+        blocks (each rank's valid keys sorted first, ``_INVALID_KEY``
+        pad after) and the (nranks,) valid counts.
+    """
+    from boxtree_tpu.traversal.build import _INVALID_KEY
+    from boxtree_tpu.traversal.neighbors import (
+        ID_MASK, SRC_BIT, TGT_BIT, _cross_window)
+
+    (axis,) = mesh.axis_names
+    d = tree.dimensions
+    m = 3 ** d
+    nboxes = tree.nboxes
+    nlevels = tree.nlevels
+    prefixes = jnp.asarray(tree.box_morton_prefixes)
+    parents = jnp.asarray(tree.box_parent_ids).astype(jnp.int64)
+    col_w = jnp.asarray(3 ** (d - 1 - np.arange(d)), jnp.int64)
+
+    box_id = skel["box_id"]
+    box_level = skel["box_level"]
+    cap = box_id.shape[1]
+
+    def step(bid, blev, nrows):
+        bid = bid[0].astype(jnp.int64)              # (cap,), -1 pad
+        blev = blev[0].astype(jnp.int64)
+        nrows = nrows[0]                            # (cap, m)
+        valid = bid >= 0
+        bid_c = jnp.clip(bid, 0)
+        bid_key = jnp.where(valid, bid, jnp.int64(nboxes) + 1)
+
+        # ancestor-at-level table (cap, nlevels): anc[c, l] = the
+        # level-l ancestor of box c (-1 above the root / below its own
+        # level); parents are replicated box metadata
+        anc = jnp.full((cap, nlevels), jnp.int64(-1))
+        cur = bid_c
+        lev_iota = jnp.arange(nlevels, dtype=jnp.int64)
+        for up in range(nlevels):
+            onehot = (blev - up)[:, None] == lev_iota[None, :]
+            anc = jnp.where(onehot & valid[:, None], cur[:, None], anc)
+            cur = parents[cur]
+
+        # halo: every rank's LAST owned row of every level (+ its id)
+        halo_parts = []
+        for lv in range(nlevels):
+            is_l = valid & (blev == lv)
+            last = jnp.where(is_l.any(),
+                             (cap - 1) - jnp.argmax(is_l[::-1]),
+                             cap - 1)
+            last_id = jnp.where(is_l.any(), bid[last], jnp.int64(-1))
+            halo_parts.append(jnp.concatenate(
+                [last_id[None], nrows[last].astype(jnp.int64)]))
+        halo = lax.all_gather(jnp.stack(halo_parts), axis)
+        halo_ids = halo[:, :, 0].T                  # (nlevels, nranks)
+        halo_rows = halo[:, :, 1:].astype(jnp.int32)  # (nranks, nlv, m)
+        halo_rows = jnp.swapaxes(halo_rows, 0, 1)   # (nlevels, nranks, m)
+
+        def row_of(gids, glev):
+            """Neighbor rows of global boxes *gids* at per-box levels
+            *glev*: local when owned, else the matching halo row."""
+            lr = jnp.clip(jnp.searchsorted(bid_key, gids), 0, cap - 1)
+            owned = bid[lr] == gids
+            lv = jnp.clip(glev, 0, nlevels - 1)
+            hid = halo_ids[lv]                      # (cap, nranks)
+            hrow = halo_rows[lv]                    # (cap, nranks, m)
+            hit = (hid == gids[:, None]) & (gids >= 0)[:, None]
+            far = jnp.einsum("cr,crm->cm", hit.astype(jnp.int32),
+                             hrow + 1).astype(jnp.int32) - 1
+            return jnp.where(owned[:, None], nrows[lr], far)
+
+        cells = morton.deinterleave(prefixes[bid_c], d)  # (d, cap)
+        center = nrows[:, m // 2]
+        is_tgt = valid & ((center & TGT_BIT) != 0)
+        is_src = valid & ((center & SRC_BIT) != 0)
+        tgt_hi = bid_c << np.int64(32)
+
+        keys = []
+
+        # same-level part: the whole neighbor row touches the box
+        ent = nrows
+        ok = is_tgt[:, None] & (ent >= 0) & ((ent & SRC_BIT) != 0)
+        keys.append(jnp.where(
+            ok, tgt_hi[:, None] | (ent & ID_MASK).astype(jnp.int64),
+            _INVALID_KEY))
+
+        # cross-level windows, one block per level shift
+        for s in range(1, nlevels):
+            delta, dvalid = _cross_window(cells, s, d)
+            col = ((delta + 1) * col_w[:, None, None]).sum(axis=0)
+            deep = valid & (blev >= s)
+            rows_a = row_of(jnp.where(deep, anc[
+                jnp.arange(cap), jnp.clip(blev - s, 0)], -1),
+                blev - s)
+            ent = jnp.take_along_axis(rows_a, col, axis=1)  # (cap, 2^d)
+
+            # target side: I am the (finer) target, window boxes are
+            # coarser sources
+            ok = (is_tgt[:, None] & deep[:, None] & dvalid
+                  & (ent >= 0) & ((ent & SRC_BIT) != 0))
+            keys.append(jnp.where(
+                ok, tgt_hi[:, None] | (ent & ID_MASK).astype(jnp.int64),
+                _INVALID_KEY))
+
+            # source side: I am the (finer) source, window boxes are
+            # coarser targets
+            ok = (is_src[:, None] & deep[:, None] & dvalid
+                  & (ent >= 0) & ((ent & TGT_BIT) != 0))
+            keys.append(jnp.where(
+                ok, ((ent & ID_MASK).astype(jnp.int64) << np.int64(32))
+                | bid_c[:, None], _INVALID_KEY))
+
+        flat = lax.sort(jnp.concatenate(keys, axis=1).reshape(-1))
+        count = jnp.searchsorted(flat, _INVALID_KEY).astype(jnp.int64)
+        return flat[None], count[None]
+
+    spec = NamedSharding(mesh, P(axis, None))
+    keys, counts = jax.jit(_shard_map(
+        step, mesh,
+        (P(axis, None), P(axis, None), P(axis, None, None)),
+        (P(axis, None), P(axis))))(
+        jax.device_put(box_id, spec), jax.device_put(box_level, spec),
+        jax.device_put(ntable_rows, NamedSharding(mesh, P(axis, None,
+                                                          None))))
+    return keys, counts

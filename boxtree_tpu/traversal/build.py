@@ -1083,9 +1083,12 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
     l1_keys = lax.sort(l1_buf[:l1_total])
     l1 = (l1_keys, starts_of(l1_keys))
 
-    ntb = target_boxes.shape[0]
+    # List 3 keeps only COMPRESSED (nonempty-row) CSRs, so the dense
+    # per-level starts searches over the target rows are replaced by
+    # boundary detection on the sorted keys (row changes mark the
+    # compressed starts directly)
     dummy = (jnp.full(1, _INVALID_KEY, jnp.int64),
-             jnp.zeros(ntb + 1, jnp.int32), jnp.int64(0))
+             jnp.zeros(1, bool), jnp.int64(0))
     l3 = []
     for ls in range(nlevels):
         total = l3_totals[ls]
@@ -1093,10 +1096,10 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
             l3.append(dummy)
             continue
         keys = lax.sort(l3_bufs[ls][:total])
-        starts = starts_of(keys)
-        row_counts = starts[1:] - starts[:-1]
-        l3.append((keys, starts,
-                   (row_counts > 0).sum().astype(jnp.int64)))
+        rows64 = keys >> np.int64(32)
+        bnd = jnp.concatenate(
+            [jnp.ones(1, bool), rows64[1:] != rows64[:-1]])
+        l3.append((keys, bnd, bnd.sum().astype(jnp.int64)))
 
     l3c = l4c = (dummy[0], dummy[1])
     if ext:
@@ -1110,11 +1113,14 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
 
 @partial(jax.jit, static_argnames=("nlevels", "l3_totals",
                                    "l3_nonempty", "ext"))
-def _edge_slice_pass(l1_keys, l3_keys, l3_starts, l3c_keys, l4c_keys,
-                     target_boxes, *, nlevels, l3_totals,
+def _edge_slice_pass(l1_keys, l3_keys, l3_bnds, l3c_keys, l4c_keys,
+                     tgt_row_of_box, *, nlevels, l3_totals,
                      l3_nonempty, ext):
     """Extract the final static-shape lists from the sorted compact key
-    buffers (all totals are static by now)."""
+    buffers (all totals are static by now).  List 3's compressed CSR
+    comes straight from the row-boundary masks: the boundary positions
+    ARE the compressed starts, and the boundary keys carry the
+    nonempty target boxes."""
     mask32 = np.int64(0xFFFFFFFF)
     l1_lists = (l1_keys & mask32).astype(jnp.int32)
 
@@ -1128,14 +1134,15 @@ def _edge_slice_pass(l1_keys, l3_keys, l3_starts, l3c_keys, l4c_keys,
                            jnp.zeros(0, jnp.int32),
                            jnp.zeros(0, jnp.int32)))
             continue
-        starts = l3_starts[ls]
-        lists = (l3_keys[ls] & mask32).astype(jnp.int32)
-        row_counts = starts[1:] - starts[:-1]
-        ne_rows = _mask_to_list(row_counts > 0, total=nne)
+        keys = l3_keys[ls]
+        lists = (keys & mask32).astype(jnp.int32)
+        pos = _mask_to_list(l3_bnds[ls], total=nne)
         comp_starts = jnp.concatenate(
-            [starts[ne_rows.astype(jnp.int64)],
-             jnp.full(1, total, jnp.int32)])
-        tgt_sep = target_boxes[ne_rows.astype(jnp.int64)]
+            [pos, jnp.full(1, total, jnp.int32)])
+        tgt_sep = (keys[pos.astype(jnp.int64)]
+                   >> np.int64(32)).astype(jnp.int32)
+        ne_rows = tgt_row_of_box[tgt_sep.astype(jnp.int64)].astype(
+            jnp.int32)
         l3_out.append((comp_starts, lists, ne_rows, tgt_sep))
 
     close_out = None
@@ -1378,7 +1385,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     l1_lists, l3_csr, close_lists = _edge_slice_pass(
         l1_keys, tuple(l3_srt[ls][0] for ls in range(nlevels)),
         tuple(l3_srt[ls][1] for ls in range(nlevels)),
-        l3c_srt[0], l4c_srt[0], target_boxes,
+        l3c_srt[0], l4c_srt[0], tgt_row_of_box_dev,
         nlevels=nlevels, l3_totals=l3_totals,
         l3_nonempty=l3_nonempty, ext=ext)
     close_csr = None

@@ -15,6 +15,16 @@ from boxtree_tpu.models.laplace import make_laplace_wrangler
 from boxtree_tpu.traversal import build_traversal
 
 
+def _force_rowmaps(monkeypatch):
+    # the production waste guards may reject the maps on skewed trees;
+    # the oracle must exercise the fast paths regardless
+    from boxtree_tpu.models.expansion_base import ExpansionWranglerBase
+    monkeypatch.setattr(ExpansionWranglerBase,
+                        "_M2P_ROWMAJOR_MAX_WASTE", float("inf"))
+    monkeypatch.setattr(ExpansionWranglerBase,
+                        "_P2L_ROWMAJOR_MAX_WASTE", float("inf"))
+
+
 def _setup(n=6000, order=5, seed=11, **kw):
     from boxtree_tpu.utils.particles import make_surface_particle_array
     rng = np.random.default_rng(seed)
@@ -29,7 +39,8 @@ def _setup(n=6000, order=5, seed=11, **kw):
     return w, trav, q, rng
 
 
-def test_m2p_rowmajor_matches_edges():
+def test_m2p_rowmajor_matches_edges(monkeypatch):
+    _force_rowmaps(monkeypatch)
     w, trav, q, rng = _setup()
     assert w._m2p_rowmap is not None
     mp = jnp.asarray(rng.standard_normal(
@@ -57,7 +68,8 @@ def _p2l_both(w, trav, q):
     return fast, edge
 
 
-def test_p2l_rowmajor_matches_edges():
+def test_p2l_rowmajor_matches_edges(monkeypatch):
+    _force_rowmaps(monkeypatch)
     w, trav, q, _ = _setup()
     assert w._p2l_rowmap is not None
     fast, edge = _p2l_both(w, trav, q)
@@ -65,7 +77,8 @@ def test_p2l_rowmajor_matches_edges():
                                rtol=1e-12, atol=1e-12)
 
 
-def test_p2l_rowmajor_dipoles():
+def test_p2l_rowmajor_dipoles(monkeypatch):
+    _force_rowmaps(monkeypatch)
     rng = np.random.default_rng(3)
     n = 6000
     dip = rng.standard_normal((3, n))
@@ -76,7 +89,8 @@ def test_p2l_rowmajor_dipoles():
                                rtol=1e-12, atol=1e-12)
 
 
-def test_rowmajor_with_rscale_and_level_orders():
+def test_rowmajor_with_rscale_and_level_orders(monkeypatch):
+    _force_rowmaps(monkeypatch)
     # per-level rscale + level-truncated orders exercise the scale and
     # coeff-mask branches of both fast paths
     w, trav, q, rng = _setup(order=None, rscale="auto",
@@ -97,7 +111,8 @@ def test_rowmajor_with_rscale_and_level_orders():
                                rtol=1e-11, atol=1e-11)
 
 
-def test_m2p_rowmajor_pair_lanes():
+def test_m2p_rowmajor_pair_lanes(monkeypatch):
+    _force_rowmaps(monkeypatch)
     # Helmholtz pairs wranglers carry [re, im] potential lanes
     # (_pot_extra_dims == (2,)) — the mask/sum must broadcast over them
     from boxtree_tpu.models.helmholtz3d import make_helmholtz_wrangler
