@@ -996,18 +996,23 @@ def _edge_emit_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
         src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
         ext_data=ext_data, crit=crit, min_nsources=min_nsources)
 
-    def emit_plan(plan):
+    def emit_plan(plan, label=""):
         """Run a list of (gen, rows, aux) emissions through the
         compaction scan into one shared buffer; returns (buf, nvalid).
         The buffer is sized for the all-valid worst case (every chunk
         write stays in bounds because the running offset can never
         exceed the lanes already passed)."""
+        import os as _os
+        trace_log = _os.environ.get("BOXTREE_TPU_TRAV_TIMING") == "1"
         size = 0
         for gen, rows, aux in plan:
             k = jax.eval_shape(
                 gen, jax.ShapeDtypeStruct((_ROW_CHUNK,), rows.dtype),
                 *[jax.ShapeDtypeStruct((_ROW_CHUNK,), a.dtype)
                   for a in aux]).shape[1]
+            if trace_log:
+                print(f"# emit[{label}] rows={rows.shape[0]} k={k} "
+                      f"lanes={rows.shape[0] * k}", flush=True)
             size += max(1, -(-rows.shape[0] // _ROW_CHUNK)) \
                 * _ROW_CHUNK * k
         buf = jnp.full(size, _INVALID_KEY, jnp.int64)
@@ -1029,7 +1034,7 @@ def _edge_emit_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         l1_plan.append((l1_src(ls), ids_l, (ids_l.astype(jnp.int64),)))
-    l1 = emit_plan(l1_plan)
+    l1 = emit_plan(l1_plan, 'l1')
 
     # List 3 per source level (a level can contribute iff any level at
     # or below it holds source boxes)
@@ -1042,7 +1047,8 @@ def _edge_emit_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         l3.append(emit_plan(
-            [(l3g(ls), ids_l, (ids_l.astype(jnp.int64),))]))
+            [(l3g(ls), ids_l, (ids_l.astype(jnp.int64),))],
+            f'l3.{ls}'))
 
     # close lists (target extents only): one CSR each over target rows
     l3c = l4c = dummy
@@ -1080,8 +1086,24 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
         return _starts_of_box_keys(keys >> np.int64(32), target_boxes,
                                    nboxes)
 
+    # List 1: dense CSR starts via boundary compaction — binary-search
+    # the (ntarget_boxes+1) bounds against the ~25x smaller DISTINCT
+    # box list instead of every key (the full searchsorted was the
+    # dominant cost of this pass at 1e7, doc/PERF.md); the boundary
+    # positions compact through one extra key-sized sort
     l1_keys = lax.sort(l1_buf[:l1_total])
-    l1 = (l1_keys, starts_of(l1_keys))
+    if l1_total:
+        rows64 = l1_keys >> np.int64(32)
+        l1_bnd = jnp.concatenate(
+            [jnp.ones(1, bool), rows64[1:] != rows64[:-1]])
+        l1_pos = lax.sort(jnp.where(
+            l1_bnd, jnp.arange(l1_total, dtype=jnp.int64),
+            jnp.int64(np.iinfo(np.int64).max)))
+        nne_l1 = l1_bnd.sum().astype(jnp.int64)
+    else:
+        l1_pos = jnp.zeros(1, jnp.int64)
+        nne_l1 = jnp.int64(0)
+    l1 = (l1_keys, l1_pos, nne_l1)
 
     # List 3 keeps only COMPRESSED (nonempty-row) CSRs, so the dense
     # per-level starts searches over the target rows are replaced by
@@ -1111,18 +1133,33 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
     return l1, tuple(l3), (l3c, l4c)
 
 
-@partial(jax.jit, static_argnames=("nlevels", "l3_totals",
+@partial(jax.jit, static_argnames=("nlevels", "l1_nonempty", "l3_totals",
                                    "l3_nonempty", "ext"))
-def _edge_slice_pass(l1_keys, l3_keys, l3_bnds, l3c_keys, l4c_keys,
-                     tgt_row_of_box, *, nlevels, l3_totals,
-                     l3_nonempty, ext):
+def _edge_slice_pass(l1_keys, l1_pos, l3_keys, l3_bnds, l3c_keys,
+                     l4c_keys, target_boxes, tgt_row_of_box, *, nlevels,
+                     l1_nonempty, l3_totals, l3_nonempty, ext):
     """Extract the final static-shape lists from the sorted compact key
     buffers (all totals are static by now).  List 3's compressed CSR
     comes straight from the row-boundary masks: the boundary positions
     ARE the compressed starts, and the boundary keys carry the
-    nonempty target boxes."""
+    nonempty target boxes.  List 1's dense starts come from one
+    binary search of the row bounds against the distinct boxes."""
     mask32 = np.int64(0xFFFFFFFF)
     l1_lists = (l1_keys & mask32).astype(jnp.int32)
+    l1_total = int(l1_keys.shape[0])
+    nboxes = int(tgt_row_of_box.shape[0])
+    if l1_total and l1_nonempty:
+        pos = l1_pos[:l1_nonempty]
+        dboxes = l1_keys[pos] >> np.int64(32)
+        bounds = jnp.concatenate(
+            [target_boxes.astype(jnp.int64),
+             jnp.full(1, nboxes, jnp.int64)])
+        idx = jnp.searchsorted(dboxes, bounds).astype(jnp.int64)
+        pos_pad = jnp.concatenate(
+            [pos, jnp.full(1, l1_total, jnp.int64)])
+        l1_starts = pos_pad[idx].astype(jnp.int32)
+    else:
+        l1_starts = jnp.zeros(target_boxes.shape[0] + 1, jnp.int32)
 
     l3_out = []
     for ls in range(nlevels):
@@ -1149,7 +1186,7 @@ def _edge_slice_pass(l1_keys, l3_keys, l3_bnds, l3c_keys, l4c_keys,
     if ext:
         close_out = ((l3c_keys & mask32).astype(jnp.int32),
                      (l4c_keys & mask32).astype(jnp.int32))
-    return l1_lists, tuple(l3_out), close_out
+    return (l1_lists, l1_starts), tuple(l3_out), close_out
 
 # }}}
 
@@ -1369,24 +1406,27 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     _toc("fill_rowlists", _t, slnws_lists, l2_lists, l4_lists)
     _t = _tic()
 
-    # sort the real edges (static sizes now) + CSR starts; the second
-    # sync pulls only the nonempty-List-3-row counts (nlevels ints)
-    (l1_keys, l1_starts), l3_srt, (l3c_srt, l4c_srt) = _edge_sort_pass(
+    # sort the real edges (static sizes now); the second sync pulls
+    # only the nonempty-row counts (nlevels + 1 ints)
+    ((l1_keys, l1_pos, nne_l1), l3_srt,
+     (l3c_srt, l4c_srt)) = _edge_sort_pass(
         l1_buf, tuple(l3_em[ls][0] for ls in range(nlevels)),
         l3c_em[0], l4c_em[0], target_boxes, nboxes=nboxes,
         nlevels=nlevels, l1_total=l1_total, l3_totals=l3_totals,
         ext=ext, l3c_total=l3c_total, l4c_total=l4c_total)
-    l3_nonempty = tuple(
-        int(x) for x in jax.device_get(jnp.stack(
-            [l3_srt[ls][2] for ls in range(nlevels)])))
+    ne_packed = jax.device_get(jnp.stack(
+        [nne_l1] + [l3_srt[ls][2] for ls in range(nlevels)]))
+    l1_nonempty = int(ne_packed[0])
+    l3_nonempty = tuple(int(x) for x in ne_packed[1:])
     _toc("sort_edges", _t, l1_keys)
     _t = _tic()
 
-    l1_lists, l3_csr, close_lists = _edge_slice_pass(
-        l1_keys, tuple(l3_srt[ls][0] for ls in range(nlevels)),
+    (l1_lists, l1_starts), l3_csr, close_lists = _edge_slice_pass(
+        l1_keys, l1_pos,
+        tuple(l3_srt[ls][0] for ls in range(nlevels)),
         tuple(l3_srt[ls][1] for ls in range(nlevels)),
-        l3c_srt[0], l4c_srt[0], tgt_row_of_box_dev,
-        nlevels=nlevels, l3_totals=l3_totals,
+        l3c_srt[0], l4c_srt[0], target_boxes, tgt_row_of_box_dev,
+        nlevels=nlevels, l1_nonempty=l1_nonempty, l3_totals=l3_totals,
         l3_nonempty=l3_nonempty, ext=ext)
     close_csr = None
     if ext:
