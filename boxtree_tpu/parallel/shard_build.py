@@ -967,3 +967,67 @@ def sharded_l1_edges(tree, skel, ntable_rows, mesh):
         jax.device_put(ntable_rows, NamedSharding(mesh, P(axis, None,
                                                           None))))
     return keys, counts
+
+
+def sharded_l2_edges(tree, skel, ntable_rows, mesh):
+    """Per-rank List-2 (sep-siblings / M2L) edges over the sharded
+    neighbor table.
+
+    Third sharded-traversal building block (doc/PERF.md design note,
+    item 4): each device emits the ``(tgt_box << 32) | src_box`` List-2
+    keys for the children of the boxes it owns, from the PARENT side
+    with the single-device generator core
+    (:func:`boxtree_tpu.traversal.neighbors.list2_from_parent_rows`,
+    the analogue of the reference's ``sep_siblings`` pass,
+    ``boxtree/traversal.py:554-600``).  Because the parent's neighbor
+    row is locally owned and its neighbors' child entries live in the
+    replicated O(nboxes) child table, this block needs NO cross-device
+    exchange at all.  The union over ranks equals the single-device
+    traversal's List 2 exactly (``tests/test_shard_build.py``).
+
+    :arg ntable_rows: output of :func:`sharded_neighbor_table`, aligned
+        with ``skel["box_id"]``.
+    :returns: ``(keys, counts)`` — (nranks, cap * 2^d * K) int64
+        per-rank key blocks (each rank's valid keys sorted first,
+        ``_INVALID_KEY`` pad after) and the (nranks,) valid counts.
+    """
+    from boxtree_tpu.traversal.build import _INVALID_KEY
+    from boxtree_tpu.traversal.neighbors import list2_from_parent_rows
+    from boxtree_tpu.tree.containers import box_flags_enum as _F
+
+    (axis,) = mesh.axis_names
+    d = tree.dimensions
+    child_rows = jnp.asarray(tree.box_child_ids).T.astype(jnp.int32)
+    flags = jnp.asarray(tree.box_flags)
+    is_totp = (flags & (_F.IS_TARGET_BOX
+                        | _F.HAS_TARGET_CHILD_BOXES)) != 0
+
+    box_id = skel["box_id"]
+    cap = box_id.shape[1]
+
+    def step(bid, nrows):
+        bid = bid[0].astype(jnp.int64)              # (cap,), -1 pad
+        nrows = nrows[0]                            # (cap, 3^d)
+        valid = bid >= 0
+        pn = jnp.where(valid[:, None], nrows, np.int32(-1))
+        own = jnp.where(valid[:, None],
+                        child_rows[jnp.clip(bid, 0)], np.int32(0))
+        cand, own = list2_from_parent_rows(pn, own, child_rows,
+                                           dimensions=d)
+        ok = ((cand >= 0) & (own > 0)[..., None]
+              & is_totp[jnp.clip(own, 0).astype(jnp.int64)][..., None])
+        keys = jnp.where(
+            ok, (own.astype(jnp.int64)[..., None] << np.int64(32))
+            | cand.astype(jnp.int64), _INVALID_KEY)
+        flat = lax.sort(keys.reshape(-1))
+        count = jnp.searchsorted(flat, _INVALID_KEY).astype(jnp.int64)
+        return flat[None], count[None]
+
+    spec = NamedSharding(mesh, P(axis, None))
+    keys, counts = jax.jit(_shard_map(
+        step, mesh, (P(axis, None), P(axis, None, None)),
+        (P(axis, None), P(axis))))(
+        jax.device_put(box_id, spec),
+        jax.device_put(ntable_rows, NamedSharding(mesh, P(axis, None,
+                                                          None))))
+    return keys, counts

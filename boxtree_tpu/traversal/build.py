@@ -523,112 +523,7 @@ def _fill_rowlist(gen, rows_pfx, row_base, starts, out):
     return out
 
 
-_L2_PARENT_CHUNK = 8192
-
-
-def _count_l2_parent(gen, prows, box_counts):
-    """Scatter-add List-2 candidate counts per child box; *gen* is the
-    parent-side generator (``nbr.fgen_list2_parent``)."""
-    nboxes = box_counts.shape[0] - 1
-    padded, nchunks = _pad_rows(prows, _L2_PARENT_CHUNK)
-    vrow = jnp.arange(padded.shape[0]) < prows.shape[0]
-
-    def body(carry, inp):
-        rows, vr = inp
-        cand, own = gen(rows)
-        cnt = (cand >= 0).sum(axis=2).astype(jnp.int32)
-        safe = jnp.where(vr[:, None] & (own > 0), own, nboxes)
-        return carry.at[safe].add(cnt, mode="drop"), None
-
-    box_counts, _ = lax.scan(
-        body, box_counts,
-        (padded.reshape(nchunks, -1), vrow.reshape(nchunks, -1)))
-    return box_counts
-
-
-def _fill_rowlist_chunked(gen, rows_pfx, row_base, starts, out,
-                          chunk=_ROW_CHUNK):
-    """CSR fill by per-chunk sort + overlapping window writes.
-
-    Emission over *rows_pfx* is CSR-row-ordered, so each scan chunk's
-    valid candidates form a contiguous CSR segment starting at
-    ``starts[first row of chunk]``.  Per chunk: pack
-    ``(row << 32) | cand`` keys (invalid -> ``_INVALID_KEY``), sort the
-    chunk (valid prefix lands in CSR order), and write the whole sorted
-    chunk — garbage tail included — at the segment start with ONE
-    contiguous ``dynamic_update_slice``.  The scan is sequential, so the
-    next chunk's write overwrites the previous tail; *out* needs
-    ``chunk * K`` slack beyond the list total.
-
-    TPU rationale: data-dependent scatters cost ~12ns/lane and a single
-    global sort pays ~log^2(total) compare passes; chunked sorts pay
-    only ~log^2(chunk) and keep peak memory at O(chunk).
-    """
-    padded, nchunks = _pad_rows(rows_pfx, chunk)
-    nrows = rows_pfx.shape[0]
-    gidx = row_base + jnp.arange(padded.shape[0], dtype=jnp.int64)
-    valid_row = jnp.arange(padded.shape[0]) < nrows
-    mask32 = np.int64(0xFFFFFFFF)
-
-    def body(carry, inp):
-        out = carry
-        rows, ridx, vr = inp
-        cand = gen(rows)
-        valid = (cand >= 0) & vr[:, None]
-        keys = jnp.where(
-            valid, (ridx[:, None] << np.int64(32))
-            | cand.astype(jnp.int64), _INVALID_KEY)
-        skeys = lax.sort(keys.reshape(-1))
-        vals = (skeys & mask32).astype(jnp.int32)
-        w0 = starts[ridx[0]]
-        return lax.dynamic_update_slice(out, vals, (w0,)), None
-
-    out, _ = lax.scan(
-        body, out,
-        (padded.reshape(nchunks, -1), gidx.reshape(nchunks, -1),
-         valid_row.reshape(nchunks, -1)))
-    return out
-
-
 _L2_FILL_CHUNK = 1024
-
-
-def _fill_l2_parent_chunked(gen, prows, child_level_parents, lsb_child,
-                            totp_boxes, is_totp, starts, out):
-    """Chunked-sort CSR fill for the parent-side List-2 generator.
-
-    A chunk of parents covers a contiguous range of *child* boxes (box
-    ids at the child level are assigned in parent order), so its valid
-    candidates again form a contiguous CSR segment; the segment start is
-    found by binary-searching the chunk's first parent into the child
-    level's parent array and that child into ``totp_boxes``.
-    """
-    padded, nchunks = _pad_rows(prows, _L2_FILL_CHUNK)
-    vrow = jnp.arange(padded.shape[0]) < prows.shape[0]
-    mask32 = np.int64(0xFFFFFFFF)
-
-    def body(carry, inp):
-        out = carry
-        rows, vr = inp
-        cand, own = gen(rows)
-        own_row = is_totp[jnp.clip(own, 0).astype(jnp.int64)]
-        valid = ((cand >= 0) & (own > 0)[..., None]
-                 & own_row[..., None] & vr[:, None, None])
-        keys = jnp.where(
-            valid, (own.astype(jnp.int64)[..., None] << np.int64(32))
-            | cand.astype(jnp.int64), _INVALID_KEY)
-        skeys = lax.sort(keys.reshape(-1))
-        vals = (skeys & mask32).astype(jnp.int32)
-        # first child box of this chunk's first parent
-        fc = lsb_child + jnp.searchsorted(child_level_parents,
-                                          rows[0].astype(jnp.int64))
-        w0 = starts[jnp.searchsorted(totp_boxes.astype(jnp.int64), fc)]
-        return lax.dynamic_update_slice(out, vals, (w0,)), None
-
-    out, _ = lax.scan(
-        body, out,
-        (padded.reshape(nchunks, -1), vrow.reshape(nchunks, -1)))
-    return out
 
 
 def _emit_compact(gen, rows_pfx, aux, buf, off):
@@ -669,6 +564,108 @@ def _emit_compact(gen, rows_pfx, aux, buf, off):
         (*(a.reshape(nchunks, -1) for a in (padded, *aux_p)),
          valid_row.reshape(nchunks, -1)))
     return buf, off
+
+
+def _emit_rowcsr(gen, rows_pfx, row_base, buf, off, starts, chunk):
+    """Fused rowlist count+fill: compaction-scan emission (as
+    :func:`_emit_compact`) PLUS the dense CSR starts, read per chunk
+    with one searchsorted of the chunk's row bounds into its sorted
+    keys (start of row r = running valid offset + position of the
+    first chunk key >= ``r << 32``).
+
+    Requires the caller's plan to enumerate global row indices
+    contiguously ascending — every rowlist plan does (rows ARE the CSR
+    order) — which makes the compacted int32 value buffer ALREADY the
+    final CSR array: no separate counts enumeration, no cumsum, no
+    global sort.  Rows past a segment's end (emission pads) resolve to
+    the running offset and are overwritten by the next segment, so
+    *starts* needs one chunk of slack past its logical end."""
+    padded, nchunks = _pad_rows(rows_pfx, chunk)
+    nrows = rows_pfx.shape[0]
+    gidx = row_base + jnp.arange(padded.shape[0], dtype=jnp.int64)
+    valid_row = jnp.arange(padded.shape[0]) < nrows
+    mask32 = np.int64(0xFFFFFFFF)
+
+    def body(carry, inp):
+        buf, off, starts = carry
+        rows, ridx, vr = inp
+        cand = gen(rows)
+        valid = (cand >= 0) & vr[:, None]
+        keys = jnp.where(
+            valid, (ridx[:, None] << np.int64(32))
+            | cand.astype(jnp.int64), _INVALID_KEY)
+        skeys = lax.sort(keys.reshape(-1))
+        buf = lax.dynamic_update_slice(
+            buf, (skeys & mask32).astype(jnp.int32), (off,))
+        # per-row starts from the pre-sort counts (rows ascend in
+        # enumeration order, so exclusive cumsum == sorted position);
+        # a chunk-sized cumsum beats a searchsorted into chunk*K keys
+        cnt = valid.sum(axis=1).astype(jnp.int64)
+        csum = jnp.cumsum(cnt)
+        starts = lax.dynamic_update_slice(
+            starts, off + csum - cnt, (ridx[0],))
+        return (buf, off + csum[-1], starts), None
+
+    (buf, off, starts), _ = lax.scan(
+        body, (buf, off, starts),
+        (padded.reshape(nchunks, -1), gidx.reshape(nchunks, -1),
+         valid_row.reshape(nchunks, -1)))
+    return buf, off, starts
+
+
+def _emit_l2_parent_rowcsr(gen, prows, child_level_parents, lsb_child,
+                           totp_boxes, is_totp, buf, off, starts):
+    """Fused parent-side List-2 emission + dense totp-row starts.
+
+    A chunk of parents covers a contiguous ascending range of child
+    boxes (child ids are assigned in parent order), so its
+    ``(child << 32) | cand`` keys form a contiguous CSR segment whose
+    present totp children occupy CONSECUTIVE totp rows; their starts
+    come from the exclusive cumsum of per-child counts, compacted with
+    one chunk-of-parents-sized sort (see the body comment)."""
+    padded, nchunks = _pad_rows(prows, _L2_FILL_CHUNK)
+    vrow = jnp.arange(padded.shape[0]) < prows.shape[0]
+    mask32 = np.int64(0xFFFFFFFF)
+    tb64 = totp_boxes.astype(jnp.int64)
+
+    def body(carry, inp):
+        buf, off, starts = carry
+        rows, vr = inp
+        cand, own = gen(rows)
+        own_row = is_totp[jnp.clip(own, 0).astype(jnp.int64)]
+        row_sel = (own > 0) & own_row & vr[:, None]
+        valid = (cand >= 0) & row_sel[..., None]
+        keys = jnp.where(
+            valid, (own.astype(jnp.int64)[..., None] << np.int64(32))
+            | cand.astype(jnp.int64), _INVALID_KEY)
+        skeys = lax.sort(keys.reshape(-1))
+        buf = lax.dynamic_update_slice(
+            buf, (skeys & mask32).astype(jnp.int32), (off,))
+        # per-totp-row starts WITHOUT a searchsorted into the big sorted
+        # chunk: flattened (parent, child-digit) order == child-id order
+        # == totp-row order, so the exclusive cumsum of per-child valid
+        # counts is each child's sorted position, and the chunk's
+        # present totp children occupy CONSECUTIVE totp rows from tr0 —
+        # compact the selected slots' positions with one small sort
+        cnt = valid.sum(axis=2).astype(jnp.int64).reshape(-1)
+        csum = jnp.cumsum(cnt)
+        local = csum - cnt                      # (chunk * 2^d,)
+        sel = row_sel.reshape(-1)
+        rank = jnp.cumsum(sel) - sel
+        w = (lax.sort(jnp.where(
+            sel, (rank.astype(jnp.int64) << np.int64(32)) | local,
+            _INVALID_KEY)) & mask32)
+        # first child box of this chunk's first parent -> first totp row
+        fc = lsb_child + jnp.searchsorted(
+            child_level_parents, rows[0].astype(jnp.int64))
+        tr0 = jnp.searchsorted(tb64, fc).astype(jnp.int64)
+        starts = lax.dynamic_update_slice(starts, off + w, (tr0,))
+        return (buf, off + csum[-1], starts), None
+
+    (buf, off, starts), _ = lax.scan(
+        body, (buf, off, starts),
+        (padded.reshape(nchunks, -1), vrow.reshape(nchunks, -1)))
+    return buf, off, starts
 
 
 # }}}
@@ -755,10 +752,17 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
 
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
                                    "ls_totp", "fast", "src_levels", "ext"))
-def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                 child_rows, bbox_min, root_extent, sof, *, dimensions,
-                 n_away, lsb, ls_totp, fast, src_levels=None, ext=False):
-    """Per-row counts for slnws / List 2 / List 4 (+ their totals)."""
+def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
+                        child_rows, bbox_min, root_extent, sof, *,
+                        dimensions, n_away, lsb, ls_totp, fast,
+                        src_levels=None, ext=False):
+    """Single-enumeration slnws / List 2 / List 4 construction: the
+    compaction scan (:func:`_emit_rowcsr`) emits each list's values in
+    final CSR order (the plans enumerate rows ascending) and reads the
+    dense starts off the chunk-sorted keys — replacing the separate
+    counts pass + cumsum + second fill enumeration (doc/PERF.md).
+    Returns per list ``(starts[int64, nrows+1], values_buf, total)``
+    where ``values_buf[:total]`` is the list."""
     nlevels = len(lsb) - 1
     nboxes = lsb[-1]
     ntotp = ls_totp[-1]
@@ -768,41 +772,74 @@ def _counts_pass(prefixes, totp_boxes, box_flags, ntable, parents,
                          ext=ext, bbox_min=bbox_min,
                          root_extent=root_extent, sof=sof)
 
-    slnws_counts = jnp.zeros(nboxes + 1, jnp.int32)
-    l2_counts_rl = jnp.zeros(ntotp + 1, jnp.int32)
-    l4_counts = jnp.zeros(ntotp + 1, jnp.int32)
-
+    # emission plans: (generator, rows, global CSR row base) per level
+    slnws_plan, l2_plan, l4_plan = [], [], []
     for lev in range(nlevels):
         gen_s, gen_2, gen_4 = make(lev)
         ids_l = jnp.arange(lsb[lev], lsb[lev + 1], dtype=jnp.int32)
-        slnws_counts = _count_rowlist(gen_s, ids_l, lsb[lev], slnws_counts)
-
+        slnws_plan.append((gen_s, ids_l, lsb[lev]))
         r0, r1 = ls_totp[lev], ls_totp[lev + 1]
         if r1 == r0 or lev == 0:
             continue
         rows = totp_boxes[r0:r1]
         if not fast:
-            l2_counts_rl = _count_rowlist(gen_2, rows, r0, l2_counts_rl)
+            l2_plan.append((gen_2, rows, r0))
         if not (n_away == 1 and lev == 1):
-            l4_counts = _count_rowlist(gen_4, rows, r0, l4_counts)
+            l4_plan.append((gen_4, rows, r0))
+
+    def run(plan, nrows_total):
+        if not plan:
+            return (jnp.zeros(nrows_total + 1, jnp.int64),
+                    jnp.zeros(0, jnp.int32), jnp.int64(0))
+        chunks, size = [], 0
+        for gen, rows, _rb in plan:
+            k = jax.eval_shape(
+                gen, jax.ShapeDtypeStruct((16,), rows.dtype)).shape[1]
+            # keep per-chunk sorts ~1-2M lanes
+            c = _ROW_CHUNK if k <= 32 else _ROW_CHUNK // 4
+            chunks.append(c)
+            size += max(1, -(-rows.shape[0] // c)) * c * k
+        buf = jnp.zeros(size, jnp.int32)
+        starts = jnp.zeros(nrows_total + 1 + max(chunks), jnp.int64)
+        off = jnp.int64(0)
+        for c, (gen, rows, rb) in zip(chunks, plan):
+            buf, off, starts = _emit_rowcsr(gen, rows, rb, buf, off,
+                                            starts, c)
+        starts = starts.at[nrows_total].set(off)
+        return starts[:nrows_total + 1], buf, off
+
+    slnws = run(slnws_plan, nboxes)
+    l4 = run(l4_plan, ntotp)
 
     if fast:
         # List 2 from the parent side: one table row + 3^d child rows
         # per parent serve all 2^d children (fgen_list2_parent)
         gen2p = partial(nbr.fgen_list2_parent, ntable=ntable,
                         child_rows=child_rows, dimensions=dimensions)
-        l2_box_counts = jnp.zeros(nboxes + 1, jnp.int32)
+        is_totp = jnp.zeros(nboxes + 1, bool).at[
+            totp_boxes.astype(jnp.int64)].set(True)
+        cs = jax.eval_shape(gen2p, jax.ShapeDtypeStruct(
+            (_L2_FILL_CHUNK,), jnp.int32))[0].shape
+        size = sum(
+            max(1, -(-(lsb[p + 1] - lsb[p]) // _L2_FILL_CHUNK))
+            * _L2_FILL_CHUNK * cs[1] * cs[2]
+            for p in range(nlevels - 1))
+        wrows = _L2_FILL_CHUNK * cs[1] + 1
+        buf = jnp.zeros(size, jnp.int32)
+        starts = jnp.zeros(ntotp + 1 + wrows, jnp.int64)
+        off = jnp.int64(0)
         for plev in range(nlevels - 1):
             prows = jnp.arange(lsb[plev], lsb[plev + 1], dtype=jnp.int32)
-            l2_box_counts = _count_l2_parent(gen2p, prows, l2_box_counts)
-        l2_counts = l2_box_counts[:nboxes][totp_boxes]
+            clp = parents[lsb[plev + 1]:lsb[plev + 2]].astype(jnp.int64)
+            buf, off, starts = _emit_l2_parent_rowcsr(
+                gen2p, prows, clp, lsb[plev + 1], totp_boxes, is_totp,
+                buf, off, starts)
+        starts = starts.at[ntotp].set(off)
+        l2 = (starts[:ntotp + 1], buf, off)
     else:
-        l2_counts = l2_counts_rl[:-1]
+        l2 = run(l2_plan, ntotp)
 
-    return (slnws_counts[:-1], l2_counts, l4_counts[:-1],
-            slnws_counts[:-1].astype(jnp.int64).sum(),
-            l2_counts.astype(jnp.int64).sum(),
-            l4_counts[:-1].astype(jnp.int64).sum())
+    return slnws, l2, l4
 
 
 def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
@@ -880,97 +917,7 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
 # }}}
 
 
-# {{{ fill passes
-
-@partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
-                                   "ls_totp", "totals", "fast",
-                                   "src_levels", "ext"))
-def _fill_rowlists_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                        child_rows, slnws_counts, l2_counts, l4_counts,
-                        bbox_min, root_extent, sof, *,
-                        dimensions, n_away, lsb, ls_totp, totals, fast,
-                        src_levels=None, ext=False):
-    nlevels = len(lsb) - 1
-    slnws_total, l2_total, l4_total = totals
-    make = _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
-                         child_rows, dimensions=dimensions, n_away=n_away,
-                         lsb=lsb, fast=fast, src_levels=src_levels,
-                         ext=ext, bbox_min=bbox_min,
-                         root_extent=root_extent, sof=sof)
-
-    slnws_starts = _exclusive_cumsum(slnws_counts.astype(jnp.int64))
-    l2_starts = _exclusive_cumsum(l2_counts.astype(jnp.int64))
-    l4_starts = _exclusive_cumsum(l4_counts.astype(jnp.int64))
-
-    # emission plans: (generator, rows, global CSR row base) per level
-    slnws_plan, l2_plan, l4_plan = [], [], []
-    for lev in range(nlevels):
-        gen_s, gen_2, gen_4 = make(lev)
-        ids_l = jnp.arange(lsb[lev], lsb[lev + 1], dtype=jnp.int32)
-        slnws_plan.append((gen_s, ids_l, lsb[lev]))
-        r0, r1 = ls_totp[lev], ls_totp[lev + 1]
-        if r1 == r0 or lev == 0:
-            continue
-        rows = totp_boxes[r0:r1]
-        if not fast:
-            l2_plan.append((gen_2, rows, r0))
-        if not (n_away == 1 and lev == 1):
-            l4_plan.append((gen_4, rows, r0))
-
-    def run_plan(plan, total, starts):
-        """Chunked-sort CSR fill over the plan's row-ordered emissions;
-        the output carries one-chunk slack for the overlapping window
-        writes (sliced off at the end)."""
-        if total == 0 or not plan:
-            return jnp.zeros(total, jnp.int32)
-        chunks = []
-        for gen, rows, _rb in plan:
-            k = jax.eval_shape(
-                gen, jax.ShapeDtypeStruct((16,), rows.dtype)).shape[1]
-            # keep per-chunk sorts ~1-2M lanes
-            chunks.append(_ROW_CHUNK if k <= 32 else _ROW_CHUNK // 4)
-        slack = max(c * jax.eval_shape(
-            gen, jax.ShapeDtypeStruct((16,), rows.dtype)).shape[1]
-            for c, (gen, rows, _rb) in zip(chunks, plan))
-        out = jnp.zeros(total + slack, jnp.int32)
-        for c, (gen, rows, rb) in zip(chunks, plan):
-            out = _fill_rowlist_chunked(gen, rows, rb, starts, out,
-                                        chunk=c)
-        return out[:total]
-
-    slnws_out = run_plan(slnws_plan, slnws_total, slnws_starts)
-    l4_out = run_plan(l4_plan, l4_total, l4_starts)
-
-    if fast:
-        nboxes = lsb[-1]
-        gen2p = partial(nbr.fgen_list2_parent, ntable=ntable,
-                        child_rows=child_rows, dimensions=dimensions)
-        is_totp = jnp.zeros(nboxes + 1, bool).at[
-            totp_boxes.astype(jnp.int64)].set(True)
-        if l2_total == 0:
-            l2_out = jnp.zeros(0, jnp.int32)
-        else:
-            cs = jax.eval_shape(
-                gen2p, jax.ShapeDtypeStruct(
-                    (_L2_FILL_CHUNK,), jnp.int32))[0].shape
-            slack = _L2_FILL_CHUNK * cs[1] * cs[2]
-            l2_out = jnp.zeros(l2_total + slack, jnp.int32)
-            for plev in range(nlevels - 1):
-                prows = jnp.arange(lsb[plev], lsb[plev + 1],
-                                   dtype=jnp.int32)
-                clp = parents[lsb[plev + 1]:lsb[plev + 2]].astype(
-                    jnp.int64)
-                l2_out = _fill_l2_parent_chunked(
-                    gen2p, prows, clp, lsb[plev + 1], totp_boxes,
-                    is_totp, l2_starts, l2_out)
-            l2_out = l2_out[:l2_total]
-    else:
-        l2_out = run_plan(l2_plan, l2_total, l2_starts)
-
-    return ((slnws_starts.astype(jnp.int32), slnws_out),
-            (l2_starts.astype(jnp.int32), l2_out),
-            (l4_starts.astype(jnp.int32), l4_out))
-
+# {{{ edge emission passes
 
 @partial(jax.jit, static_argnames=(
     "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "fast",
@@ -1355,14 +1302,17 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     _t = _tic()
 
-    # count passes
-    (slnws_counts, l2_counts, l4_counts, slnws_tot, l2_tot,
-     l4_tot) = _counts_pass(
+    # single-enumeration rowlist construction (slnws / List 2 / List 4):
+    # the compaction scan emits each list already in CSR order and reads
+    # the dense starts off the chunk-sorted keys — no counts pass
+    ((slnws_starts64, slnws_buf, slnws_tot),
+     (l2_starts64, l2_buf, l2_tot),
+     (l4_starts64, l4_buf, l4_tot)) = _rowlists_emit_pass(
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
         parents_dev, child_rows_dev, bbox_min_dev, root_extent_dev,
         sof_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
         fast=fast, src_levels=src_levels, ext=ext)
-    _toc("counts_rowlists", _t, slnws_tot)
+    _toc("emit_rowlists", _t, slnws_buf)
     _t = _tic()
 
     # single-enumeration edge construction: the compaction scan emits
@@ -1393,18 +1343,13 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     _toc("host_sync", _t)
     _t = _tic()
 
-    # fill passes
-    ((slnws_starts, slnws_lists), (l2_starts, l2_lists),
-     (l4_starts, l4_lists)) = _fill_rowlists_pass(
-        prefixes, target_or_target_parent_boxes, flags_dev, ntable,
-        parents_dev, child_rows_dev, slnws_counts, l2_counts, l4_counts,
-        bbox_min_dev, root_extent_dev, sof_dev,
-        dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
-        totals=(slnws_total, l2_total, l4_total), fast=fast,
-        src_levels=src_levels, ext=ext)
-
-    _toc("fill_rowlists", _t, slnws_lists, l2_lists, l4_lists)
-    _t = _tic()
+    # slice the emitted rowlists to their (now static) totals
+    slnws_starts = slnws_starts64.astype(jnp.int32)
+    slnws_lists = slnws_buf[:slnws_total]
+    l2_starts = l2_starts64.astype(jnp.int32)
+    l2_lists = l2_buf[:l2_total]
+    l4_starts = l4_starts64.astype(jnp.int32)
+    l4_lists = l4_buf[:l4_total]
 
     # sort the real edges (static sizes now); the second sync pulls
     # only the nonempty-row counts (nlevels + 1 ints)

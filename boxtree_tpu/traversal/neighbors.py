@@ -195,12 +195,20 @@ def fgen_list2_parent(prows, ntable, child_rows, *, dimensions):
     static).  Returns ``(cand, own)`` with ``cand`` (B, 2^d, K) candidate
     box ids (-1 invalid) and ``own`` (B, 2^d) the child boxes owning each
     candidate row (0 = absent child)."""
+    rows_i = jnp.clip(prows, 0).astype(jnp.int64)
+    return list2_from_parent_rows(ntable[rows_i], child_rows[rows_i],
+                                  child_rows, dimensions=dimensions)
+
+
+def list2_from_parent_rows(pn, own, child_rows, *, dimensions):
+    """Core of :func:`fgen_list2_parent` over already-gathered parent
+    neighbor rows ``pn`` (B, 3^d) and child entries ``own`` (B, 2^d) —
+    also the sharded-traversal entry point, where each device holds its
+    OWNED neighbor-table rows directly
+    (:func:`boxtree_tpu.parallel.shard_build.sharded_l2_edges`)."""
     d = dimensions
     m = 3 ** d
     nchild = 2 ** d
-    rows_i = jnp.clip(prows, 0).astype(jnp.int64)
-    pn = ntable[rows_i]                                 # (B, m)
-    own = child_rows[rows_i]                            # (B, nchild)
 
     cand_jq = {}
     for j in range(m):

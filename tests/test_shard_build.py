@@ -299,3 +299,44 @@ def test_sharded_l1_edges(mesh):
         rows = np.repeat(np.arange(len(tb)), np.diff(starts))
         ref = np.sort((tb[rows] << 32) | lists)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_l2_edges(mesh):
+    """Per-rank List-2 (sep-siblings) edge emission over the sharded
+    neighbor table: the union of every rank's (tgt << 32 | src) keys ==
+    the single-device traversal's List 2 exactly, with no cross-device
+    exchange in the block at all."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import (
+        sharded_box_skeleton, sharded_l2_edges, sharded_neighbor_table)
+    from boxtree_tpu.traversal import build_traversal
+
+    rng = np.random.default_rng(89)
+    for dims, n, mpb in ((2, 1 << 12, 25), (3, 1 << 13, 40)):
+        pts = np.concatenate([
+            rng.random((dims, n // 2)) * 0.04,      # deep cluster
+            rng.random((dims, n // 2)),
+        ], axis=1)
+        weights = np.ones(n, np.int64)
+        codes_s, order, leaf_ref, counts_ref, depth = \
+            _single_device_oracle(pts, weights, mpb, dims)
+        skel = sharded_box_skeleton(
+            jnp.asarray(codes_s), jnp.asarray(leaf_ref),
+            counts_ref, mesh, dimensions=dims, depth=depth)
+        tree = build_tree(pts, max_particles_in_box=mpb)
+        ntable_rows = sharded_neighbor_table(tree, skel, mesh)
+
+        keys, counts = sharded_l2_edges(tree, skel, ntable_rows, mesh)
+        keys = np.asarray(keys)
+        counts = np.asarray(counts)
+        got = np.sort(np.concatenate(
+            [keys[r, :counts[r]] for r in range(8)]))
+
+        trav = build_traversal(tree)
+        starts = np.asarray(trav.from_sep_siblings_starts)
+        lists = np.asarray(trav.from_sep_siblings_lists)
+        totp = np.asarray(
+            trav.target_or_target_parent_boxes).astype(np.int64)
+        rows = np.repeat(np.arange(len(totp)), np.diff(starts))
+        ref = np.sort((totp[rows] << 32) | lists)
+        np.testing.assert_array_equal(got, ref)
