@@ -1031,3 +1031,212 @@ def sharded_l2_edges(tree, skel, ntable_rows, mesh):
         jax.device_put(ntable_rows, NamedSharding(mesh, P(axis, None,
                                                           None))))
     return keys, counts
+
+
+def _halo_row_lookup(bid, blev, valid, nrows, *, nboxes, nlevels, axis):
+    """Inside ``shard_map``: the cross-shard neighbor-row resolver.
+
+    Gathers every rank's LAST owned row of every level (one
+    ``all_gather`` — the only entry another rank can ever need, because
+    a box not owned here but ancestral to an owned box spans the shard
+    boundary, making it its owner's last box of its level) and returns
+    ``row_of(gids, glev)`` mapping arbitrary global box ids at per-box
+    levels to their neighbor-table rows (local when owned, else halo;
+    all ``-1`` when absent).  Shared by the sharded edge emitters."""
+    cap = bid.shape[0]
+    bid_key = jnp.where(valid, bid, jnp.int64(nboxes) + 1)
+    halo_parts = []
+    for lv in range(nlevels):
+        is_l = valid & (blev == lv)
+        last = jnp.where(is_l.any(),
+                         (cap - 1) - jnp.argmax(is_l[::-1]),
+                         cap - 1)
+        last_id = jnp.where(is_l.any(), bid[last], jnp.int64(-1))
+        halo_parts.append(jnp.concatenate(
+            [last_id[None], nrows[last].astype(jnp.int64)]))
+    halo = lax.all_gather(jnp.stack(halo_parts), axis)
+    halo_ids = halo[:, :, 0].T                  # (nlevels, nranks)
+    halo_rows = jnp.swapaxes(
+        halo[:, :, 1:].astype(jnp.int32), 0, 1)  # (nlevels, nranks, m)
+
+    def row_of(gids, glev):
+        lr = jnp.clip(jnp.searchsorted(bid_key, gids), 0, cap - 1)
+        owned = (bid[lr] == gids) & (gids >= 0)
+        lv = jnp.clip(glev, 0, nlevels - 1)
+        hid = halo_ids[lv]                      # (cap, nranks)
+        hrow = halo_rows[lv]                    # (cap, nranks, m)
+        hit = (hid == gids[:, None]) & (gids >= 0)[:, None]
+        far = jnp.einsum("cr,crm->cm", hit.astype(jnp.int32),
+                         hrow + 1).astype(jnp.int32) - 1
+        return jnp.where(owned[:, None], nrows[jnp.clip(lr, 0)], far)
+
+    return row_of
+
+
+def _ancestor_table(bid_c, blev, valid, parents, *, nlevels):
+    """``anc[c, l]`` = the level-``l`` ancestor of owned box ``c``
+    (-1 above the root or below the box's own level)."""
+    cap = bid_c.shape[0]
+    anc = jnp.full((cap, nlevels), jnp.int64(-1))
+    cur = bid_c
+    lev_iota = jnp.arange(nlevels, dtype=jnp.int64)
+    for up in range(nlevels):
+        onehot = (blev - up)[:, None] == lev_iota[None, :]
+        anc = jnp.where(onehot & valid[:, None], cur[:, None], anc)
+        cur = parents[cur]
+    return anc
+
+
+def sharded_l3l4_edges(tree, skel, ntable_rows, mesh):
+    """Per-rank List-3 (sep-smaller), List-4 (sep-bigger) and slnws
+    (same-level non-well-separated / colleague) edges over the sharded
+    neighbor table.
+
+    Fourth sharded-traversal building block (doc/PERF.md design note,
+    item 4), completing the interaction lists: each device emits, for
+    the boxes it owns,
+
+    - ``slnws``: the box's own neighbor row minus the center column
+      (purely local — :func:`..traversal.neighbors.fgen_slnws`);
+    - List 3 keys ``(tgt << 32) | w`` from the SOURCE side: coarser
+      target boxes touching ``parent(w)`` but not ``w`` — the parent's
+      full row plus its <= 2^d cross window per deeper ancestor level
+      (:func:`..traversal.neighbors.fgen_list3`, the analogue of the
+      reference's ``sep_smaller`` pass, ``boxtree/traversal.py``);
+    - List 4 keys ``(b << 32) | src``: source boxes among the same
+      ancestor windows that touch ``parent(b)`` but not ``b``
+      (:func:`..traversal.neighbors.fgen_list4`).
+
+    Lists 3 and 4 read the SAME ancestor rows, so they share one
+    enumeration here; the only cross-device exchange is the one
+    per-level last-row ``all_gather`` of :func:`_halo_row_lookup`
+    (an ancestor row not owned locally spans the shard boundary and is
+    its owner's last box of that level).  The union over ranks of each
+    list equals the single-device traversal's exactly
+    (``tests/test_shard_build.py``).
+
+    :arg ntable_rows: output of :func:`sharded_neighbor_table`, aligned
+        with ``skel["box_id"]``.
+    :returns: dict with keys ``"slnws"``, ``"l3"``, ``"l4"``, each a
+        ``(keys, counts)`` pair — (nranks, lanes) int64 per-rank key
+        blocks (valid keys sorted first, ``_INVALID_KEY`` pad after)
+        and the (nranks,) valid counts.
+    """
+    from boxtree_tpu.traversal.build import _INVALID_KEY
+    from boxtree_tpu.traversal.neighbors import (
+        ID_MASK, SRC_BIT, TGT_BIT, _cross_window, _low_bits, _offsets1,
+        _touch_off)
+    from boxtree_tpu.tree.containers import box_flags_enum as _F
+
+    (axis,) = mesh.axis_names
+    d = tree.dimensions
+    m = 3 ** d
+    nboxes = tree.nboxes
+    nlevels = tree.nlevels
+    prefixes = jnp.asarray(tree.box_morton_prefixes)
+    parents = jnp.asarray(tree.box_parent_ids).astype(jnp.int64)
+    flags = jnp.asarray(tree.box_flags)
+    has_src_g = (flags & (_F.IS_SOURCE_BOX
+                          | _F.HAS_SOURCE_CHILD_BOXES)) != 0
+    is_totp_g = (flags & (_F.IS_TARGET_BOX
+                          | _F.HAS_TARGET_CHILD_BOXES)) != 0
+    offs = jnp.asarray(_offsets1(d).T)          # (d, m)
+    col_w = jnp.asarray(3 ** (d - 1 - np.arange(d)), jnp.int64)
+
+    box_id = skel["box_id"]
+    box_level = skel["box_level"]
+    cap = box_id.shape[1]
+
+    def step(bid, blev, nrows):
+        bid = bid[0].astype(jnp.int64)          # (cap,), -1 pad
+        blev = blev[0].astype(jnp.int64)
+        nrows = nrows[0]                        # (cap, m)
+        valid = bid >= 0
+        bid_c = jnp.clip(bid, 0)
+        row_of = _halo_row_lookup(bid, blev, valid, nrows,
+                                  nboxes=nboxes, nlevels=nlevels,
+                                  axis=axis)
+        anc = _ancestor_table(bid_c, blev, valid, parents,
+                              nlevels=nlevels)
+        cells = morton.deinterleave(prefixes[bid_c], d)     # (d, cap)
+        pcells = cells >> np.int64(1)
+        par = parents[bid_c]
+        has_src = valid & has_src_g[bid_c]
+        is_totp = valid & is_totp_g[bid_c]
+        w_lo = bid_c[:, None]
+        tgt_hi = bid_c[:, None] << np.int64(32)
+        ciota = jnp.arange(cap)
+
+        def pack(keys):
+            flat = lax.sort(jnp.concatenate(keys, axis=1).reshape(-1))
+            return flat, jnp.searchsorted(
+                flat, _INVALID_KEY).astype(jnp.int64)
+
+        # slnws: own row minus the center column, no cross-shard reads
+        srow = jnp.where(valid[:, None], nrows, np.int32(-1))
+        keep = np.arange(m) != m // 2
+        srow = srow[:, keep]
+        s_keys, s_count = pack([jnp.where(
+            srow >= 0, tgt_hi | (srow & ID_MASK).astype(jnp.int64),
+            _INVALID_KEY)])
+
+        l3_keys, l4_keys = [], []
+
+        # parent's full neighbor row (candidate level = blev - 1);
+        # the touch test's level shift is statically 1 for every box
+        prow = row_of(jnp.where(valid & (blev >= 1), par, -1),
+                      blev - 1)                             # (cap, m)
+        touch1 = _touch_off(offs[:, None, :], 0,
+                            _low_bits(cells, 1)[:, :, None], 1)
+        ok = ((blev >= 1) & has_src)[:, None] & (prow >= 0) \
+            & ((prow & TGT_BIT) != 0) & ~touch1
+        l3_keys.append(jnp.where(
+            ok, ((prow & ID_MASK).astype(jnp.int64) << np.int64(32))
+            | w_lo, _INVALID_KEY))
+        ok = ((blev >= 2) & is_totp)[:, None] & (prow >= 0) \
+            & ((prow & SRC_BIT) != 0) & ~touch1
+        l4_keys.append(jnp.where(
+            ok, tgt_hi | (prow & ID_MASK).astype(jnp.int64),
+            _INVALID_KEY))
+
+        # the parent's cross window per deeper ancestor level, one
+        # static shift t = (own level - 1) - candidate level at a time
+        for t in range(1, nlevels - 1):
+            delta, dvalid = _cross_window(pcells, t, d)
+            alev = blev - 1 - t
+            aid = jnp.where(valid & (alev >= 0),
+                            anc[ciota, jnp.clip(alev, 0)], -1)
+            arow = row_of(aid, alev)                        # (cap, m)
+            col = ((delta + 1) * col_w[:, None, None]).sum(axis=0)
+            cand = jnp.take_along_axis(arow, col, axis=1)   # (cap, 2^d)
+            toucht = _touch_off(
+                delta, 0, _low_bits(cells, t + 1)[:, :, None], t + 1)
+            base = dvalid & (cand >= 0) & ~toucht
+            ok = base & (has_src & (alev >= 0))[:, None] \
+                & ((cand & TGT_BIT) != 0)
+            l3_keys.append(jnp.where(
+                ok, ((cand & ID_MASK).astype(jnp.int64) << np.int64(32))
+                | w_lo, _INVALID_KEY))
+            # List 4 excludes the root level (wl >= 1)
+            ok = base & (is_totp & (alev >= 1))[:, None] \
+                & ((cand & SRC_BIT) != 0)
+            l4_keys.append(jnp.where(
+                ok, tgt_hi | (cand & ID_MASK).astype(jnp.int64),
+                _INVALID_KEY))
+
+        l3 = pack(l3_keys)
+        l4 = pack(l4_keys)
+        return (s_keys[None], s_count[None], l3[0][None], l3[1][None],
+                l4[0][None], l4[1][None])
+
+    spec = NamedSharding(mesh, P(axis, None))
+    outs = jax.jit(_shard_map(
+        step, mesh,
+        (P(axis, None), P(axis, None), P(axis, None, None)),
+        (P(axis, None), P(axis), P(axis, None), P(axis),
+         P(axis, None), P(axis))))(
+        jax.device_put(box_id, spec), jax.device_put(box_level, spec),
+        jax.device_put(ntable_rows, NamedSharding(mesh, P(axis, None,
+                                                          None))))
+    return {"slnws": (outs[0], outs[1]), "l3": (outs[2], outs[3]),
+            "l4": (outs[4], outs[5])}

@@ -340,3 +340,68 @@ def test_sharded_l2_edges(mesh):
         rows = np.repeat(np.arange(len(totp)), np.diff(starts))
         ref = np.sort((totp[rows] << 32) | lists)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_l3l4_edges(mesh):
+    """Per-rank slnws / List-3 / List-4 edge emission over the sharded
+    neighbor table: the union of every rank's keys == the single-device
+    traversal's lists exactly, with one per-level last-row all_gather as
+    the only cross-device exchange."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import (
+        sharded_box_skeleton, sharded_l3l4_edges, sharded_neighbor_table)
+    from boxtree_tpu.traversal import build_traversal
+
+    rng = np.random.default_rng(97)
+    for dims, n, mpb in ((2, 1 << 12, 25), (3, 1 << 13, 40)):
+        pts = np.concatenate([
+            rng.random((dims, n // 2)) * 0.04,      # deep cluster
+            rng.random((dims, n // 2)),
+        ], axis=1)
+        weights = np.ones(n, np.int64)
+        codes_s, order, leaf_ref, counts_ref, depth = \
+            _single_device_oracle(pts, weights, mpb, dims)
+        skel = sharded_box_skeleton(
+            jnp.asarray(codes_s), jnp.asarray(leaf_ref),
+            counts_ref, mesh, dimensions=dims, depth=depth)
+        tree = build_tree(pts, max_particles_in_box=mpb)
+        ntable_rows = sharded_neighbor_table(tree, skel, mesh)
+
+        res = sharded_l3l4_edges(tree, skel, ntable_rows, mesh)
+
+        def union(pair):
+            keys, counts = (np.asarray(a) for a in pair)
+            return np.sort(np.concatenate(
+                [keys[r, :counts[r]] for r in range(keys.shape[0])]))
+
+        trav = build_traversal(tree)
+
+        # slnws: starts indexed by box id
+        starts = np.asarray(trav.same_level_non_well_sep_boxes_starts)
+        lists = np.asarray(trav.same_level_non_well_sep_boxes_lists)
+        rows = np.repeat(np.arange(tree.nboxes, dtype=np.int64),
+                         np.diff(starts))
+        np.testing.assert_array_equal(
+            union(res["slnws"]), np.sort((rows << 32) | lists))
+
+        # List 3: per source level over its own target-box list
+        ref = [np.zeros(0, np.int64)]
+        for ls, bl in enumerate(trav.from_sep_smaller_by_level):
+            starts = np.asarray(bl.starts)
+            lists = np.asarray(bl.lists)
+            tb = np.asarray(
+                trav.target_boxes_sep_smaller_by_source_level[ls]
+            ).astype(np.int64)
+            rows = np.repeat(np.arange(len(tb)), np.diff(starts))
+            ref.append((tb[rows] << 32) | lists)
+        np.testing.assert_array_equal(
+            union(res["l3"]), np.sort(np.concatenate(ref)))
+
+        # List 4: over target_or_target_parent rows
+        starts = np.asarray(trav.from_sep_bigger_starts)
+        lists = np.asarray(trav.from_sep_bigger_lists)
+        totp = np.asarray(
+            trav.target_or_target_parent_boxes).astype(np.int64)
+        rows = np.repeat(np.arange(len(totp)), np.diff(starts))
+        np.testing.assert_array_equal(
+            union(res["l4"]), np.sort((totp[rows] << 32) | lists))
