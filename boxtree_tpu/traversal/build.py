@@ -95,6 +95,17 @@ def _exclusive_cumsum(x):
     return jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(x)])
 
 
+def _prefix_sum(x):
+    """Inclusive prefix sum via ``lax.associative_scan``.
+
+    ``jnp.cumsum``'s TPU lowering is a reduce-window whose scoped-VMEM
+    stack allocation crashes the v5e AOT compiler when fused inside the
+    emit scans ("Ran out of memory in memory space vmem ... It should
+    not be possible to run out of scoped vmem", measured round 3); the
+    associative-scan lowering is slice/concat only and compiles clean."""
+    return lax.associative_scan(jnp.add, x)
+
+
 @partial(jax.jit, static_argnames=("total",))
 def _mask_to_list(mask, *, total):
     if total == 0:
@@ -601,7 +612,7 @@ def _emit_rowcsr(gen, rows_pfx, row_base, buf, off, starts, chunk):
         # enumeration order, so exclusive cumsum == sorted position);
         # a chunk-sized cumsum beats a searchsorted into chunk*K keys
         cnt = valid.sum(axis=1).astype(jnp.int64)
-        csum = jnp.cumsum(cnt)
+        csum = _prefix_sum(cnt)
         starts = lax.dynamic_update_slice(
             starts, off + csum - cnt, (ridx[0],))
         return (buf, off + csum[-1], starts), None
@@ -648,10 +659,10 @@ def _emit_l2_parent_rowcsr(gen, prows, child_level_parents, lsb_child,
         # present totp children occupy CONSECUTIVE totp rows from tr0 —
         # compact the selected slots' positions with one small sort
         cnt = valid.sum(axis=2).astype(jnp.int64).reshape(-1)
-        csum = jnp.cumsum(cnt)
+        csum = _prefix_sum(cnt)
         local = csum - cnt                      # (chunk * 2^d,)
         sel = row_sel.reshape(-1)
-        rank = jnp.cumsum(sel) - sel
+        rank = _prefix_sum(sel.astype(jnp.int32)) - sel
         w = (lax.sort(jnp.where(
             sel, (rank.astype(jnp.int64) << np.int64(32)) | local,
             _INVALID_KEY)) & mask32)
