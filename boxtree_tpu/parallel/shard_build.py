@@ -1240,3 +1240,108 @@ def sharded_l3l4_edges(tree, skel, ntable_rows, mesh):
                                                           None))))
     return {"slnws": (outs[0], outs[1]), "l3": (outs[2], outs[3]),
             "l4": (outs[4], outs[5])}
+
+
+def sharded_edges_to_owner_csr(keys, counts, tree, skel, mesh, *,
+                               capacity_factor=4.0):
+    """Route per-rank emitted edge keys to their target-row owners and
+    assemble each rank's CSR, completing the sharded traversal.
+
+    The emission blocks (:func:`sharded_l1_edges`,
+    :func:`sharded_l2_edges`, :func:`sharded_l3l4_edges`) write each
+    edge on the rank that *enumerated* it — source-side List-1/3 keys
+    and parent-side List-2 keys can name target rows owned elsewhere.
+    This block ships every key ``(tgt << 32) | src`` home:
+
+    1. owner of ``tgt``: box ids are level-major, so each rank owns one
+       contiguous id range PER LEVEL; one ``all_gather`` of each rank's
+       first owned id per level + a reverse cummin (backward fill over
+       ranks that own no boxes of a level) gives a per-level monotone
+       boundary table, and the owner is a vectorized
+       last-boundary-<=-id lookup;
+    2. a stable (owner, key) sort makes the buckets contiguous; one
+       fixed-capacity ``all_to_all`` ships them (the same pattern as
+       :func:`..shard_sort.sharded_key_sort`, with owner boundaries in
+       place of sampled splitters);
+    3. a local merge sort + one searchsorted of the owned ids yields
+       the rank's CSR starts over ALL its owned rows (rows that are not
+       targets of this list come out empty).
+
+    :arg keys: (nranks, lanes) int64 per-rank key blocks, valid keys
+        sorted first, ``_INVALID_KEY`` pad after (any emission block's
+        output).
+    :arg counts: (nranks,) valid counts.
+    :returns: ``(merged, starts, out_counts, ok)`` — (nranks,
+        nranks * cap) int64 received keys (sorted, pad after), (nranks,
+        row_cap + 1) int64 CSR starts aligned with ``skel["box_id"]``
+        (the last entry is the rank's total), (nranks,) totals, and a
+        bool that is False iff a (rank, owner) bucket overflowed
+        ``capacity_factor``.
+    """
+    from boxtree_tpu.traversal.build import _INVALID_KEY
+
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    nlevels = tree.nlevels
+    box_levels = jnp.asarray(tree.box_levels).astype(jnp.int64)
+    huge = jnp.int64(jnp.iinfo(jnp.int64).max)
+
+    box_id = skel["box_id"]
+    box_level = skel["box_level"]
+    row_cap = box_id.shape[1]
+    lanes = keys.shape[1]
+    cap = int(np.ceil(capacity_factor * lanes / nranks))
+
+    def step(kblock, cnt, bid, blev):
+        kblock, cnt = kblock[0], cnt[0]
+        bid = bid[0].astype(jnp.int64)
+        blev = blev[0].astype(jnp.int64)
+        validrow = bid >= 0
+        lane_valid = jnp.arange(lanes) < cnt
+
+        # per-level first owned id, backward-filled over empty ranks
+        firsts = []
+        for lv in range(nlevels):
+            is_l = validrow & (blev == lv)
+            firsts.append(jnp.where(is_l.any(), bid[jnp.argmax(is_l)],
+                                    huge))
+        firsts = lax.all_gather(jnp.stack(firsts), axis)    # (nr, nlv)
+        filled = lax.associative_scan(
+            jnp.minimum, firsts.T[:, ::-1], axis=1)[:, ::-1]
+
+        tgt = jnp.where(lane_valid, kblock >> np.int64(32), 0)
+        lv = box_levels[tgt]
+        owner = (filled[lv] <= tgt[:, None]).sum(axis=1) - 1
+        owner = jnp.where(lane_valid, owner, nranks)  # pads past ranks
+
+        owner_s, keys_s = lax.sort(
+            (owner.astype(jnp.int64), kblock), num_keys=1)
+        starts = jnp.searchsorted(
+            owner_s, jnp.arange(nranks + 1, dtype=jnp.int64))
+        lens = starts[1:] - starts[:-1]
+        ok = (lens <= cap).all()
+
+        j = jnp.arange(cap, dtype=jnp.int64)
+        rows = starts[:-1, None] + j[None, :]               # (nr, cap)
+        valid = j[None, :] < lens[:, None]
+        send = jnp.where(valid, keys_s[jnp.clip(rows, 0, lanes - 1)],
+                         _INVALID_KEY)
+        recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
+
+        merged = lax.sort(recv.reshape(-1))
+        total = jnp.searchsorted(merged, _INVALID_KEY).astype(jnp.int64)
+        bound = jnp.where(validrow, bid << np.int64(32), huge)
+        row_starts = jnp.searchsorted(merged, bound).astype(jnp.int64)
+        row_starts = jnp.concatenate([row_starts, total[None]])
+        ok = lax.psum(ok.astype(jnp.int32), axis) == nranks
+        return merged[None], row_starts[None], total[None], ok[None]
+
+    spec = NamedSharding(mesh, P(axis, None))
+    merged, starts, totals, oks = jax.jit(_shard_map(
+        step, mesh,
+        (P(axis, None), P(axis), P(axis, None), P(axis, None)),
+        (P(axis, None), P(axis, None), P(axis), P(axis))))(
+        jax.device_put(keys, spec),
+        jax.device_put(counts, NamedSharding(mesh, P(axis))),
+        jax.device_put(box_id, spec), jax.device_put(box_level, spec))
+    return merged, starts, totals, bool(np.asarray(oks).all())

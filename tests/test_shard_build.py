@@ -405,3 +405,68 @@ def test_sharded_l3l4_edges(mesh):
         rows = np.repeat(np.arange(len(totp)), np.diff(starts))
         np.testing.assert_array_equal(
             union(res["l4"]), np.sort((totp[rows] << 32) | lists))
+
+
+def test_sharded_edges_to_owner_csr(mesh):
+    """Owner exchange + per-rank CSR assembly: after routing, every key
+    sits on the rank owning its target row, and each owned box's CSR
+    slice equals the single-device traversal's per-box list."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import (
+        sharded_box_skeleton, sharded_edges_to_owner_csr,
+        sharded_l1_edges, sharded_l2_edges, sharded_neighbor_table)
+    from boxtree_tpu.traversal import build_traversal
+
+    rng = np.random.default_rng(103)
+    dims, n, mpb = 3, 1 << 13, 40
+    pts = np.concatenate([
+        rng.random((dims, n // 2)) * 0.04,
+        rng.random((dims, n // 2)),
+    ], axis=1)
+    weights = np.ones(n, np.int64)
+    codes_s, order, leaf_ref, counts_ref, depth = \
+        _single_device_oracle(pts, weights, mpb, dims)
+    skel = sharded_box_skeleton(
+        jnp.asarray(codes_s), jnp.asarray(leaf_ref),
+        counts_ref, mesh, dimensions=dims, depth=depth)
+    tree = build_tree(pts, max_particles_in_box=mpb)
+    ntable_rows = sharded_neighbor_table(tree, skel, mesh)
+    trav = build_traversal(tree)
+    box_id = np.asarray(skel["box_id"])
+
+    def check(pair, ref_starts, ref_lists, ref_rows):
+        # per-box reference lists
+        ref_starts = np.asarray(ref_starts)
+        ref_lists = np.asarray(ref_lists)
+        ref_rows = np.asarray(ref_rows).astype(np.int64)
+        per_box = {int(b): np.sort(
+            ref_lists[ref_starts[i]:ref_starts[i + 1]])
+            for i, b in enumerate(ref_rows)}
+
+        merged, starts, totals, ok = sharded_edges_to_owner_csr(
+            pair[0], pair[1], tree, skel, mesh)
+        assert ok
+        merged = np.asarray(merged)
+        starts = np.asarray(starts)
+        totals = np.asarray(totals)
+        seen = 0
+        for r in range(8):
+            owned = box_id[r][box_id[r] >= 0]
+            ks = merged[r, :totals[r]]
+            # every received key's target row is owned here
+            assert np.isin(ks >> 32, owned).all()
+            for i, b in enumerate(owned):
+                got = np.sort(ks[starts[r, i]:starts[r, i + 1]]
+                              & 0xFFFFFFFF)
+                want = per_box.get(int(b), np.zeros(0, np.int64))
+                np.testing.assert_array_equal(got, want)
+                seen += len(got)
+        assert seen == sum(len(v) for v in per_box.values())
+
+    check(sharded_l1_edges(tree, skel, ntable_rows, mesh),
+          trav.neighbor_source_boxes_starts,
+          trav.neighbor_source_boxes_lists, trav.target_boxes)
+    check(sharded_l2_edges(tree, skel, ntable_rows, mesh),
+          trav.from_sep_siblings_starts,
+          trav.from_sep_siblings_lists,
+          trav.target_or_target_parent_boxes)
