@@ -1345,3 +1345,39 @@ def sharded_edges_to_owner_csr(keys, counts, tree, skel, mesh, *,
         jax.device_put(counts, NamedSharding(mesh, P(axis))),
         jax.device_put(box_id, spec), jax.device_put(box_level, spec))
     return merged, starts, totals, bool(np.asarray(oks).all())
+
+
+def sharded_traversal_lists(tree, skel, mesh, *, capacity_factor=4.0):
+    """Per-rank interaction lists, end to end: neighbor table ->
+    emission of slnws + Lists 1-4 -> owner exchange -> per-rank CSR.
+
+    One call chaining every sharded-traversal building block.  Each
+    entry of the returned dict (keys ``"slnws"``, ``"l1"``, ``"l2"``,
+    ``"l3"``, ``"l4"``) is ``(merged, starts, counts)`` as returned by
+    :func:`sharded_edges_to_owner_csr`: the rank's received
+    ``(tgt << 32) | src`` keys and its CSR starts over ALL its owned
+    rows (``skel["box_id"]`` order; rows that are not targets of a list
+    are empty).  List 3 is flat over target rows here — the
+    single-device per-source-level split (`from_sep_smaller_by_level`)
+    is a scheduling choice of the single-device evaluator, and the
+    level of a List-3 *source* box is recoverable from the replicated
+    ``tree.box_levels``.
+
+    :raises RuntimeError: if an exchange bucket overflows
+        *capacity_factor* (retry larger).
+    """
+    ntable_rows = sharded_neighbor_table(tree, skel, mesh)
+    blocks = dict(sharded_l3l4_edges(tree, skel, ntable_rows, mesh))
+    blocks["l1"] = sharded_l1_edges(tree, skel, ntable_rows, mesh)
+    blocks["l2"] = sharded_l2_edges(tree, skel, ntable_rows, mesh)
+    out = {}
+    for name, (keys, counts) in blocks.items():
+        merged, starts, totals, ok = sharded_edges_to_owner_csr(
+            keys, counts, tree, skel, mesh,
+            capacity_factor=capacity_factor)
+        if not ok:
+            raise RuntimeError(
+                f"sharded_traversal_lists: {name} exchange overflowed "
+                f"capacity_factor={capacity_factor}; retry larger")
+        out[name] = (merged, starts, totals)
+    return out

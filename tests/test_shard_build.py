@@ -470,3 +470,48 @@ def test_sharded_edges_to_owner_csr(mesh):
           trav.from_sep_siblings_starts,
           trav.from_sep_siblings_lists,
           trav.target_or_target_parent_boxes)
+
+
+def test_sharded_traversal_lists(mesh):
+    """End-to-end per-rank lists: grand totals of every list equal the
+    single-device traversal's, and each rank's keys are owner-local."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import (
+        sharded_box_skeleton, sharded_traversal_lists)
+    from boxtree_tpu.traversal import build_traversal
+
+    rng = np.random.default_rng(109)
+    dims, n, mpb = 2, 1 << 12, 25
+    pts = np.concatenate([
+        rng.random((dims, n // 2)) * 0.04,
+        rng.random((dims, n // 2)),
+    ], axis=1)
+    weights = np.ones(n, np.int64)
+    codes_s, order, leaf_ref, counts_ref, depth = \
+        _single_device_oracle(pts, weights, mpb, dims)
+    skel = sharded_box_skeleton(
+        jnp.asarray(codes_s), jnp.asarray(leaf_ref),
+        counts_ref, mesh, dimensions=dims, depth=depth)
+    tree = build_tree(pts, max_particles_in_box=mpb)
+    trav = build_traversal(tree)
+    box_id = np.asarray(skel["box_id"])
+
+    lists = sharded_traversal_lists(tree, skel, mesh)
+
+    want = {
+        "slnws": len(np.asarray(
+            trav.same_level_non_well_sep_boxes_lists)),
+        "l1": len(np.asarray(trav.neighbor_source_boxes_lists)),
+        "l2": len(np.asarray(trav.from_sep_siblings_lists)),
+        "l3": sum(len(np.asarray(bl.lists))
+                  for bl in trav.from_sep_smaller_by_level),
+        "l4": len(np.asarray(trav.from_sep_bigger_lists)),
+    }
+    for name, (merged, starts, totals) in lists.items():
+        merged = np.asarray(merged)
+        totals = np.asarray(totals)
+        assert totals.sum() == want[name], name
+        for r in range(8):
+            owned = box_id[r][box_id[r] >= 0]
+            assert np.isin(
+                merged[r, :totals[r]] >> 32, owned).all(), name
