@@ -15,8 +15,11 @@ Mirrors ``boxtree/cost.py``:
   least-squares calibration (``estimate_calibration_params``,
   ``cost.py:650-708``).
 
-Costs are evaluated with vectorized numpy over the traversal's CSR
-arrays (host side; the counts are cheap O(nedges) reductions).
+Two evaluation flavors are provided, mirroring the reference's
+OpenCL/Python split (``cost.py:715`` vs ``cost.py:1264``):
+:class:`FMMCostModel` evaluates on device (jnp segment reductions over
+the traversal's CSR arrays) and :class:`PythonFMMCostModel` with
+vectorized numpy on the host.
 """
 
 from __future__ import annotations

@@ -1066,9 +1066,12 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
     # List 3 keeps only COMPRESSED (nonempty-row) CSRs, so the dense
     # per-level starts searches over the target rows are replaced by
     # boundary detection on the sorted keys (row changes mark the
-    # compressed starts directly)
+    # compressed starts directly).  Boundary positions compact through
+    # one key-sized sort, exactly like List 1 above — a sort is ~20x
+    # cheaper per element than the scatter-based mask compaction this
+    # replaced (doc/PERF.md primitive table).
     dummy = (jnp.full(1, _INVALID_KEY, jnp.int64),
-             jnp.zeros(1, bool), jnp.int64(0))
+             jnp.zeros(1, jnp.int64), jnp.int64(0))
     l3 = []
     for ls in range(nlevels):
         total = l3_totals[ls]
@@ -1079,7 +1082,10 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
         rows64 = keys >> np.int64(32)
         bnd = jnp.concatenate(
             [jnp.ones(1, bool), rows64[1:] != rows64[:-1]])
-        l3.append((keys, bnd, bnd.sum().astype(jnp.int64)))
+        pos = lax.sort(jnp.where(
+            bnd, jnp.arange(total, dtype=jnp.int64),
+            jnp.int64(np.iinfo(np.int64).max)))
+        l3.append((keys, pos, bnd.sum().astype(jnp.int64)))
 
     l3c = l4c = (dummy[0], dummy[1])
     if ext:
@@ -1093,7 +1099,7 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
 
 @partial(jax.jit, static_argnames=("nlevels", "l1_nonempty", "l3_totals",
                                    "l3_nonempty", "ext"))
-def _edge_slice_pass(l1_keys, l1_pos, l3_keys, l3_bnds, l3c_keys,
+def _edge_slice_pass(l1_keys, l1_pos, l3_keys, l3_pos, l3c_keys,
                      l4c_keys, target_boxes, tgt_row_of_box, *, nlevels,
                      l1_nonempty, l3_totals, l3_nonempty, ext):
     """Extract the final static-shape lists from the sorted compact key
@@ -1131,11 +1137,10 @@ def _edge_slice_pass(l1_keys, l1_pos, l3_keys, l3_bnds, l3c_keys,
             continue
         keys = l3_keys[ls]
         lists = (keys & mask32).astype(jnp.int32)
-        pos = _mask_to_list(l3_bnds[ls], total=nne)
+        pos = l3_pos[ls][:nne]
         comp_starts = jnp.concatenate(
-            [pos, jnp.full(1, total, jnp.int32)])
-        tgt_sep = (keys[pos.astype(jnp.int64)]
-                   >> np.int64(32)).astype(jnp.int32)
+            [pos.astype(jnp.int32), jnp.full(1, total, jnp.int32)])
+        tgt_sep = (keys[pos] >> np.int64(32)).astype(jnp.int32)
         ne_rows = tgt_row_of_box[tgt_sep.astype(jnp.int64)].astype(
             jnp.int32)
         l3_out.append((comp_starts, lists, ne_rows, tgt_sep))

@@ -288,10 +288,20 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
     # every per-box field at those representatives into the statically
     # sliced level segment.  (No full-length scatters, no cummax/cummin
     # scans — both are slow on TPU.)
+    #
+    # The active-particle prefix counts telescope across levels:
+    # cumsum(leaf_level > level) == cumsum(leaf_level >= level + 1), so
+    # each level's "deeper" cumsum is carried forward as the next
+    # level's "active" cumsum — one full-length cumsum per level
+    # instead of two.  At level 0 every particle is active.
+    cum_ge = jnp.arange(n + 1, dtype=jnp.int64)
     for level in range(nlevels):
         b0, b1 = level_starts[level], level_starts[level + 1]
         nl = b1 - b0
+        cum_gt = _exclusive_cumsum(
+            (leaf_level > level).astype(jnp.int32)).astype(jnp.int64)
         if nl == 0:
+            cum_ge = cum_gt
             continue
         shift = d * (depth - level)
         pfx = codes_s >> jnp.int64(shift)
@@ -311,12 +321,8 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         nxt_l = jnp.concatenate(
             [reps_l[1:], jnp.full(1, n, jnp.int64)])
 
-        cumact = _exclusive_cumsum(active.astype(jnp.int32)).astype(
-            jnp.int64)
-        cumdeep = _exclusive_cumsum(
-            (leaf_level > level).astype(jnp.int32)).astype(jnp.int64)
-        cumul_l = cumact[nxt_l] - cumact[reps_l]
-        deeper_l = cumdeep[nxt_l] - cumdeep[reps_l]
+        cumul_l = cum_ge[nxt_l] - cum_ge[reps_l]
+        deeper_l = cum_gt[nxt_l] - cum_gt[reps_l]
 
         pfx_l = codes_s[reps_l] >> jnp.int64(shift)
         box_morton = box_morton.at[b0:b1].set(pfx_l)
@@ -344,6 +350,7 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
             jnp.int32)
         leaf_box = jnp.where(leaf_level == level, box_of_cur, leaf_box)
         prev_box = box_of_cur
+        cum_ge = cum_gt
 
     # {{{ source/target split
 
@@ -381,9 +388,12 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         box_target_counts_nonchild = box_source_counts_nonchild
         targets = sources
         box_id_of_target = box_id_of_source
-        # user target id -> tree order position (inverse permutation)
-        sorted_target_ids = jnp.zeros(nsources, pid).at[order].set(
-            jnp.arange(n, dtype=pid), unique_indices=True)
+        # user target id -> tree order position (inverse permutation);
+        # a key-value sort of (order, iota) inverts the permutation at
+        # ~33 ns/elem vs the ~150 ns/elem random scatter it replaced
+        # (doc/PERF.md primitive table)
+        _, sorted_target_ids = lax.sort(
+            (order, jnp.arange(n, dtype=pid)), num_keys=1)
     else:
         is_target_s = ~is_source_s
         cumtgt = _exclusive_cumsum(is_target_s.astype(jnp.int64))

@@ -205,8 +205,13 @@ def _clear_caches_each_test():
     gc.collect()
 
 
-# The full 2x3x3 grid passed on 2026-08-16; trimmed here to keep suite
-# compile counts (and the 1-CPU runtime) sane.
+# The default run covers 10 of the 18 combos to keep suite compile
+# counts (and the 1-CPU runtime) sane; the remaining 8 carry the
+# ``nightly`` marker (deselected by default via addopts, run in the CI
+# nightly job with ``-m nightly``) so the FULL 2x3x3 grid still runs.
+_NIGHTLY = pytest.mark.nightly
+
+
 @pytest.mark.parametrize("dims,crit,n_away,min_nsources", [
     (2, "static_linf", 1, 0),
     (2, "static_linf", 1, 30),
@@ -215,8 +220,16 @@ def _clear_caches_each_test():
     (2, "precise_linf", 1, 30),
     (2, "precise_linf", 2, 0),
     (2, "static_l2", 1, 0),
-    (3, "precise_linf", 1, 0),
+    pytest.param(2, "static_l2", 1, 30, marks=_NIGHTLY),
+    pytest.param(2, "static_l2", 2, 0, marks=_NIGHTLY),
+    pytest.param(3, "static_linf", 1, 0, marks=_NIGHTLY),
     (3, "static_linf", 1, 30),
+    pytest.param(3, "static_linf", 2, 0, marks=_NIGHTLY),
+    pytest.param(3, "precise_linf", 1, 0, marks=pytest.mark.smoke),
+    pytest.param(3, "precise_linf", 1, 30, marks=_NIGHTLY),
+    pytest.param(3, "precise_linf", 2, 0, marks=_NIGHTLY),
+    pytest.param(3, "static_l2", 1, 0, marks=_NIGHTLY),
+    pytest.param(3, "static_l2", 1, 30, marks=_NIGHTLY),
     (3, "static_l2", 2, 0),
 ])
 def test_close_lists_vs_host_walk(dims, crit, n_away, min_nsources):

@@ -87,7 +87,8 @@ def test_rank_partition_matches_masks(trav):
 
 
 @pytest.mark.parametrize("nranks,communicate_mpoles", [
-    (1, "hypercube"), (2, "hypercube"), (8, "hypercube"),
+    (1, "hypercube"), (2, "hypercube"),
+    pytest.param(8, "hypercube", marks=pytest.mark.smoke),
     # 3 ranks exercises the fold-in/fold-out stages of the schedule
     (3, "hypercube"), (8, "allreduce"),
 ])

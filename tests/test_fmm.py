@@ -56,7 +56,11 @@ def run_completeness(dims, nsources, ntargets, *, nonuniform=False,
 
 
 @pytest.mark.parametrize("dims", [1, 2, 3])
-@pytest.mark.parametrize("nsources_ntargets", [(1500, None), (1000, 1500)])
+@pytest.mark.parametrize("nsources_ntargets", [
+    (1500, None),
+    # smoke tier: one split-src/tgt completeness case per dim
+    pytest.param((1000, 1500), marks=pytest.mark.smoke),
+])
 def test_fmm_completeness(dims, nsources_ntargets):
     nsources, ntargets = nsources_ntargets
     run_completeness(dims, nsources, ntargets)

@@ -57,7 +57,8 @@ def direct_coulomb(targets, sources, charges):
     return g @ charges
 
 
-@pytest.mark.parametrize("split", [False, True])
+@pytest.mark.parametrize("split", [
+    pytest.param(False, marks=pytest.mark.smoke), True])
 def test_laplace3d_vs_direct(split):
     rng = np.random.default_rng(31)
     nsources = 2000
