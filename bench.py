@@ -55,6 +55,18 @@ def run_probe():
     print(jax.devices()[0].platform)
 
 
+def _force(*arrays):
+    """Force completion of device work reachable from *arrays*.
+
+    ``jax.block_until_ready`` is a NO-OP through the axon tunnel
+    (execution is fully lazy there; only host pulls force it), so pull
+    one scalar per array — a few bytes each, negligible vs the work."""
+    import jax
+    for x in arrays:
+        if hasattr(x, "ravel") and getattr(x, "size", 0):
+            jax.device_get(x.ravel()[-1])
+
+
 def run_single(n):
     """Executed in a subprocess: benchmark one size, print one line.
     With BENCH_FMM=1, measures a 3D Laplace order-8 FMM evaluation
@@ -83,10 +95,10 @@ def run_single(n):
         f = staged_drive_fmm(w)
         q = jax.device_put(rng.standard_normal(n).astype(np.float32))
         t0 = time.perf_counter()
-        jax.block_until_ready(f(q))
+        _force(f(q))
         warm_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(f(q))
+        _force(f(q))
         dt = time.perf_counter() - t0
         print(json.dumps({
             "n": n, "dims": dims, "nboxes": tree.nboxes,
@@ -98,7 +110,14 @@ def run_single(n):
     def run():
         tree = build_tree(pts, max_particles_in_box=max_particles)
         trav = build_traversal(tree)
-        jax.block_until_ready(trav.neighbor_source_boxes_lists)
+        # force EVERY traversal output (the final slice passes are the
+        # last device work; a single list is not enough to time them)
+        _force(trav.neighbor_source_boxes_lists,
+               trav.neighbor_source_boxes_starts,
+               trav.same_level_non_well_sep_boxes_lists,
+               trav.from_sep_siblings_lists,
+               trav.from_sep_bigger_lists,
+               *(bl.lists for bl in trav.from_sep_smaller_by_level))
         return tree
 
     t0 = time.perf_counter()

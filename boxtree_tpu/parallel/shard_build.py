@@ -872,46 +872,13 @@ def sharded_l1_edges(tree, skel, ntable_rows, mesh):
         nrows = nrows[0]                            # (cap, m)
         valid = bid >= 0
         bid_c = jnp.clip(bid, 0)
-        bid_key = jnp.where(valid, bid, jnp.int64(nboxes) + 1)
 
-        # ancestor-at-level table (cap, nlevels): anc[c, l] = the
-        # level-l ancestor of box c (-1 above the root / below its own
-        # level); parents are replicated box metadata
-        anc = jnp.full((cap, nlevels), jnp.int64(-1))
-        cur = bid_c
-        lev_iota = jnp.arange(nlevels, dtype=jnp.int64)
-        for up in range(nlevels):
-            onehot = (blev - up)[:, None] == lev_iota[None, :]
-            anc = jnp.where(onehot & valid[:, None], cur[:, None], anc)
-            cur = parents[cur]
-
-        # halo: every rank's LAST owned row of every level (+ its id)
-        halo_parts = []
-        for lv in range(nlevels):
-            is_l = valid & (blev == lv)
-            last = jnp.where(is_l.any(),
-                             (cap - 1) - jnp.argmax(is_l[::-1]),
-                             cap - 1)
-            last_id = jnp.where(is_l.any(), bid[last], jnp.int64(-1))
-            halo_parts.append(jnp.concatenate(
-                [last_id[None], nrows[last].astype(jnp.int64)]))
-        halo = lax.all_gather(jnp.stack(halo_parts), axis)
-        halo_ids = halo[:, :, 0].T                  # (nlevels, nranks)
-        halo_rows = halo[:, :, 1:].astype(jnp.int32)  # (nranks, nlv, m)
-        halo_rows = jnp.swapaxes(halo_rows, 0, 1)   # (nlevels, nranks, m)
-
-        def row_of(gids, glev):
-            """Neighbor rows of global boxes *gids* at per-box levels
-            *glev*: local when owned, else the matching halo row."""
-            lr = jnp.clip(jnp.searchsorted(bid_key, gids), 0, cap - 1)
-            owned = bid[lr] == gids
-            lv = jnp.clip(glev, 0, nlevels - 1)
-            hid = halo_ids[lv]                      # (cap, nranks)
-            hrow = halo_rows[lv]                    # (cap, nranks, m)
-            hit = (hid == gids[:, None]) & (gids >= 0)[:, None]
-            far = jnp.einsum("cr,crm->cm", hit.astype(jnp.int32),
-                             hrow + 1).astype(jnp.int32) - 1
-            return jnp.where(owned[:, None], nrows[lr], far)
+        # shared cross-shard resolvers (also used by sharded_l3l4_edges)
+        anc = _ancestor_table(bid_c, blev, valid, parents,
+                              nlevels=nlevels)
+        row_of = _halo_row_lookup(bid, blev, valid, nrows,
+                                  nboxes=nboxes, nlevels=nlevels,
+                                  axis=axis)
 
         cells = morton.deinterleave(prefixes[bid_c], d)  # (d, cap)
         center = nrows[:, m // 2]
@@ -1347,6 +1314,36 @@ def sharded_edges_to_owner_csr(keys, counts, tree, skel, mesh, *,
     return merged, starts, totals, bool(np.asarray(oks).all())
 
 
+def _sharded_local_csr(keys, counts, skel, mesh):
+    """Per-rank CSR over owned rows for an emission block whose keys are
+    all locally owned by construction (slnws: every emitted key's target
+    is the emitting rank's own box) — the owner exchange of
+    :func:`sharded_edges_to_owner_csr` would be a no-op collective plus
+    ``nranks * cap`` of wasted buffer per rank, so skip it: the emitted
+    keys are already sorted per rank, and one searchsorted of the owned
+    ids yields the CSR starts."""
+    (axis,) = mesh.axis_names
+    huge = jnp.int64(jnp.iinfo(jnp.int64).max)
+    box_id = skel["box_id"]
+
+    def step(kblock, cnt, bid):
+        kblock, cnt = kblock[0], cnt[0]
+        bid = bid[0].astype(jnp.int64)
+        bound = jnp.where(bid >= 0, bid << np.int64(32), huge)
+        row_starts = jnp.searchsorted(kblock, bound).astype(jnp.int64)
+        row_starts = jnp.concatenate([row_starts, cnt[None]])
+        return kblock[None], row_starts[None], cnt[None]
+
+    spec = NamedSharding(mesh, P(axis, None))
+    merged, starts, totals = jax.jit(_shard_map(
+        step, mesh, (P(axis, None), P(axis), P(axis, None)),
+        (P(axis, None), P(axis, None), P(axis))))(
+        jax.device_put(keys, spec),
+        jax.device_put(counts, NamedSharding(mesh, P(axis))),
+        jax.device_put(box_id, spec))
+    return merged, starts, totals
+
+
 def sharded_traversal_lists(tree, skel, mesh, *, capacity_factor=4.0):
     """Per-rank interaction lists, end to end: neighbor table ->
     emission of slnws + Lists 1-4 -> owner exchange -> per-rank CSR.
@@ -1372,6 +1369,11 @@ def sharded_traversal_lists(tree, skel, mesh, *, capacity_factor=4.0):
     blocks["l2"] = sharded_l2_edges(tree, skel, ntable_rows, mesh)
     out = {}
     for name, (keys, counts) in blocks.items():
+        if name == "slnws":
+            # slnws targets are by construction locally owned: skip the
+            # owner exchange (one collective + nranks*cap buffer saved)
+            out[name] = _sharded_local_csr(keys, counts, skel, mesh)
+            continue
         merged, starts, totals, ok = sharded_edges_to_owner_csr(
             keys, counts, tree, skel, mesh,
             capacity_factor=capacity_factor)

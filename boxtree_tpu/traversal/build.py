@@ -715,15 +715,16 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
 
     def k_pad4_fast(lev):
         """Exact per-level List-4 lane count: the parent level
-        contributes a full 3^d row, each deeper ancestor level with
-        sources only its <= 2^d parent-touching window
-        (``nbr._cross_window``)."""
+        contributes a full 3^d row; ALL deeper ancestor levels with
+        sources share one level-reduced <= 2^d parent-touching window
+        (``nbr._cross_window`` + the ancestor-chain max-reduce in
+        ``nbr.fgen_list4``)."""
         k = 0
         if lev >= 2 and (src_levels is None or src_levels[lev - 1]):
             k += 3 ** dimensions
-        k += (2 ** dimensions) * len(
-            [wl for wl in range(1, lev - 1)
-             if src_levels is None or src_levels[wl]])
+        if any(src_levels is None or src_levels[wl]
+               for wl in range(1, lev - 1)):
+            k += 2 ** dimensions
         return max(1, k)
 
     def make(lev):
@@ -1270,7 +1271,12 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     def _toc(name, t0, *sync):
         if _timing:
-            jax.block_until_ready(sync)
+            # force completion with a scalar device_get per array:
+            # jax.block_until_ready is a no-op through the axon tunnel
+            # (execution is fully lazy; only host pulls force it)
+            for x in sync:
+                if hasattr(x, "ravel") and x.size:
+                    jax.device_get(x.ravel()[-1])
             print(f"# trav {name}: {_time.perf_counter() - t0:.3f}s",
                   flush=True)
 
@@ -1328,7 +1334,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         parents_dev, child_rows_dev, bbox_min_dev, root_extent_dev,
         sof_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
         fast=fast, src_levels=src_levels, ext=ext)
-    _toc("emit_rowlists", _t, slnws_buf)
+    _toc("emit_rowlists", _t, slnws_buf, l2_buf, l4_buf)
     _t = _tic()
 
     # single-enumeration edge construction: the compaction scan emits
@@ -1345,7 +1351,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
             ls_totp=ls_totp, ext=ext, crit=crit,
             min_nsources=min_nsources))
 
-    _toc("emit_edges", _t, l1_buf)
+    _toc("emit_edges", _t, l1_buf,
+         *(l3_em[ls][0] for ls in range(nlevels)))
     _t = _tic()
 
     # first host sync: every list size
@@ -1379,7 +1386,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         [nne_l1] + [l3_srt[ls][2] for ls in range(nlevels)]))
     l1_nonempty = int(ne_packed[0])
     l3_nonempty = tuple(int(x) for x in ne_packed[1:])
-    _toc("sort_edges", _t, l1_keys)
+    _toc("sort_edges", _t, l1_keys,
+         *(l3_srt[ls][0] for ls in range(nlevels)))
     _t = _tic()
 
     (l1_lists, l1_starts), l3_csr, close_lists = _edge_slice_pass(
@@ -1393,7 +1401,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     if ext:
         close_csr = ((l3c_srt[1], close_lists[0]),
                      (l4c_srt[1], close_lists[1]))
-    _toc("slice_edges", _t, l1_lists)
+    _toc("slice_edges", _t, l1_lists, l1_starts,
+         *(l3_csr[ls][1] for ls in range(nlevels)))
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []

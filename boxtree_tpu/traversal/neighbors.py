@@ -291,14 +291,20 @@ def _cross_window(cells, s, dimensions):
 
 
 def _window_lookup(ntable, anc, delta, dimensions):
-    """Gather the <= 2^d windowed entries: one flat gather of
-    ``ntable[anc, col(delta)]`` (8 lanes/box instead of a 3^d row)."""
+    """Gather the <= 2^d windowed entries: ONE row gather of the
+    ancestor's 3^d neighbor row plus a one-hot column select on the
+    VPU.  Measured on v5e (scripts/tpu_microbench_r4.py): 5.1 ns/lane
+    vs 15.7 ns/lane for flat scalar gathers ``ntable[anc, col]`` —
+    row gathers move contiguous (1, 3^d) blocks, scalar gathers pay
+    per lane."""
     d = dimensions
     m = 3 ** d
     col_w = jnp.asarray(3 ** (d - 1 - np.arange(d)), jnp.int64)
     col = ((delta + 1) * col_w[:, None, None]).sum(axis=0)  # (B, 2^d)
-    flat = anc[:, None] * np.int64(m) + col
-    return ntable.reshape(-1)[flat]                         # (B, 2^d)
+    row = ntable[anc]                                       # (B, m)
+    sel = col[:, :, None] == jnp.arange(m, dtype=col.dtype)
+    # exactly one column matches per lane; max with -1 fill selects it
+    return jnp.where(sel, row[:, None, :], np.int32(-1)).max(axis=2)
 
 
 def fgen_list4(rows, ntable, parents, prefixes, *, lb,
@@ -306,8 +312,13 @@ def fgen_list4(rows, ntable, parents, prefixes, *, lb,
     """List 4 at target level lb: neighbors of each strict ancestor
     (levels lb-1 .. 1) that are source boxes, not touching the row box,
     but touching its parent.  The parent level contributes its full 3^d
-    neighbor row; every deeper ancestor level only the <= 2^d
-    parent-touching window."""
+    neighbor row; the deeper ancestor levels contribute ONE reduced
+    <= 2^d window: for a fixed window combo, the valid candidates across
+    levels all contain the same point just outside the parent's corner,
+    so they form an ancestor chain of which at most one is a source
+    leaf (= has SRC_BIT in the no-extent fast path) — a max-reduce over
+    levels replaces the per-level lanes (round-4 lane pruning; the
+    emission sorts pay per lane, doc/PERF.md)."""
     d = dimensions
     m = 3 ** d
     offs = jnp.asarray(_offsets1(d).T)                      # (d, m)
@@ -326,6 +337,7 @@ def fgen_list4(rows, ntable, parents, prefixes, *, lb,
                                   low_b[:, :, None], lb)
         valid = (cand >= 0) & is_src & not_touch_b
         chunks.append(jnp.where(valid, cand & ID_MASK, -1))
+    best = None
     for wl in range(lb - 2, 0, -1):
         if src_levels is not None and not src_levels[wl]:
             continue
@@ -336,7 +348,10 @@ def fgen_list4(rows, ntable, parents, prefixes, *, lb,
         low_b = _low_bits(cells, lb - wl)
         not_touch_b = ~_touch_off(delta, wl, low_b[:, :, None], lb)
         valid = dvalid & (cand >= 0) & is_src & not_touch_b
-        chunks.append(jnp.where(valid, cand & ID_MASK, -1))
+        masked = jnp.where(valid, cand & ID_MASK, -1)
+        best = masked if best is None else jnp.maximum(best, masked)
+    if best is not None:
+        chunks.append(best)
     if not chunks:
         return jnp.full((rows.shape[0], k_pad), -1, jnp.int32)
     block = jnp.concatenate(chunks, axis=1)
@@ -368,11 +383,22 @@ def fgen_list1_target_side(rows, row_boxes, ntable, parents,
 
     if src_levels is None or src_levels[lt]:
         emit(ntable[anc[0]])                # (B, m): all touch the box
+    # coarser source levels: per window combo the valid candidates
+    # across levels form an ancestor chain (they all contain the point
+    # just outside the box's corner), so at most one carries SRC_BIT —
+    # max-reduce the levels into ONE <= 2^d lane block
+    best = None
     for ls in range(lt - 1, -1, -1):
         if src_levels is not None and not src_levels[ls]:
             continue
         delta, dvalid = _cross_window(cells, lt - ls, d)
-        emit(_window_lookup(ntable, anc[lt - ls], delta, d), dvalid)
+        cand = _window_lookup(ntable, anc[lt - ls], delta, d)
+        valid = dvalid & (cand >= 0) & ((cand & SRC_BIT) != 0)
+        masked = jnp.where(valid, cand & ID_MASK, -1)
+        best = masked if best is None else jnp.maximum(best, masked)
+    if best is not None:
+        out.append(jnp.where(
+            best >= 0, row_hi | best.astype(jnp.int64), _INVALID_KEY))
     if not out:
         return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)
@@ -389,23 +415,23 @@ def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
         prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
     anc = _ancestors(rows, parents, ls)
     src_lo = src_ids.astype(jnp.int64)[:, None]
-    out = []
+    # per combo at most one coarser target leaf across levels (ancestor
+    # chain, see fgen_list1_target_side) — reduce to one lane block
+    best = None
     for lt in range(ls - 1, -1, -1):
         if tgt_levels is not None and not tgt_levels[lt]:
             continue
         delta, dvalid = _cross_window(cells, ls - lt, d)
         cand = _window_lookup(ntable, anc[ls - lt], delta, d)
-        valid = (dvalid & (cand >= 0) & ((cand & TGT_BIT) != 0)
-                 & emitter_is_src[:, None])
-        keys = jnp.where(
-            valid,
-            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32))
-            | src_lo,
-            _INVALID_KEY)
-        out.append(keys)
-    if not out:
+        valid = dvalid & (cand >= 0) & ((cand & TGT_BIT) != 0)
+        masked = jnp.where(valid, cand & ID_MASK, -1)
+        best = masked if best is None else jnp.maximum(best, masked)
+    if best is None:
         return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
-    return jnp.concatenate(out, axis=1)
+    return jnp.where(
+        (best >= 0) & emitter_is_src[:, None],
+        (best.astype(jnp.int64) << np.int64(32)) | src_lo,
+        _INVALID_KEY)
 
 
 def fgen_list3(rows, w_ids, ntable, parents, box_flags, prefixes, *, ls,
@@ -426,24 +452,37 @@ def fgen_list3(rows, w_ids, ntable, parents, box_flags, prefixes, *, ls,
     w_lo = w_ids.astype(jnp.int64)[:, None]
     out = []
 
-    def emit(cand, delta, lt, extra_valid=True):
+    def valid_of(cand, delta, lt, extra_valid=True):
+        # delta here is relative to w's level-lt ancestor, which equals
+        # parent(w)'s level-lt ancestor for lt <= ls - 1, so the touch
+        # test against w can use w's own low bits
         low_w = _low_bits(cells, ls - lt)
         not_touch_w = ~_touch_off(delta, lt, low_w[:, :, None], ls)
-        valid = ((cand >= 0) & ((cand & TGT_BIT) != 0) & not_touch_w
-                 & w_has_src[:, None] & extra_valid)
-        out.append(jnp.where(
-            valid,
-            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32)) | w_lo,
-            _INVALID_KEY))
+        return ((cand >= 0) & ((cand & TGT_BIT) != 0) & not_touch_w
+                & extra_valid)
 
     if ls >= 1 and (tgt_levels is None or tgt_levels[ls - 1]):
-        emit(ntable[anc[0]], offs[:, None, :], ls - 1)
+        cand = ntable[anc[0]]
+        out.append(jnp.where(
+            valid_of(cand, offs[:, None, :], ls - 1) & w_has_src[:, None],
+            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32)) | w_lo,
+            _INVALID_KEY))
+    # coarser target levels: per combo at most one target leaf across
+    # levels (ancestor chain, see fgen_list1_target_side) — max-reduce
+    best = None
     for lt in range(ls - 2, -1, -1):
         if tgt_levels is not None and not tgt_levels[lt]:
             continue
         delta, dvalid = _cross_window(pcells, ls - 1 - lt, d)
-        emit(_window_lookup(ntable, anc[ls - 1 - lt], delta, d),
-             delta, lt, dvalid)
+        cand = _window_lookup(ntable, anc[ls - 1 - lt], delta, d)
+        masked = jnp.where(valid_of(cand, delta, lt, dvalid),
+                           cand & ID_MASK, -1)
+        best = masked if best is None else jnp.maximum(best, masked)
+    if best is not None:
+        out.append(jnp.where(
+            (best >= 0) & w_has_src[:, None],
+            (best.astype(jnp.int64) << np.int64(32)) | w_lo,
+            _INVALID_KEY))
     if not out:
         return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
     return jnp.concatenate(out, axis=1)

@@ -35,12 +35,20 @@ print("device:", jax.devices()[0], flush=True)
 
 
 def timeit(name, fn, *args, per=None, reps=3):
-    f = jax.jit(fn)
-    jax.block_until_ready(f(*args))      # compile
+    # block_until_ready is a no-op through the axon tunnel; force
+    # completion by pulling a scalar reduction of every output
+    def red(*a):
+        out = fn(*a)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.asarray(x).ravel()[-1].astype(jnp.float32)
+                   for x in leaves)
+
+    f = jax.jit(red)
+    float(f(*args))                      # compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        float(f(*args))
         best = min(best, time.perf_counter() - t0)
     unit = f", {best / per * 1e9:.2f} ns/elem" if per else ""
     print(f"{name}: {best * 1e3:.2f} ms{unit}", flush=True)
