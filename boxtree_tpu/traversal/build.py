@@ -713,31 +713,17 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
     offs_2 = jnp.asarray(_offsets(d, 2 * n_away + 1, min_inf_norm=n_away))
     k_pad4 = max(1, offs_n.shape[0] * (nlevels - 1))
 
-    def k_pad4_fast(lev):
-        """Exact per-level List-4 lane count: the parent level
-        contributes a full 3^d row; ALL deeper ancestor levels with
-        sources share one level-reduced <= 2^d parent-touching window
-        (``nbr._cross_window`` + the ancestor-chain max-reduce in
-        ``nbr.fgen_list4``)."""
-        k = 0
-        if lev >= 2 and (src_levels is None or src_levels[lev - 1]):
-            k += 3 ** dimensions
-        if any(src_levels is None or src_levels[wl]
-               for wl in range(1, lev - 1)):
-            k += 2 ** dimensions
-        return max(1, k)
-
     def make(lev):
         if fast:
-            gen_s = partial(nbr.fgen_slnws, ntable=ntable, dimensions=d)
+            gen_s = partial(nbr.fgen_slnws, ntable=ntable,
+                            lsb_lev=lsb[lev], dimensions=d)
             gen_2 = partial(nbr.fgen_list2, ntable=ntable,
                             child_rows=child_rows, parents=parents,
-                            prefixes=prefixes, dimensions=d)
+                            prefixes=prefixes, dimensions=d,
+                            min_id=lsb[lev - 1] if lev >= 1 else 0)
             gen_4 = partial(nbr.fgen_list4, ntable=ntable, parents=parents,
                             prefixes=prefixes,
-                            lb=lev, dimensions=d,
-                            k_pad=k_pad4_fast(lev),
-                            src_levels=src_levels)
+                            lb=lev, dimensions=d, lsb=lsb)
             return gen_s, gen_2, gen_4
         pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
 
@@ -796,7 +782,12 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
         rows = totp_boxes[r0:r1]
         if not fast:
             l2_plan.append((gen_2, rows, r0))
-        if not (n_away == 1 and lev == 1):
+        if fast:
+            # List-4 sources live at levels 1..lev-1 (coarser leaves)
+            if any(src_levels is None or src_levels[wl]
+                   for wl in range(1, lev)):
+                l4_plan.append((gen_4, rows, r0))
+        elif not (n_away == 1 and lev == 1):
             l4_plan.append((gen_4, rows, r0))
 
     def run(plan, nrows_total):
@@ -825,12 +816,15 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
 
     if fast:
         # List 2 from the parent side: one table row + 3^d child rows
-        # per parent serve all 2^d children (fgen_list2_parent)
-        gen2p = partial(nbr.fgen_list2_parent, ntable=ntable,
-                        child_rows=child_rows, dimensions=dimensions)
+        # per parent serve all 2^d children (fgen_list2_parent); the
+        # per-level min_id filters clamped coarser parent-row entries
+        def gen2p_at(plev):
+            return partial(nbr.fgen_list2_parent, ntable=ntable,
+                           child_rows=child_rows, dimensions=dimensions,
+                           min_id=lsb[plev])
         is_totp = jnp.zeros(nboxes + 1, bool).at[
             totp_boxes.astype(jnp.int64)].set(True)
-        cs = jax.eval_shape(gen2p, jax.ShapeDtypeStruct(
+        cs = jax.eval_shape(gen2p_at(0), jax.ShapeDtypeStruct(
             (_L2_FILL_CHUNK,), jnp.int32))[0].shape
         size = sum(
             max(1, -(-(lsb[p + 1] - lsb[p]) // _L2_FILL_CHUNK))
@@ -844,8 +838,8 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
             prows = jnp.arange(lsb[plev], lsb[plev + 1], dtype=jnp.int32)
             clp = parents[lsb[plev + 1]:lsb[plev + 2]].astype(jnp.int64)
             buf, off, starts = _emit_l2_parent_rowcsr(
-                gen2p, prows, clp, lsb[plev + 1], totp_boxes, is_totp,
-                buf, off, starts)
+                gen2p_at(plev), prows, clp, lsb[plev + 1], totp_boxes,
+                is_totp, buf, off, starts)
         starts = starts.at[ntotp].set(off)
         l2 = (starts[:ntotp + 1], buf, off)
     else:
@@ -866,12 +860,12 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
     if ext:
         src_cumul, tbb_min, tbb_max, bbox_min, root_extent, sof = ext_data
 
+    def l1_leaf(lt):
+        """Fast path only: both List-1 sides from one clamped row."""
+        return partial(nbr.fgen_list1_leaf, ntable=ntable,
+                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb)
+
     def l1_tgt(lt):
-        if fast:
-            return partial(nbr.fgen_list1_target_side, ntable=ntable,
-                           parents=parents,
-                           prefixes=prefixes, lt=lt, dimensions=d,
-                           src_levels=src_levels)
         g = partial(_gen_list1_target_side, prefixes=prefixes,
                     box_flags=box_flags, offs=offs1, lt=lt,
                     dimensions=d, lsb=lsb)
@@ -879,11 +873,6 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
             prefixes[jnp.clip(rows, 0).astype(jnp.int64)], ri)
 
     def l1_src(ls):
-        if fast:
-            return partial(nbr.fgen_list1_source_side, ntable=ntable,
-                           parents=parents, box_flags=box_flags,
-                           prefixes=prefixes, ls=ls, dimensions=d,
-                           tgt_levels=tgt_levels)
         g = partial(_gen_list1_source_side, prefixes=prefixes,
                     box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
                     offs=offs1, ls=ls, dimensions=d, lsb=lsb)
@@ -906,7 +895,7 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
             return partial(nbr.fgen_list3, ntable=ntable, parents=parents,
                            box_flags=box_flags,
                            prefixes=prefixes, ls=ls, dimensions=d,
-                           tgt_levels=tgt_levels)
+                           lsb=lsb)
         g = partial(_gen_list3, prefixes=prefixes, box_flags=box_flags,
                     tgt_row_of_box=tgt_row_of_box, offs1=offs1,
                     offsn=offsn, ls=ls, dimensions=d, lsb=lsb)
@@ -923,7 +912,7 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
         return lambda rows, bi: g(
             prefixes[jnp.clip(rows, 0).astype(jnp.int64)], bi)
 
-    return l1_tgt, l1_src, l3, l4c
+    return l1_leaf, l1_tgt, l1_src, l3, l4c
 
 
 # }}}
@@ -932,11 +921,13 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
 # {{{ edge emission passes
 
 @partial(jax.jit, static_argnames=(
-    "dimensions", "n_away", "lsb", "ls_tgt", "ntarget_boxes", "fast",
-    "src_levels", "tgt_levels", "ls_totp", "ext", "crit", "min_nsources"))
-def _edge_emit_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
-                    ntable, parents, totp_boxes, ext_data, *, dimensions,
-                    n_away, lsb, ls_tgt, ntarget_boxes, fast,
+    "dimensions", "n_away", "lsb", "ls_tgt", "ls_part", "ntarget_boxes",
+    "fast", "src_levels", "tgt_levels", "ls_totp", "ext", "crit",
+    "min_nsources"))
+def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
+                    tgt_row_of_box, ntable, parents, totp_boxes,
+                    ext_data, *, dimensions, n_away, lsb, ls_tgt,
+                    ls_part=None, ntarget_boxes=0, fast=False,
                     src_levels=None, tgt_levels=None, ls_totp=None,
                     ext=False, crit=None, min_nsources=0):
     """Single-enumeration edge emission for List 1, the per-source-level
@@ -949,7 +940,7 @@ def _edge_emit_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
     pass (a full second enumeration) and the round-3 global sorts over
     every padded lane (doc/PERF.md)."""
     nlevels = len(lsb) - 1
-    l1_tgt, l1_src, l3g, l4cg = _edge_gens(
+    l1_leaf, l1_tgt, l1_src, l3g, l4cg = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
         dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast,
         src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
@@ -980,28 +971,44 @@ def _edge_emit_pass(prefixes, target_boxes, box_flags, tgt_row_of_box,
             buf, off = _emit_compact(gen, rows, aux, buf, off)
         return buf, off
 
-    # List 1
+    # List 1.  Fast path: ONE plan over the source-or-target leaf rows
+    # per level; each row's clamped table row yields both the
+    # target-side and source-side keys (fgen_list1_leaf).  Generic
+    # path: the two-sided plans.
     l1_plan = []
-    for lt in range(nlevels):
-        r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
-        if r1 == r0:
-            continue
-        rows = target_boxes[r0:r1]
-        l1_plan.append((l1_tgt(lt), rows, (rows.astype(jnp.int64),)))
-    for ls in range(1, nlevels):
-        if src_levels is not None and not src_levels[ls]:
-            continue
-        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
-        l1_plan.append((l1_src(ls), ids_l, (ids_l.astype(jnp.int64),)))
+    if fast:
+        for lt in range(nlevels):
+            r0, r1 = ls_part[lt], ls_part[lt + 1]
+            if r1 == r0:
+                continue
+            rows = part_boxes[r0:r1]
+            l1_plan.append((l1_leaf(lt), rows,
+                            (rows.astype(jnp.int64),)))
+    else:
+        for lt in range(nlevels):
+            r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
+            if r1 == r0:
+                continue
+            rows = target_boxes[r0:r1]
+            l1_plan.append((l1_tgt(lt), rows, (rows.astype(jnp.int64),)))
+        for ls in range(1, nlevels):
+            if src_levels is not None and not src_levels[ls]:
+                continue
+            ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+            l1_plan.append((l1_src(ls), ids_l,
+                            (ids_l.astype(jnp.int64),)))
     l1 = emit_plan(l1_plan, 'l1')
 
     # List 3 per source level (a level can contribute iff any level at
-    # or below it holds source boxes)
+    # or below it holds source boxes AND some coarser level holds
+    # target rows)
     dummy = (jnp.full(1, _INVALID_KEY, jnp.int64), jnp.int64(0))
     l3 = []
     for ls in range(nlevels):
         if ls == 0 or (src_levels is not None
-                       and not any(src_levels[ls:])):
+                       and not any(src_levels[ls:])) \
+                or (tgt_levels is not None
+                    and not any(tgt_levels[:ls])):
             l3.append(dummy)
             continue
         ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
@@ -1258,6 +1265,13 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     tgt_row_of_box[target_boxes_np] = np.arange(ntarget_boxes)
     tgt_row_of_box_dev = jnp.asarray(tgt_row_of_box)
 
+    # List-1 participant rows (fast path): every source-or-target leaf
+    # emits both sides of List 1 from its one clamped table row
+    if getattr(tree, "sources_are_targets", True):
+        part_boxes, ls_part = target_boxes, ls_tgt
+    else:
+        part_boxes, ls_part = make_list(src_mask | tgt_mask)
+
     # }}}
 
     # optional stage timing (BOXTREE_TPU_TRAV_TIMING=1): wall time per
@@ -1343,10 +1357,11 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     # invalid padded lanes — doc/PERF.md)
     (l1_buf, l1_tot), l3_em, (l3c_em, l4c_em) = (
         _edge_emit_pass(
-            prefixes, target_boxes, flags_dev, tgt_row_of_box_dev,
-            ntable, parents_dev, target_or_target_parent_boxes,
-            ext_data, dimensions=d, n_away=n_away, lsb=lsb,
-            ls_tgt=ls_tgt, ntarget_boxes=ntarget_boxes, fast=fast,
+            prefixes, target_boxes, part_boxes, flags_dev,
+            tgt_row_of_box_dev, ntable, parents_dev,
+            target_or_target_parent_boxes, ext_data, dimensions=d,
+            n_away=n_away, lsb=lsb, ls_tgt=ls_tgt, ls_part=ls_part,
+            ntarget_boxes=ntarget_boxes, fast=fast,
             src_levels=src_levels, tgt_levels=tgt_levels,
             ls_totp=ls_totp, ext=ext, crit=crit,
             min_nsources=min_nsources))

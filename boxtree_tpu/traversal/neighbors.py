@@ -4,16 +4,24 @@ The generic traversal generators locate candidate boxes with binary
 searches into per-level Morton tables — O(log nboxes) serial gather
 rounds per candidate, which dominates traversal time on TPU (gathers are
 the scarce resource).  For the default ``well_sep_is_n_away == 1`` these
-are replaced by the classic *neighbor table*: ``table[b, j]`` is the box
-at ``cell(b) + delta_j`` on ``b``'s own level (or -1), built top-down
-with two gathers per entry via the parent's table::
+are replaced by the classic *neighbor table*, built top-down with two
+gathers per entry via the parent's table::
 
     parent_of(cell + delta) = parent_cell + ((cell & 1) + delta) >> 1
     table[b, j] = child(table[parent(b), col], digit(cell + delta))
 
-Every list candidate is then one table gather plus pure integer
-arithmetic (candidate *cells* are reconstructed from static column
-offsets, so adjacency predicates need no further memory access).
+**Clamped entries (round 4).**  ``table[b, j]`` is the DEEPEST EXISTING
+box containing cell ``cell(b) + delta_j`` at ``b``'s level: the
+same-level neighbor when it exists, otherwise the finest coarser box
+covering that cell (-1 only outside the domain).  Any coarser
+non-ancestor box touching ``b`` must contain one of ``b``'s 3^d - 1
+neighbor cells, so ONE row gather of ``b``'s own (or its parent's)
+table row enumerates every cross-level candidate of Lists 1, 3 and 4 —
+replacing the per-coarser-level ancestor windows (7 extra row gathers
+per row at 8 levels) of the round-3 design.  A coarser box covering
+several neighbor cells appears in several lanes; the *canonical-lane*
+filter (:func:`_canonical_mask`, pure shift arithmetic) keeps exactly
+one.
 
 The table entries additionally pack the two predicate bits every list
 needs — IS_SOURCE_BOX and "is a target-list row" — into spare high bits
@@ -22,7 +30,9 @@ filtering *zero extra gathers*: the per-candidate ``box_flags[cand]`` /
 ``tgt_row_of_box[cand]`` random gathers of the naive formulation (the
 round-1 bottleneck, doc/PERF.md) disappear, and edge keys are emitted in
 box-id space (``tgt_box << 32 | src``) so no row translation is needed
-until the final CSR starts computation.
+until the final CSR starts computation.  A clamped entry's LEVEL is
+recovered with nlevels static compares against the level starts
+(:func:`_id_level`) — no memory access.
 """
 
 from __future__ import annotations
@@ -54,9 +64,12 @@ def _offsets1(dimensions):
 @partial(jax.jit, static_argnames=("dimensions", "lsb"))
 def build_neighbor_table(prefixes, parents, child_ids, box_flags,
                          tgt_box_mask, *, dimensions, lsb):
-    """(nboxes, 3^d) same-level neighbor entries (-1 where absent);
-    column order matches ``_offsets(d, 1)``, center column = self.
-    Entries pack the candidate-filter bits (see module doc).
+    """(nboxes, 3^d) CLAMPED neighbor entries: ``table[b, j]`` is the
+    deepest existing box containing ``cell(b) + delta_j`` (the
+    same-level neighbor when it exists, else the finest covering
+    coarser box; -1 outside the domain).  Column order matches
+    ``_offsets(d, 1)``, center column = self.  Entries pack the
+    candidate-filter bits (see module doc).
 
     Built PARENT-side: level lev-1 is a contiguous slice of the table
     (no gather at all to read it), the children of all 3^d neighbor
@@ -64,6 +77,9 @@ def build_neighbor_table(prefixes, parents, child_ids, box_flags,
     (child digit, column) -> (parent column, child digit) index maps are
     fully static, so each level costs ~3^d/2^d gather lanes per box
     instead of the 2*3^d scattered lanes of the child-side build.
+    Clamping falls out of the recurrence: where the parent-level entry
+    is coarser (already clamped) or its child at the needed digit is
+    absent, the parent-level entry itself propagates down.
     """
     d = dimensions
     offs = _offsets1(d)                      # (m, d) numpy
@@ -106,12 +122,19 @@ def build_neighbor_table(prefixes, parents, child_ids, box_flags,
         pn = table[p0:p1]                                  # (P, m) slice
         pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)
         ch = child_ent[pid]                                # (P, m, 2^d)
-        ch = jnp.where((pn >= 0)[:, :, None], ch, np.int32(-1))
-        # (P, 2^d, m) candidate table rows for every potential child
+        # child lookups are meaningful only where the parent-level entry
+        # is actually AT the parent level (an already-clamped coarser
+        # entry's children cover different cells)
+        at_plev = (pn >= 0) & (pid >= np.int64(lsb[lev - 1]))
+        ch = jnp.where(at_plev[:, :, None], ch, np.int32(-1))
+        # (P, 2^d, m) candidate table rows for every potential child;
+        # absent child -> the parent-level entry itself (clamping)
         eq = []
         for q in range(nchild):
             eq.append(jnp.stack(
-                [ch[:, int(pcol[q, j]), int(cdig[q, j])]
+                [jnp.where(ch[:, int(pcol[q, j]), int(cdig[q, j])] >= 0,
+                           ch[:, int(pcol[q, j]), int(cdig[q, j])],
+                           pn[:, int(pcol[q, j])])
                  for j in range(m)], axis=1))
         eall = jnp.stack(eq, axis=1).reshape((p1 - p0) * nchild, m)
         # compact to the level's existing boxes: children are numbered
@@ -154,113 +177,7 @@ def _low_bits(cells, nbits):
 # }}}
 
 
-# {{{ fast generators (rows are box-id chunks at one static level)
-
-def fgen_slnws(rows, ntable, *, dimensions):
-    """Colleagues = neighbor-table row without the center column."""
-    m = 3 ** dimensions
-    t = ntable[jnp.clip(rows, 0).astype(jnp.int64)]
-    keep = np.arange(m) != m // 2
-    t = t[:, keep]
-    return jnp.where(t >= 0, t & ID_MASK, -1)
-
-
-def _list2_valid_pairs(dimensions):
-    """For each child digit r: the static list of (neighbor column j,
-    child digit q) whose candidate is well-separated from r — i.e. the
-    List-2 window, enumerated once per *parent*."""
-    d = dimensions
-    offs = _offsets1(d)
-    nchild = 2 ** d
-
-    def bits(q):
-        return np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
-
-    pairs = []
-    for r in range(nchild):
-        lst = []
-        for j in range(len(offs)):
-            for q in range(nchild):
-                off = 2 * offs[j] + bits(q) - bits(r)
-                if (np.abs(off) > 1).any():
-                    lst.append((j, q))
-        pairs.append(lst)
-    return pairs
-
-
-def fgen_list2_parent(prows, ntable, child_rows, *, dimensions):
-    """List-2 candidates enumerated from the PARENT level: one
-    neighbor-table row plus 3^d child-row gathers per parent serve all
-    2^d children (the per-(column, digit) well-separation test is fully
-    static).  Returns ``(cand, own)`` with ``cand`` (B, 2^d, K) candidate
-    box ids (-1 invalid) and ``own`` (B, 2^d) the child boxes owning each
-    candidate row (0 = absent child)."""
-    rows_i = jnp.clip(prows, 0).astype(jnp.int64)
-    return list2_from_parent_rows(ntable[rows_i], child_rows[rows_i],
-                                  child_rows, dimensions=dimensions)
-
-
-def list2_from_parent_rows(pn, own, child_rows, *, dimensions):
-    """Core of :func:`fgen_list2_parent` over already-gathered parent
-    neighbor rows ``pn`` (B, 3^d) and child entries ``own`` (B, 2^d) —
-    also the sharded-traversal entry point, where each device holds its
-    OWNED neighbor-table rows directly
-    (:func:`boxtree_tpu.parallel.shard_build.sharded_l2_edges`)."""
-    d = dimensions
-    m = 3 ** d
-    nchild = 2 ** d
-
-    cand_jq = {}
-    for j in range(m):
-        pnj = pn[:, j]
-        ch = child_rows[jnp.clip(pnj, 0) & ID_MASK]     # (B, nchild)
-        ok = pnj >= 0
-        for q in range(nchild):
-            c = ch[:, q]
-            cand_jq[(j, q)] = jnp.where(ok & (c > 0), c, -1)
-
-    pairs = _list2_valid_pairs(d)
-    cand = jnp.stack(
-        [jnp.stack([cand_jq[jq] for jq in pairs[r]], axis=1)
-         for r in range(nchild)], axis=1)               # (B, nchild, K)
-    return jnp.where(own[..., None] > 0, cand, -1), own
-
-
-def fgen_list2(rows, ntable, child_rows, parents, prefixes, *, dimensions):
-    """Children of parent's neighbors that are >1 away: candidate cell
-    offsets are fully static per (neighbor column, child digit); each
-    neighbor's children come from ONE row gather of the transposed
-    child table instead of 2^d scalar gathers."""
-    d = dimensions
-    m = 3 ** d
-    nchild = 2 ** d
-    offs = _offsets1(d)
-    rows_i = jnp.clip(rows, 0).astype(jnp.int64)
-    pn = ntable[parents[rows_i].astype(jnp.int64)]          # (B, m)
-    own_digit = (prefixes[rows_i] & (nchild - 1)).astype(jnp.int64)
-    r_bits = jnp.stack([(own_digit >> (d - 1 - a)) & 1
-                        for a in range(d)])                 # (d, B)
-    out = []
-    for j in range(m):
-        pnj = pn[:, j]
-        ch = child_rows[jnp.clip(pnj, 0) & ID_MASK]         # (B, nchild)
-        for q in range(nchild):
-            cand = ch[:, q]
-            q_bits = np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
-            off = (2 * offs[j] + q_bits)[:, None] - r_bits  # (d, B)
-            wellsep = (jnp.abs(off) > 1).any(axis=0)
-            valid = (pnj >= 0) & (cand > 0) & wellsep
-            out.append(jnp.where(valid, cand, -1))
-    return jnp.stack(out, axis=1)
-
-
-def _ancestors(rows, parents, nsteps):
-    """List of ancestor id arrays [self, parent, grandparent, ...]."""
-    out = [jnp.clip(rows, 0).astype(jnp.int64)]
-    for _ in range(nsteps):
-        out.append(parents[out[-1]].astype(jnp.int64))
-    return out
-
+# {{{ clamped-row helpers
 
 def _cross_window(cells, s, dimensions):
     """The <= 2^d coarse candidates touching a fine box.
@@ -290,201 +207,283 @@ def _cross_window(cells, s, dimensions):
     return delta, valid
 
 
-def _window_lookup(ntable, anc, delta, dimensions):
-    """Gather the <= 2^d windowed entries: ONE row gather of the
-    ancestor's 3^d neighbor row plus a one-hot column select on the
-    VPU.  Measured on v5e (scripts/tpu_microbench_r4.py): 5.1 ns/lane
-    vs 15.7 ns/lane for flat scalar gathers ``ntable[anc, col]`` —
-    row gathers move contiguous (1, 3^d) blocks, scalar gathers pay
-    per lane."""
+def _id_level(ids, lsb):
+    """Level of each box id (valid where ``ids >= 0``): ids are
+    level-major, so the level is the number of level starts <= id —
+    nlevels static compares, no memory access."""
+    lev = jnp.zeros(ids.shape, jnp.int32)
+    for b in lsb[1:-1]:
+        lev = lev + (ids >= np.int32(b))
+    return lev
+
+
+def _canonical_mask(cells, lev_e, row_level, dimensions):
+    """Keep each clamped coarser entry in exactly ONE lane.
+
+    A coarser leaf touching the row box covers several of its 3^d
+    neighbor cells and therefore appears in several lanes; its canonical
+    lane has, per axis, offset 0 where the entry's cell range covers the
+    row cell's coordinate and the strict sign offset where it does not.
+    Lane offset ``o`` is canonical iff per axis ``o == 0`` or the cell
+    ``c + o`` falls outside the row cell's level-``s`` block
+    (``(c + o) >> s != c >> s``), with ``s = row_level - level(entry)``.
+
+    :arg cells: (d, B) row-box cells at ``row_level``.
+    :arg lev_e: (B, m) entry levels.
+    :returns: (B, m) bool, True on canonical lanes (same-level entries,
+        ``s == 0``, are always canonical — each covers one cell).
+    """
+    d = dimensions
+    offs = _offsets1(d)                                  # (m, d)
+    s = (np.int64(row_level) - lev_e.astype(jnp.int64))  # (B, m)
+    s = jnp.clip(s, 0)
+    ok = jnp.ones(lev_e.shape, bool)
+    for a in range(d):
+        o = jnp.asarray(offs[:, a])[None, :]             # (1, m)
+        c = cells[a][:, None]                            # (B, 1)
+        outside = ((c + o) >> s) != (c >> s)
+        ok = ok & ((o == 0) | outside)
+    return ok
+
+
+def _not_touching(cells_f, level_f, anchor_cells, anchor_level, lev_e,
+                  dimensions):
+    """True where the lane's entry does NOT touch the fine box.
+
+    The entry at lane offset ``o`` (static) covers the anchor's neighbor
+    cell ``anchor_cells + o``; its own cell is that, shifted coarser by
+    ``anchor_level - level(entry)``.  Touching the fine box at
+    ``(cells_f, level_f)`` is the closed-box adjacency test in exact
+    integer arithmetic (cf. :func:`_touch_off`), with per-lane dynamic
+    shifts since clamped entry levels vary."""
+    d = dimensions
+    offs = _offsets1(d)                                  # (m, d)
+    s_anc = (np.int64(anchor_level)
+             - lev_e.astype(jnp.int64))                  # (B, m) >= 0
+    s_anc = jnp.clip(s_anc, 0)
+    t = s_anc + np.int64(level_f - anchor_level)         # level_f - lev_e
+    touch = jnp.ones(lev_e.shape, bool)
+    for a in range(d):
+        o = jnp.asarray(offs[:, a])[None, :]             # (1, m)
+        q = (anchor_cells[a][:, None] + o) >> s_anc      # entry cell
+        lo = q << t
+        hi = (q + 1) << t
+        cf = cells_f[a][:, None]
+        touch = touch & (lo <= cf + 1) & (cf <= hi)
+    return ~touch
+
+# }}}
+
+
+# {{{ fast generators (rows are box-id chunks at one static level)
+
+def fgen_slnws(rows, ntable, *, lsb_lev, dimensions):
+    """Colleagues = same-level entries of the clamped neighbor-table row
+    without the center column (clamped coarser entries are filtered by
+    the one ``id >= lsb[lev]`` compare — row entries are never deeper)."""
+    m = 3 ** dimensions
+    t = ntable[jnp.clip(rows, 0).astype(jnp.int64)]
+    keep = np.arange(m) != m // 2
+    t = t[:, keep]
+    ids = t & ID_MASK
+    return jnp.where((t >= 0) & (ids >= np.int32(lsb_lev)), ids, -1)
+
+
+def _list2_valid_pairs(dimensions):
+    """For each child digit r: the static list of (neighbor column j,
+    child digit q) whose candidate is well-separated from r — i.e. the
+    List-2 window, enumerated once per *parent*."""
+    d = dimensions
+    offs = _offsets1(d)
+    nchild = 2 ** d
+
+    def bits(q):
+        return np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
+
+    pairs = []
+    for r in range(nchild):
+        lst = []
+        for j in range(len(offs)):
+            for q in range(nchild):
+                off = 2 * offs[j] + bits(q) - bits(r)
+                if (np.abs(off) > 1).any():
+                    lst.append((j, q))
+        pairs.append(lst)
+    return pairs
+
+
+def fgen_list2_parent(prows, ntable, child_rows, *, dimensions,
+                      min_id=0):
+    """List-2 candidates enumerated from the PARENT level: one
+    neighbor-table row plus 3^d child-row gathers per parent serve all
+    2^d children (the per-(column, digit) well-separation test is fully
+    static).  Returns ``(cand, own)`` with ``cand`` (B, 2^d, K) candidate
+    box ids (-1 invalid) and ``own`` (B, 2^d) the child boxes owning each
+    candidate row (0 = absent child).
+
+    :arg min_id: first box id of the parent level — filters clamped
+        coarser entries out of the parent row (their children cover the
+        wrong cells)."""
+    rows_i = jnp.clip(prows, 0).astype(jnp.int64)
+    return list2_from_parent_rows(ntable[rows_i], child_rows[rows_i],
+                                  child_rows, dimensions=dimensions,
+                                  min_id=min_id)
+
+
+def list2_from_parent_rows(pn, own, child_rows, *, dimensions, min_id=0):
+    """Core of :func:`fgen_list2_parent` over already-gathered parent
+    neighbor rows ``pn`` (B, 3^d) and child entries ``own`` (B, 2^d) —
+    also the sharded-traversal entry point, where each device holds its
+    OWNED neighbor-table rows directly
+    (:func:`boxtree_tpu.parallel.shard_build.sharded_l2_edges`; its
+    per-rank table keeps -1 for absent neighbors, so it passes the
+    default ``min_id=0``)."""
     d = dimensions
     m = 3 ** d
-    col_w = jnp.asarray(3 ** (d - 1 - np.arange(d)), jnp.int64)
-    col = ((delta + 1) * col_w[:, None, None]).sum(axis=0)  # (B, 2^d)
-    row = ntable[anc]                                       # (B, m)
-    sel = col[:, :, None] == jnp.arange(m, dtype=col.dtype)
-    # exactly one column matches per lane; max with -1 fill selects it
-    return jnp.where(sel, row[:, None, :], np.int32(-1)).max(axis=2)
+    nchild = 2 ** d
+
+    cand_jq = {}
+    for j in range(m):
+        pnj = pn[:, j]
+        pid = jnp.clip(pnj, 0) & ID_MASK
+        ch = child_rows[pid]                     # (B, nchild)
+        ok = (pnj >= 0) & (pid >= np.int32(min_id))
+        for q in range(nchild):
+            c = ch[:, q]
+            cand_jq[(j, q)] = jnp.where(ok & (c > 0), c, -1)
+
+    pairs = _list2_valid_pairs(d)
+    cand = jnp.stack(
+        [jnp.stack([cand_jq[jq] for jq in pairs[r]], axis=1)
+         for r in range(nchild)], axis=1)               # (B, nchild, K)
+    return jnp.where(own[..., None] > 0, cand, -1), own
+
+
+def fgen_list2(rows, ntable, child_rows, parents, prefixes, *, dimensions,
+               min_id=0):
+    """Children of parent's neighbors that are >1 away: candidate cell
+    offsets are fully static per (neighbor column, child digit); each
+    neighbor's children come from ONE row gather of the transposed
+    child table instead of 2^d scalar gathers.  *min_id* (first box id
+    of the parent level) filters clamped coarser parent-row entries."""
+    d = dimensions
+    m = 3 ** d
+    nchild = 2 ** d
+    offs = _offsets1(d)
+    rows_i = jnp.clip(rows, 0).astype(jnp.int64)
+    pn = ntable[parents[rows_i].astype(jnp.int64)]          # (B, m)
+    own_digit = (prefixes[rows_i] & (nchild - 1)).astype(jnp.int64)
+    r_bits = jnp.stack([(own_digit >> (d - 1 - a)) & 1
+                        for a in range(d)])                 # (d, B)
+    out = []
+    for j in range(m):
+        pnj = pn[:, j]
+        pid = jnp.clip(pnj, 0) & ID_MASK
+        ch = child_rows[pid]                         # (B, nchild)
+        ok = (pnj >= 0) & (pid >= np.int32(min_id))
+        for q in range(nchild):
+            cand = ch[:, q]
+            q_bits = np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
+            off = (2 * offs[j] + q_bits)[:, None] - r_bits  # (d, B)
+            wellsep = (jnp.abs(off) > 1).any(axis=0)
+            valid = ok & (cand > 0) & wellsep
+            out.append(jnp.where(valid, cand, -1))
+    return jnp.stack(out, axis=1)
 
 
 def fgen_list4(rows, ntable, parents, prefixes, *, lb,
-               dimensions, k_pad, src_levels=None):
-    """List 4 at target level lb: neighbors of each strict ancestor
-    (levels lb-1 .. 1) that are source boxes, not touching the row box,
-    but touching its parent.  The parent level contributes its full 3^d
-    neighbor row; the deeper ancestor levels contribute ONE reduced
-    <= 2^d window: for a fixed window combo, the valid candidates across
-    levels all contain the same point just outside the parent's corner,
-    so they form an ancestor chain of which at most one is a source
-    leaf (= has SRC_BIT in the no-extent fast path) — a max-reduce over
-    levels replaces the per-level lanes (round-4 lane pruning; the
-    emission sorts pay per lane, doc/PERF.md)."""
+               dimensions, lsb):
+    """List 4 at target level lb: coarser source leaves touching the
+    parent of each row box but not the box itself.  With clamped table
+    rows this is ONE gather of the PARENT's 3^d row: any coarser
+    non-ancestor box touching the parent covers one of its neighbor
+    cells, ancestors self-filter (internal boxes carry no SRC_BIT), the
+    canonical-lane mask dedupes multi-cell coverage, and the
+    not-touching-the-row-box test is per-lane shift arithmetic
+    (replaces the per-ancestor-level windows of the round-3 design:
+    ~8 row gathers -> 1)."""
+    d = dimensions
+    rows_i = jnp.clip(rows, 0).astype(jnp.int64)
+    cells = morton.deinterleave(prefixes[rows_i], d)        # (d, B)
+    pcells = cells >> np.int64(1)
+    par = parents[rows_i].astype(jnp.int64)
+    t = ntable[par]                                         # (B, m)
+    ids = jnp.clip(t, 0) & ID_MASK
+    lev = _id_level(ids, lsb)                               # (B, m)
+    valid = (t >= 0) & ((t & SRC_BIT) != 0)
+    valid = valid & _canonical_mask(pcells, lev, lb - 1, d)
+    valid = valid & _not_touching(cells, lb, pcells, lb - 1, lev, d)
+    return jnp.where(valid, ids, -1)
+
+
+def fgen_list1_leaf(rows, row_boxes, ntable, prefixes, *, lt,
+                    dimensions, lsb):
+    """Both sides of List 1 from ONE clamped row gather per leaf box:
+
+    - target-side keys ``(b << 32) | src``: source leaves touching b at
+      b's level or coarser = the row's SRC_BIT entries (same-level
+      entries always touch; coarser entries touch by the clamp
+      invariant; canonical-lane mask dedupes),
+    - source-side keys ``(tgt << 32) | b``: coarser target leaves
+      touching b = the row's coarser TGT_BIT entries.
+
+    Deeper-source edges of a coarse target emerge from the deeper leaf's
+    own enumeration (its row contains the coarse box), so enumerating
+    every source-or-target leaf once covers the whole list.  Replaces
+    the round-3 target-side (own row + per-coarser-level windows) +
+    source-side (per-coarser-level windows) pair: ~8 row gathers -> 1.
+    """
     d = dimensions
     m = 3 ** d
-    offs = jnp.asarray(_offsets1(d).T)                      # (d, m)
-    cells = morton.deinterleave(
-        prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
+    rows_i = jnp.clip(rows, 0).astype(jnp.int64)
+    t = ntable[rows_i]                                      # (B, m)
+    ids = jnp.clip(t, 0) & ID_MASK
+    lev = _id_level(ids, lsb)
+    same = ids >= np.int32(lsb[lt])
+    valid = t >= 0
+    center = t[:, m // 2]
+    row_is_tgt = (center & TGT_BIT) != 0
+    row_is_src = (center & SRC_BIT) != 0
+    # canonical dedupe applies to coarser entries only (same-level
+    # entries each cover exactly one cell; the mask is trivially True
+    # there, so one combined mask serves both)
+    cells = morton.deinterleave(prefixes[rows_i], d)        # (d, B)
+    canon = _canonical_mask(cells, lev, lt, d)
+
+    b64 = row_boxes.astype(jnp.int64)[:, None]
+    ids64 = ids.astype(jnp.int64)
+    k_tgt = jnp.where(
+        valid & ((t & SRC_BIT) != 0) & canon & row_is_tgt[:, None],
+        (b64 << np.int64(32)) | ids64, _INVALID_KEY)
+    k_src = jnp.where(
+        valid & ((t & TGT_BIT) != 0) & ~same & canon
+        & row_is_src[:, None],
+        (ids64 << np.int64(32)) | b64, _INVALID_KEY)
+    return jnp.concatenate([k_tgt, k_src], axis=1)
+
+
+def fgen_list3(rows, w_ids, ntable, parents, prefixes, box_flags, *, ls,
+               dimensions, lsb):
+    """Keys ``(tgt_box << 32) | w`` for List 3 at source level ls:
+    coarser target leaves touching parent(w) but not w — ONE clamped
+    row gather of the parent (same argument as :func:`fgen_list4`)."""
+    d = dimensions
+    rows_i = jnp.clip(rows, 0).astype(jnp.int64)
+    cells = morton.deinterleave(prefixes[rows_i], d)
     pcells = cells >> np.int64(1)
-    par = parents[jnp.clip(rows, 0).astype(jnp.int64)].astype(jnp.int64)
-    anc = _ancestors(par.astype(jnp.int32), parents, max(0, lb - 2))
-    chunks = []
-    if lb >= 2 and (src_levels is None or src_levels[lb - 1]):
-        # wl == lb - 1: all neighbors of the parent touch the parent
-        cand = ntable[anc[0]]                               # (B, m)
-        is_src = (cand & SRC_BIT) != 0
-        low_b = _low_bits(cells, 1)
-        not_touch_b = ~_touch_off(offs[:, None, :], lb - 1,
-                                  low_b[:, :, None], lb)
-        valid = (cand >= 0) & is_src & not_touch_b
-        chunks.append(jnp.where(valid, cand & ID_MASK, -1))
-    best = None
-    for wl in range(lb - 2, 0, -1):
-        if src_levels is not None and not src_levels[wl]:
-            continue
-        # touching the parent -> the parent's cross window at wl
-        delta, dvalid = _cross_window(pcells, lb - 1 - wl, d)
-        cand = _window_lookup(ntable, anc[lb - 1 - wl], delta, d)
-        is_src = (cand & SRC_BIT) != 0
-        low_b = _low_bits(cells, lb - wl)
-        not_touch_b = ~_touch_off(delta, wl, low_b[:, :, None], lb)
-        valid = dvalid & (cand >= 0) & is_src & not_touch_b
-        masked = jnp.where(valid, cand & ID_MASK, -1)
-        best = masked if best is None else jnp.maximum(best, masked)
-    if best is not None:
-        chunks.append(best)
-    if not chunks:
-        return jnp.full((rows.shape[0], k_pad), -1, jnp.int32)
-    block = jnp.concatenate(chunks, axis=1)
-    if block.shape[1] < k_pad:
-        block = jnp.concatenate(
-            [block,
-             jnp.full((rows.shape[0], k_pad - block.shape[1]), -1,
-                      jnp.int32)], axis=1)
-    return block
-
-
-def fgen_list1_target_side(rows, row_boxes, ntable, parents,
-                           prefixes, *, lt, dimensions, src_levels=None):
-    """Keys (tgt_box<<32|src) for source boxes at levels <= lt touching
-    each target box: the box's own neighbor row at its level plus the
-    <= 2^d touching window per coarser source level."""
-    d = dimensions
-    cells = morton.deinterleave(
-        prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
-    anc = _ancestors(rows, parents, lt)
-    row_hi = row_boxes.astype(jnp.int64)[:, None] << np.int64(32)
-    out = []
-
-    def emit(cand, extra_valid=True):
-        valid = (cand >= 0) & ((cand & SRC_BIT) != 0) & extra_valid
-        out.append(jnp.where(
-            valid, row_hi | (cand & ID_MASK).astype(jnp.int64),
-            _INVALID_KEY))
-
-    if src_levels is None or src_levels[lt]:
-        emit(ntable[anc[0]])                # (B, m): all touch the box
-    # coarser source levels: per window combo the valid candidates
-    # across levels form an ancestor chain (they all contain the point
-    # just outside the box's corner), so at most one carries SRC_BIT —
-    # max-reduce the levels into ONE <= 2^d lane block
-    best = None
-    for ls in range(lt - 1, -1, -1):
-        if src_levels is not None and not src_levels[ls]:
-            continue
-        delta, dvalid = _cross_window(cells, lt - ls, d)
-        cand = _window_lookup(ntable, anc[lt - ls], delta, d)
-        valid = dvalid & (cand >= 0) & ((cand & SRC_BIT) != 0)
-        masked = jnp.where(valid, cand & ID_MASK, -1)
-        best = masked if best is None else jnp.maximum(best, masked)
-    if best is not None:
-        out.append(jnp.where(
-            best >= 0, row_hi | best.astype(jnp.int64), _INVALID_KEY))
-    if not out:
-        return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
-    return jnp.concatenate(out, axis=1)
-
-
-def fgen_list1_source_side(rows, src_ids, ntable, parents, box_flags,
-                           prefixes, *, ls, dimensions, tgt_levels=None):
-    """Keys for target boxes at levels strictly coarser than ls (the
-    <= 2^d touching window per coarser level)."""
-    d = dimensions
-    emitter_is_src = (box_flags[jnp.clip(rows, 0).astype(jnp.int64)]
-                      & _F.IS_SOURCE_BOX) != 0
-    cells = morton.deinterleave(
-        prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
-    anc = _ancestors(rows, parents, ls)
-    src_lo = src_ids.astype(jnp.int64)[:, None]
-    # per combo at most one coarser target leaf across levels (ancestor
-    # chain, see fgen_list1_target_side) — reduce to one lane block
-    best = None
-    for lt in range(ls - 1, -1, -1):
-        if tgt_levels is not None and not tgt_levels[lt]:
-            continue
-        delta, dvalid = _cross_window(cells, ls - lt, d)
-        cand = _window_lookup(ntable, anc[ls - lt], delta, d)
-        valid = dvalid & (cand >= 0) & ((cand & TGT_BIT) != 0)
-        masked = jnp.where(valid, cand & ID_MASK, -1)
-        best = masked if best is None else jnp.maximum(best, masked)
-    if best is None:
-        return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
-    return jnp.where(
-        (best >= 0) & emitter_is_src[:, None],
-        (best.astype(jnp.int64) << np.int64(32)) | src_lo,
-        _INVALID_KEY)
-
-
-def fgen_list3(rows, w_ids, ntable, parents, box_flags, prefixes, *, ls,
-               dimensions, tgt_levels=None):
-    """Keys (tgt_box<<32|w) for List 3 at source level ls: coarser target
-    boxes touching parent(w) but not w — the parent's full neighbor row
-    at level ls-1, plus the parent's <= 2^d touching window per coarser
-    level."""
-    d = dimensions
-    offs = jnp.asarray(_offsets1(d).T)
-    w_has_src = (box_flags[jnp.clip(rows, 0).astype(jnp.int64)]
+    par = parents[rows_i].astype(jnp.int64)
+    t = ntable[par]                                         # (B, m)
+    ids = jnp.clip(t, 0) & ID_MASK
+    lev = _id_level(ids, lsb)
+    valid = (t >= 0) & ((t & TGT_BIT) != 0)
+    valid = valid & _canonical_mask(pcells, lev, ls - 1, d)
+    valid = valid & _not_touching(cells, ls, pcells, ls - 1, lev, d)
+    w_has_src = (box_flags[rows_i]
                  & (_F.IS_SOURCE_BOX | _F.HAS_SOURCE_CHILD_BOXES)) != 0
-    cells = morton.deinterleave(
-        prefixes[jnp.clip(rows, 0).astype(jnp.int64)], d)
-    par = parents[jnp.clip(rows, 0).astype(jnp.int64)].astype(jnp.int64)
-    anc = _ancestors(par.astype(jnp.int32), parents, max(0, ls - 2))
-    pcells = cells >> np.int64(1)
     w_lo = w_ids.astype(jnp.int64)[:, None]
-    out = []
-
-    def valid_of(cand, delta, lt, extra_valid=True):
-        # delta here is relative to w's level-lt ancestor, which equals
-        # parent(w)'s level-lt ancestor for lt <= ls - 1, so the touch
-        # test against w can use w's own low bits
-        low_w = _low_bits(cells, ls - lt)
-        not_touch_w = ~_touch_off(delta, lt, low_w[:, :, None], ls)
-        return ((cand >= 0) & ((cand & TGT_BIT) != 0) & not_touch_w
-                & extra_valid)
-
-    if ls >= 1 and (tgt_levels is None or tgt_levels[ls - 1]):
-        cand = ntable[anc[0]]
-        out.append(jnp.where(
-            valid_of(cand, offs[:, None, :], ls - 1) & w_has_src[:, None],
-            ((cand & ID_MASK).astype(jnp.int64) << np.int64(32)) | w_lo,
-            _INVALID_KEY))
-    # coarser target levels: per combo at most one target leaf across
-    # levels (ancestor chain, see fgen_list1_target_side) — max-reduce
-    best = None
-    for lt in range(ls - 2, -1, -1):
-        if tgt_levels is not None and not tgt_levels[lt]:
-            continue
-        delta, dvalid = _cross_window(pcells, ls - 1 - lt, d)
-        cand = _window_lookup(ntable, anc[ls - 1 - lt], delta, d)
-        masked = jnp.where(valid_of(cand, delta, lt, dvalid),
-                           cand & ID_MASK, -1)
-        best = masked if best is None else jnp.maximum(best, masked)
-    if best is not None:
-        out.append(jnp.where(
-            (best >= 0) & w_has_src[:, None],
-            (best.astype(jnp.int64) << np.int64(32)) | w_lo,
-            _INVALID_KEY))
-    if not out:
-        return jnp.full((rows.shape[0], 1), _INVALID_KEY, jnp.int64)
-    return jnp.concatenate(out, axis=1)
+    return jnp.where(
+        valid & w_has_src[:, None],
+        (ids.astype(jnp.int64) << np.int64(32)) | w_lo,
+        _INVALID_KEY)
 
 # }}}

@@ -388,12 +388,14 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         box_target_counts_nonchild = box_source_counts_nonchild
         targets = sources
         box_id_of_target = box_id_of_source
-        # user target id -> tree order position (inverse permutation);
-        # a key-value sort of (order, iota) inverts the permutation at
-        # ~33 ns/elem vs the ~150 ns/elem random scatter it replaced
-        # (doc/PERF.md primitive table)
-        _, sorted_target_ids = lax.sort(
-            (order, jnp.arange(n, dtype=pid)), num_keys=1)
+        # user target id -> tree order position (inverse permutation):
+        # pack (order, iota) into ONE int64 and key-sort — 6.6 ns/elem
+        # vs 33 for the k/v sort vs 150 for the random scatter
+        # (doc/PERF.md primitive table; ids < 2^31 so the pack is exact)
+        packed = ((order.astype(jnp.int64) << np.int64(32))
+                  | jnp.arange(n, dtype=jnp.int64))
+        sorted_target_ids = (lax.sort(packed)
+                             & np.int64(0xFFFFFFFF)).astype(pid)
     else:
         is_target_s = ~is_source_s
         cumtgt = _exclusive_cumsum(is_target_s.astype(jnp.int64))

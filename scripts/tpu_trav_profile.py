@@ -24,20 +24,34 @@ T0 = time.monotonic()
 BUDGET = float(os.environ.get("TPU_PROF_BUDGET_S", 2700))
 
 
+def _force(trav):
+    # block_until_ready is a no-op through the axon tunnel; pull one
+    # scalar per output array to force every traversal pass (bench.py
+    # does the same).
+    for x in (trav.neighbor_source_boxes_lists,
+              trav.neighbor_source_boxes_starts,
+              trav.same_level_non_well_sep_boxes_lists,
+              trav.from_sep_siblings_lists,
+              trav.from_sep_bigger_lists,
+              *(bl.lists for bl in trav.from_sep_smaller_by_level)):
+        if getattr(x, "size", 0):
+            jax.device_get(x.ravel()[-1])
+
+
 def run(n, seed):
     rng = np.random.default_rng(seed)
     pts = jax.device_put(rng.random((3, n), dtype=np.float32))
     t0 = time.perf_counter()
     tree = build_tree(pts, max_particles_in_box=30)
     trav = build_traversal(tree)
-    jax.block_until_ready(trav.neighbor_source_boxes_lists)
+    _force(trav)
     warm = time.perf_counter() - t0
     print(f"== n={n}: warm {warm:.1f}s", flush=True)
     print("== timed run:", flush=True)
     t0 = time.perf_counter()
     tree = build_tree(pts, max_particles_in_box=30)
     trav = build_traversal(tree)
-    jax.block_until_ready(trav.neighbor_source_boxes_lists)
+    _force(trav)
     dt = time.perf_counter() - t0
     print(f"== n={n}: timed {dt:.3f}s, {n / 1e6 / dt:.3f} Mpts/s, "
           f"nboxes={tree.nboxes}", flush=True)
