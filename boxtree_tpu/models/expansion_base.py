@@ -285,10 +285,17 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                             self._coeff_mask_np[lev_cols])
             return np.where(keep, mat, 0)
 
-        # M2L plan + operator table (one entry per used (level, class))
+        # M2L plan + operator table (one entry per used (level, class));
+        # a traversal stand-in may carry the used keys directly (the
+        # sharded runner discovers them with a psum'd histogram instead
+        # of a global List-2 CSR)
         n = traversal.well_sep_is_n_away
         offs = _offsets(tree.dimensions, 2 * n + 1, min_inf_norm=n)
-        self.m2l_plan = M2LPlan(traversal, offs)
+        used_keys = getattr(traversal, "m2l_used_keys", None)
+        if used_keys is not None:
+            self.m2l_plan = M2LPlan.from_used_keys(tree, offs, used_keys)
+        else:
+            self.m2l_plan = M2LPlan(traversal, offs)
 
         if m2l_mode not in ("dense", "rotation"):
             raise ValueError(f"bad m2l_mode: {m2l_mode!r}")

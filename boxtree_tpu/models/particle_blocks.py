@@ -263,6 +263,38 @@ class M2LPlan:
         self.group_sizes = jnp.asarray(
             hist[used_keys].astype(np.int32))
 
+    @classmethod
+    def from_used_keys(cls, tree, offsets, used_keys):
+        """Edge-less plan for a known set of used ``level * nclasses +
+        class`` keys (the distributed/sharded runners discover the used
+        set with a device-side psum'd histogram instead of a global
+        List-2 CSR).  Defines the operator-table order exactly like the
+        edge-built plan; the ``tgt``/``src`` edge arrays stay empty —
+        runners drive M2L through
+        :meth:`~boxtree_tpu.models.expansion_base.ExpansionWranglerBase.
+        multipole_to_local_edges` with their own per-rank edge slices."""
+        self = cls.__new__(cls)
+        self.offsets = np.asarray(offsets)
+        self.nclasses = len(self.offsets)
+        d = tree.dimensions
+        self._radius = int(np.abs(self.offsets).max())
+        width = 2 * self._radius + 1
+        self._weights = width ** np.arange(d)
+        self._table = np.full(width ** d, -1, np.int64)
+        self._table[(self.offsets + self._radius) @ self._weights] = \
+            np.arange(self.nclasses)
+        self._cells_np = None
+        self._levels_np = None
+        self._tree = tree
+        self._used_keys = np.sort(np.asarray(used_keys, np.int64))
+        self.used = [(int(k) // self.nclasses, int(k) % self.nclasses)
+                     for k in self._used_keys]
+        self.nops = len(self._used_keys)
+        self.tgt = jnp.zeros(0, jnp.int32)
+        self.src = jnp.zeros(0, jnp.int32)
+        self.group_sizes = jnp.zeros(self.nops, jnp.int32)
+        return self
+
     def tiled(self, tile):
         """Tile-aligned edge arrays: each operator's edge run padded to
         a multiple of *tile* (padding edges carry target -1 and are

@@ -484,7 +484,7 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
 
 
 def sharded_build_tree(particles, mesh, *, max_particles_in_box,
-                       kind="adaptive"):
+                       kind="adaptive", return_skeleton=False):
     """Build a :class:`boxtree_tpu.Tree` through the sharded pipeline:
     per-shard Morton codes -> distributed key-value sample sort ->
     rebalance -> sharded leaf levels -> per-shard box skeleton, then
@@ -499,6 +499,12 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     (coordinates, permutations, per-particle leaf boxes) stay sharded
     over the mesh end to end (:func:`..shard_sort.sharded_permute`);
     only the O(nboxes) box arrays are assembled on the host.
+
+    With ``return_skeleton=True``, returns ``(tree, skel)`` where *skel*
+    is the per-rank box skeleton dict of :func:`sharded_box_skeleton`
+    (the input the sharded-traversal blocks and
+    :class:`~boxtree_tpu.parallel.sharded_runner.ShardedFMMRunner`
+    consume).
     """
     from boxtree_tpu.parallel.shard_sort import (
         sharded_key_sort, sharded_rebalance)
@@ -649,7 +655,7 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         P(mesh.axis_names[0], None)))(
         jnp.zeros((nranks, 1), jnp.int32)).reshape(-1)
 
-    return Tree(
+    tree = Tree(
         root_extent=root_extent,
         box_centers=jnp.asarray(box_centers),
         box_parent_ids=jnp.asarray(box_parent.astype(config.box_id_dtype)),
@@ -688,6 +694,7 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         box_id_of_source=box_id_of,
         box_id_of_target=box_id_of,
     )
+    return (tree, skel) if return_skeleton else tree
 
 
 def sharded_neighbor_table(tree, skel, mesh):

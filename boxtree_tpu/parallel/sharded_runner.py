@@ -1,0 +1,551 @@
+"""End-to-end sharded distributed FMM: sharded tree build -> sharded
+traversal -> SPMD FMM step, with no replicated global traversal and no
+O(E) host work.
+
+This is the TPU-native analogue of the reference's full distributed
+pipeline (``boxtree/distributed/__init__.py:156-310``): where the
+reference builds per-rank *local trees* (``local_tree.py:316-495``) and
+*local traversals* (``local_traversal.py:34-62``) from a broadcast
+global tree, here every interaction list is emitted per rank by the
+sharded traversal blocks (:mod:`boxtree_tpu.parallel.shard_build`) and
+routed to its target row's owner with one ``all_to_all`` — the runner
+never materializes a global CSR, neither on device nor on the host.
+
+Ownership and communication model
+---------------------------------
+
+* A box is owned by the rank that owns its first particle, so each rank
+  owns one contiguous Morton/DFS id range per level (the same ownership
+  the sharded build produces; the analogue of the reference's
+  DFS-contiguous responsible segments, ``distributed/partition.py``).
+* Upward pass: each rank forms multipoles from the sources of its OWNED
+  leaf boxes only (disjoint, complete) and runs M2M over the replicated
+  box skeleton; partial multipole trees combine via the same sparse
+  relevance-filtered hypercube exchange (or dense ``psum``) as
+  :class:`~boxtree_tpu.parallel.distributed.DistributedFMMRunner`.
+* List stages: each rank's received per-rank edge slices drive the
+  wrangler's ``*_edges`` stage forms.  Every edge lives on exactly one
+  rank (its target row's owner) — no responsible-or-ancestor
+  replication of Lists 2/4.
+* Downward pass: a rank's only non-owned ancestors are the ancestor
+  chain of its FIRST owned box — at most ONE box per level, and that
+  box is its owner's LAST box of the level (it spans the shard
+  boundary; the same invariant :func:`..shard_build.
+  sharded_neighbor_table` uses).  So the L2L pass runs level by level
+  over owned rows with one ``all_gather`` of a single refined local
+  expansion per rank between levels, instead of redundantly
+  recomputing ancestor chains from replicated Lists 2/4 (the
+  reference's ancestor-mask scheme, ``distributed/partition.py:
+  174-357``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from boxtree_tpu.parallel.distributed import (
+    DistributedFMMRunner,
+    _default_wrangler_factory,
+    _mpole_exchange_schedule,
+)
+
+logger = logging.getLogger(__name__)
+
+_LOW32 = (1 << 32) - 1
+
+
+class ShardedTraversalShim:
+    """List-less stand-in for :class:`FMMTraversalInfo`, enough to
+    construct any wrangler whose stage work arrives as explicit edge
+    slices (the ``*_edges`` / ``*_rows_grouped`` forms).  Carries the
+    union of used M2L ``(level, class)`` keys so the wrangler can build
+    its operator table without a global List-2 CSR (see
+    :meth:`~boxtree_tpu.models.particle_blocks.M2LPlan.from_used_keys`).
+    """
+
+    def __init__(self, tree, m2l_used_keys=None):
+        from boxtree_tpu.tree.containers import box_flags_enum as _F
+
+        self.tree = tree
+        self.well_sep_is_n_away = 1
+        if m2l_used_keys is not None:
+            self.m2l_used_keys = np.asarray(m2l_used_keys, np.int64)
+        nboxes = tree.nboxes
+
+        # every box is a target-or-target-parent row in the sharded
+        # build's flagship configuration (sources == targets, pruned)
+        self.target_or_target_parent_boxes = jnp.arange(
+            nboxes, dtype=jnp.int64)
+        self.level_start_target_or_target_parent_box_nrs = \
+            np.asarray(tree.level_start_box_nrs)
+
+        flags = np.asarray(tree.box_flags)
+        tb = np.flatnonzero(flags & _F.IS_TARGET_BOX)
+        self.target_boxes = jnp.asarray(tb.astype(np.int64))
+        self.ntarget_boxes = len(tb)
+
+        # empty global lists: the row-plan fast paths skip themselves
+        zi = jnp.zeros(0, jnp.int32)
+        self.neighbor_source_boxes_lists = zi
+        self.neighbor_source_boxes_starts = jnp.zeros(
+            self.ntarget_boxes + 1, jnp.int64)
+        self.from_sep_siblings_lists = zi
+        self.from_sep_siblings_starts = jnp.zeros(nboxes + 1, jnp.int64)
+        self.from_sep_smaller_by_level = ()
+        self.target_boxes_sep_smaller_by_source_level = ()
+        self.from_sep_bigger_lists = zi
+        self.from_sep_bigger_starts = jnp.zeros(nboxes + 1, jnp.int64)
+        self.from_sep_close_smaller_starts = None
+        self.from_sep_close_bigger_starts = None
+
+
+def _ancestor_chain_tables(tree, owned_rank_of_box, last_owned_tbl,
+                           nranks):
+    """Per-(rank, level) downward-halo tables.
+
+    A rank's non-owned ancestors are exactly the boxes whose particle
+    range CONTAINS its shard-start particle index (their first particle
+    is before the shard, so an earlier rank owns them) — the descent
+    chain of the shard start, one box per level.  Returns ``(fix_box,
+    fix_src)``, both (nranks, nlevels) int64: the chain box rank *r*
+    must overwrite at each level (-1 if owned / none) and the rank that
+    publishes it.  Publishing uses *last_owned_tbl* (each rank's last
+    owned box per level), validated here: a chain box spans its owner's
+    shard end, so it must BE the owner's last box of its level.
+    """
+    levels = np.asarray(tree.box_levels)
+    starts = np.asarray(tree.box_source_starts).astype(np.int64)
+    children = np.asarray(tree.box_child_ids)        # (2^d, nboxes)
+    has_child = (children > 0).any(axis=0)
+    nlevels = tree.nlevels
+    n = int(tree.nsources)
+    per = n // nranks
+    fix_box = np.full((nranks, nlevels), -1, np.int64)
+    fix_src = np.zeros((nranks, nlevels), np.int64)
+    for r in range(nranks):
+        r_start = r * per
+        b = 0
+        while has_child[b]:
+            ch = children[:, b]
+            ch = ch[ch > 0]
+            # child containing the shard-start particle: the last one
+            # whose range starts at or before it
+            b = int(ch[np.searchsorted(starts[ch], r_start,
+                                       side="right") - 1])
+            ro = int(owned_rank_of_box[b])
+            if ro != r:
+                lev = int(levels[b])
+                fix_box[r, lev] = b
+                fix_src[r, lev] = ro
+                if last_owned_tbl[ro, lev] != b:
+                    raise AssertionError(
+                        "sharded runner: chain box is not its owner's "
+                        "last box of the level")
+    return fix_box, fix_src
+
+
+class ShardedFMMRunner(DistributedFMMRunner):
+    """Distributed FMM whose tree, traversal, and per-rank state all
+    come from the sharded pipeline.
+
+    Unlike :class:`~boxtree_tpu.parallel.distributed.
+    DistributedFMMRunner` (which slices a replicated, single-device
+    traversal on the host), setup here is:
+
+    1. :func:`..shard_build.sharded_build_tree` (distributed sample
+       sort + per-shard phase A/B),
+    2. :func:`..shard_build.sharded_traversal_lists` (per-rank list
+       emission + owner exchange),
+    3. one device program decoding the per-rank key blocks into edge
+       slices, histogramming the used M2L classes (psum), and
+       scattering the multipole-source needed masks,
+    4. one device program classifying + operator-sorting each rank's
+       List-2 edges (for real-kernel wranglers).
+
+    Host work is O(nboxes + nranks * nlevels); no host array ever holds
+    O(E) edges.
+
+    :arg particles: (dims, n) coordinates, n divisible by the mesh
+        size.  Flagship configuration (adaptive, sources == targets,
+        no extents), like the sharded build.
+    """
+
+    def __init__(self, mesh, particles, *, max_particles_in_box,
+                 wrangler_factory=None, communicate_mpoles="hypercube",
+                 capacity_factor=4.0):
+        from boxtree_tpu.parallel.shard_build import (
+            _shard_map, sharded_build_tree, sharded_traversal_lists)
+        from boxtree_tpu.traversal.build import _INVALID_KEY
+
+        if communicate_mpoles not in ("hypercube", "allreduce"):
+            raise ValueError(
+                f"bad communicate_mpoles: {communicate_mpoles}")
+        self.communicate_mpoles = communicate_mpoles
+        if isinstance(mesh, int):
+            from jax.sharding import Mesh
+            devs = np.array(jax.devices()[:mesh])
+            mesh = Mesh(devs, ("ranks",))
+        self.mesh = mesh
+        (self.axis_name,) = mesh.axis_names
+        axis = self.axis_name
+        nranks = mesh.devices.size
+        self.local_particles = False
+
+        tree, skel = sharded_build_tree(
+            particles, mesh, max_particles_in_box=max_particles_in_box,
+            return_skeleton=True)
+        lists = sharded_traversal_lists(
+            tree, skel, mesh, capacity_factor=capacity_factor)
+
+        # The wrangler's particle blocks and reorder maps become
+        # closure constants of the SPMD step; a sharded array there
+        # clashes with the Manual mesh context, so re-place the
+        # particle-sized arrays replicated.  (This matches the
+        # non-``local_particles`` semantics of the base runner — the
+        # per-rank local-block mode is the follow-up memory-scaling
+        # step, like ``local_tree.py:198-495`` in the reference.)
+        import dataclasses
+
+        def _rep(x):
+            # strip the mesh sharding entirely (a NamedSharding closure
+            # constant trips the Manual-mesh check inside shard_map)
+            return jnp.asarray(np.asarray(x))
+
+        sources = _rep(tree.sources)
+        tree = dataclasses.replace(
+            tree,
+            sources=sources,
+            targets=(sources if tree.sources_are_targets
+                     else _rep(tree.targets)),
+            user_source_ids=_rep(tree.user_source_ids),
+            sorted_target_ids=_rep(tree.sorted_target_ids),
+            box_id_of_source=_rep(tree.box_id_of_source),
+            box_id_of_target=_rep(tree.box_id_of_target))
+        self.tree = tree
+        self.traversal = None            # no global traversal exists
+
+        nboxes = tree.nboxes
+        nlevels = tree.nlevels
+        dims = tree.dimensions
+        nchild = 2 ** dims
+
+        # {{{ host O(nboxes): ownership, responsibility, chain tables
+
+        nb = np.asarray(skel["nboxes"])
+        bid_pad = np.asarray(skel["box_id"])
+        owner = np.empty(nboxes, np.int64)
+        owned_masks = np.zeros((nranks, nboxes), bool)
+        last_owned_tbl = np.full((nranks, nlevels), -1, np.int64)
+        box_lev = np.asarray(tree.box_levels).astype(np.int64)
+        for r in range(nranks):
+            ids = bid_pad[r, :nb[r]]
+            owner[ids] = r
+            owned_masks[r, ids] = True
+            for lev in range(nlevels):
+                of_lev = ids[box_lev[ids] == lev]
+                if len(of_lev):
+                    last_owned_tbl[r, lev] = of_lev.max()
+
+        fix_box, fix_src = _ancestor_chain_tables(
+            tree, owner, last_owned_tbl, nranks)
+
+        # contributes-multipoles masks: owned boxes + their ancestors
+        parents = np.asarray(tree.box_parent_ids)
+        contrib = owned_masks.copy()
+        for r in range(nranks):
+            frontier = np.unique(parents[np.flatnonzero(contrib[r])])
+            while True:
+                new = frontier[~contrib[r][frontier]]
+                if not len(new):
+                    break
+                contrib[r][new] = True
+                frontier = np.unique(parents[new])
+
+        # }}}
+
+        # {{{ device program A: edge decode + M2L histogram + needed mask
+
+        from boxtree_tpu.ops import morton
+        from boxtree_tpu.traversal.build import _offsets
+
+        offs = _offsets(dims, 3, min_inf_norm=1)
+        nclasses = len(offs)
+        radius = int(np.abs(offs).max())
+        width = 2 * radius + 1
+        cls_table = np.full(width ** dims, -1, np.int64)
+        cls_table[(offs + radius) @ (width ** np.arange(dims))] = \
+            np.arange(nclasses)
+        npossible = nlevels * nclasses
+        cls_table_d = jnp.asarray(cls_table)
+        prefixes = tree.box_morton_prefixes
+        levels_d = jnp.asarray(tree.box_levels).astype(jnp.int64)
+
+        def split_keys(kblock):
+            valid = kblock != _INVALID_KEY
+            tgt = jnp.where(valid, kblock >> np.int64(32), -1)
+            src = jnp.where(valid, kblock & np.int64(_LOW32), 0)
+            return tgt, src, valid
+
+        def classify(tgt, src, valid):
+            cells = morton.deinterleave(prefixes, dims)   # (d, nboxes)
+            st = jnp.clip(tgt, 0)
+            idx = jnp.zeros(tgt.shape, jnp.int64)
+            for a in range(dims):
+                dv = cells[a][st] - cells[a][src]
+                idx = idx + (dv + radius) * int(width ** a)
+            in_rng = (idx >= 0) & (idx < len(cls_table))
+            cls = jnp.where(in_rng,
+                            cls_table_d[jnp.clip(idx, 0,
+                                                 len(cls_table) - 1)],
+                            -1)
+            return jnp.where(valid & (cls >= 0),
+                             levels_d[st] * nclasses + cls, npossible)
+
+        def prep_a(m1, m2, m3, m4):
+            t1, s1, _ = split_keys(m1[0])
+            t3, s3, v3 = split_keys(m3[0])
+            t4, s4, _ = split_keys(m4[0])
+            t2, s2, v2 = split_keys(m2[0])
+            opkey = classify(t2, s2, v2)
+            hist = jnp.zeros(npossible + 1, jnp.int64).at[opkey].add(
+                jnp.where(v2, 1, 0))
+            hist = lax.psum(hist, axis)
+            needed = jnp.zeros(nboxes + 1, bool)
+            needed = needed.at[jnp.where(v2, s2, nboxes)].set(True)
+            needed = needed.at[jnp.where(v3, s3, nboxes)].set(True)
+            return (jnp.stack([t1, s1], -1)[None],
+                    jnp.stack([t3, s3], -1)[None],
+                    jnp.stack([t4, s4], -1)[None],
+                    hist, needed[None, :nboxes])
+
+        sp = P(axis, None)
+        m1, m2, m3, m4 = (lists[k][0] for k in ("l1", "l2", "l3", "l4"))
+        e1, e3, e4, hist, needed = jax.jit(_shard_map(
+            prep_a, mesh, (sp, sp, sp, sp),
+            (P(axis, None, None), P(axis, None, None),
+             P(axis, None, None), P(), sp)))(m1, m2, m3, m4)
+        self.e1, self.e3, self.e4 = e1, e3, e4
+
+        hist = np.asarray(hist)
+        if hist[-1] != 0:
+            raise AssertionError(
+                "sharded runner: List-2 edge outside the translation "
+                "window")
+        used_keys = np.flatnonzero(hist[:-1]).astype(np.int64)
+
+        # }}}
+
+        if wrangler_factory is None:
+            wrangler_factory = _default_wrangler_factory
+        shim = ShardedTraversalShim(tree, m2l_used_keys=used_keys)
+        self.wrangler = wrangler_factory(shim)
+        m2l_plan = getattr(self.wrangler, "m2l_plan", None)
+
+        # {{{ device program B: per-rank List-2 operator sort
+
+        lanes2 = int(m2.shape[1])
+        if m2l_plan is not None and m2l_plan.nops:
+            nops = m2l_plan.nops
+            opid_tbl = np.full(npossible + 1, nops, np.int64)
+            opid_tbl[np.asarray(m2l_plan._used_keys)] = \
+                np.arange(nops)
+            opid_tbl_d = jnp.asarray(opid_tbl)
+            bits = max(1, int(lanes2 - 1).bit_length())
+
+            def prep_b(m2):
+                t2, s2, v2 = split_keys(m2[0])
+                opid = opid_tbl_d[classify(t2, s2, v2)]
+                packed = (opid << bits) | jnp.arange(lanes2,
+                                                     dtype=jnp.int64)
+                skey = lax.sort(packed)
+                eidx = skey & ((jnp.int64(1) << bits) - 1)
+                okey = skey >> bits
+                live = okey < nops
+                tgt_s = jnp.where(live, t2[eidx], -1)
+                src_s = jnp.where(live, s2[eidx], 0)
+                cuts = jnp.searchsorted(
+                    okey, jnp.arange(nops + 1, dtype=jnp.int64))
+                gs = (cuts[1:] - cuts[:-1]).astype(jnp.int32)
+                # pad lanes fold into the last group (dropped by -1 tgt)
+                gs = gs.at[-1].add(
+                    jnp.int32(lanes2) - cuts[nops].astype(jnp.int32))
+                return (jnp.stack([tgt_s, src_s], -1)[None], gs[None])
+
+            self.e2, self.e2_group_sizes = jax.jit(_shard_map(
+                prep_b, mesh, (sp,),
+                (P(axis, None, None), sp)))(m2)
+        else:
+            # counting wrangler: no operator grouping
+            def prep_b0(m2):
+                t2, s2, _ = split_keys(m2[0])
+                cnt = (t2 >= 0).sum().astype(jnp.int32)
+                return (jnp.stack([t2, s2], -1)[None], cnt[None, None])
+
+            self.e2, self.e2_group_sizes = jax.jit(_shard_map(
+                prep_b0, mesh, (sp,),
+                (P(axis, None, None), sp)))(m2)
+
+        # }}}
+
+        def shard(arr):
+            return jax.device_put(
+                jnp.asarray(arr),
+                NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1)))))
+
+        # {{{ downward-pass row plan over OWNED rows (level >= 1)
+
+        box_digit = (np.asarray(tree.box_morton_prefixes)
+                     & (nchild - 1)).astype(np.int64)
+        ids_all, rr_all = [], []
+        for r in range(nranks):
+            ids = bid_pad[r, :nb[r]]
+            ids = ids[box_lev[ids] >= 1]
+            ids_all.append(ids)
+            rr_all.append(np.full(len(ids), r, np.int64))
+        ids = np.concatenate(ids_all) if ids_all else np.zeros(0, np.int64)
+        rr = np.concatenate(rr_all) if rr_all else np.zeros(0, np.int64)
+        o = np.lexsort((box_digit[ids], box_lev[ids], rr))
+        ids, rr = ids[o], rr[o]
+        lev_counts = np.zeros((nranks, nlevels), np.int64)
+        np.add.at(lev_counts, (rr, box_lev[ids]), 1)
+        widths = lev_counts.max(axis=0)
+        w_starts = np.concatenate([[0], np.cumsum(widths)])
+        self._l2l_level_slices = tuple(
+            (lev, int(w_starts[lev]), int(w_starts[lev + 1]))
+            for lev in range(1, nlevels) if widths[lev])
+        key = rr * nlevels + box_lev[ids]
+        grp_start = np.searchsorted(key, np.arange(nranks * nlevels))
+        within = np.arange(len(ids)) - grp_start[key]
+        rows_pad = np.full((nranks, max(1, int(w_starts[-1]))), -1,
+                           np.int64)
+        rows_pad[rr, w_starts[box_lev[ids]] + within] = ids
+        dsize = np.zeros((nranks, nlevels, nchild), np.int32)
+        np.add.at(dsize, (rr, box_lev[ids], box_digit[ids]), 1)
+        dsize[:, :, -1] += (widths[None, :] - lev_counts).astype(np.int32)
+        self.l2l_rows = shard(rows_pad)
+        self.l2l_digit_sizes = shard(dsize)
+
+        # }}}
+
+        self.resp_masks = shard(owned_masks)
+        self._last_owned = shard(last_owned_tbl)
+        self._fix_box = shard(fix_box)
+        self._fix_src = shard(fix_src)
+
+        # sparse multipole-exchange schedule (hypercube flavor); the
+        # needed masks came off the device program, contrib from the
+        # ownership tables
+        if communicate_mpoles == "hypercube" and nranks > 1:
+            stages, self.mpole_comm_stats = _mpole_exchange_schedule(
+                np.asarray(needed), contrib, nboxes)
+            self._mpole_perms = tuple(s[0] for s in stages)
+            self._mpole_ops = tuple(s[3] for s in stages)
+            self._mpole_tables = tuple(
+                (shard(s[1]), shard(s[2])) for s in stages)
+        else:
+            self.mpole_comm_stats = []
+            self._mpole_perms = ()
+            self._mpole_ops = ()
+            self._mpole_tables = ()
+
+        self._step = self._build_step_sharded()
+        logger.info(
+            "ShardedFMMRunner: %d ranks, %d boxes, padded edges/rank "
+            "l1=%d l2=%d l3=%d l4=%d, m2l ops=%d, mpole stages=%d",
+            nranks, nboxes, self.e1.shape[1], self.e2.shape[1],
+            self.e3.shape[1], self.e4.shape[1],
+            0 if m2l_plan is None else m2l_plan.nops,
+            len(self._mpole_perms))
+
+    def _build_step_sharded(self):
+        tree = self.tree
+        box_of_src = tree.box_id_of_source
+        axis = self.axis_name
+        wrangler = self.wrangler
+        pot_box_map = wrangler.potential_box_map()
+        exchange_mpoles = self._make_mpole_exchange()
+        l2l_slices = self._l2l_level_slices
+        nboxes = tree.nboxes
+
+        def step(resp_mask, e1, e2, e2_gs, e3, e4, l2l_rows, l2l_dsz,
+                 last_owned, fix_box, fix_src, mpole_tables, weights):
+            resp_mask = resp_mask[0]
+            e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
+            e2_gs = e2_gs[0]
+            l2l_rows, l2l_dsz = l2l_rows[0], l2l_dsz[0]
+            last_owned = last_owned[0]
+            fix_box, fix_src = fix_box[0], fix_src[0]
+
+            # upward: P2M from owned leaf boxes' sources (disjoint,
+            # complete), M2M over the replicated skeleton, exchange
+            w_mine = jnp.where(resp_mask[box_of_src], weights, 0)
+            mp = wrangler.form_multipoles(None, None, (w_mine,))
+            mp = wrangler.coarsen_multipoles(None, None, mp)
+            mp = exchange_mpoles(mp, mpole_tables)
+
+            pot = wrangler.eval_direct_edges(
+                e1[:, 0], e1[:, 1], None, weights)
+            pot = pot + wrangler.eval_multipoles_edges(
+                e3[:, 0], e3[:, 1], None, mp)
+
+            loc = wrangler.multipole_to_local_edges(
+                e2[:, 0], e2[:, 1], e2_gs, mp)
+            loc = loc + wrangler.form_locals_edges(
+                e4[:, 0], e4[:, 1], None, weights)
+
+            # downward pass over owned rows with a one-expansion-per-
+            # rank halo between levels: after level lev is refined, each
+            # rank publishes the refined local of its LAST owned box of
+            # lev (the only box another rank's chain can need) and
+            # overwrites its own chain box at lev from the gather
+            for (lev, s0, s1) in l2l_slices:
+                loc = wrangler.refine_locals_rows_grouped(
+                    l2l_rows, l2l_dsz, ((lev, s0, s1),), loc)
+                lo = last_owned[lev]
+                pub = loc[jnp.clip(lo, 0)] \
+                    * (lo >= 0).astype(loc.dtype)
+                gath = lax.all_gather(pub, axis)      # (nranks, ...)
+                fb = fix_box[lev]
+                safe = jnp.where(fb >= 0, fb, nboxes)
+                loc = loc.at[safe].set(
+                    gath[jnp.clip(fix_src[lev], 0)], mode="drop")
+
+            pot = pot + wrangler.eval_locals(None, None, loc)
+            keep = resp_mask[pot_box_map]
+            if wrangler._pot_extra_dims:
+                keep = keep[(...,) + (None,)
+                            * len(wrangler._pot_extra_dims)]
+            pot = jnp.where(keep, pot, 0)
+            return lax.psum(pot, axis)
+
+        try:
+            from jax import shard_map
+        except ImportError:               # older jax
+            from jax.experimental.shard_map import shard_map
+        table_specs = tuple(
+            (P(axis, None), P(axis, None)) for _ in self._mpole_tables)
+        return jax.jit(shard_map(
+            step, mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None, None),
+                      P(axis, None, None), P(axis, None),
+                      P(axis, None, None), P(axis, None, None),
+                      P(axis, None), P(axis, None, None),
+                      P(axis, None), P(axis, None), P(axis, None),
+                      table_specs, P()),
+            out_specs=P(), check_vma=False))
+
+    def drive_dfmm(self, source_weights):
+        w = self.wrangler.reorder_sources(jnp.asarray(source_weights))
+        pot = self._step(
+            self.resp_masks, self.e1, self.e2, self.e2_group_sizes,
+            self.e3, self.e4, self.l2l_rows, self.l2l_digit_sizes,
+            self._last_owned, self._fix_box, self._fix_src,
+            self._mpole_tables, w)
+        pot = self.wrangler.reorder_potentials(pot)
+        return self.wrangler.finalize_potentials(pot)
