@@ -59,12 +59,15 @@ def _force(*arrays):
     """Force completion of device work reachable from *arrays*.
 
     ``jax.block_until_ready`` is a NO-OP through the axon tunnel
-    (execution is fully lazy there; only host pulls force it), so pull
-    one scalar per array — a few bytes each, negligible vs the work."""
+    (execution is fully lazy there; only host pulls force it).  Pack
+    one scalar per array into a single device concat and pull THAT —
+    one tunnel round trip (~25 ms) instead of one per array."""
     import jax
-    for x in arrays:
-        if hasattr(x, "ravel") and getattr(x, "size", 0):
-            jax.device_get(x.ravel()[-1])
+    import jax.numpy as jnp
+    last = [x.ravel()[-1:].astype(jnp.float32) for x in arrays
+            if hasattr(x, "ravel") and getattr(x, "size", 0)]
+    if last:
+        jax.device_get(jnp.concatenate(last))
 
 
 def run_single(n):

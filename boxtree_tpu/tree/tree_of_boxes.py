@@ -186,8 +186,50 @@ def uniformly_refine_tree_of_boxes(tob):
         tob, (flags & box_flags_enum.IS_LEAF_BOX) != 0)
 
 
-def make_meshmode_mesh_from_leaves(tob):  # pragma: no cover
-    """Mirrors ``boxtree/tree_of_boxes.py:467-504``; requires meshmode,
-    which is not available in this environment."""
-    raise NotImplementedError(
-        "meshmode is not available in this environment")
+def make_meshmode_mesh_from_leaves(tob):
+    """Make a :class:`meshmode.mesh.Mesh` whose (tensor-product)
+    elements are the leaf boxes of *tob*, plus the element-number ->
+    box-number map.  Mirrors ``boxtree/tree_of_boxes.py:467-504``.
+
+    Requires meshmode (import-guarded: raises :class:`ImportError` with
+    a clear message when it is absent, as in this environment; the
+    contract is tested against a minimal fake mesh module in
+    ``tests/test_tree_of_boxes.py``).
+
+    :returns: ``(mesh, leaf_boxes)``.
+    """
+    try:
+        from meshmode.mesh import TensorProductElementGroup, make_mesh
+        from meshmode.mesh.generation import make_group_from_vertices
+    except ImportError as exc:                      # pragma: no cover
+        raise ImportError(
+            "make_meshmode_mesh_from_leaves requires meshmode, which "
+            "is not installed") from exc
+
+    dim = tob.dimensions
+    lfboxes = np.asarray(tob.leaf_boxes)
+    lfcenters = np.asarray(tob.box_centers)[:, lfboxes]
+    lflevels = np.asarray(tob.box_levels)[lfboxes]
+    lfradii = (float(np.asarray(tob.root_extent)) / 2
+               / 2.0 ** lflevels.astype(np.float64))
+
+    # 2^d unit-cell corner nodes in tensor-product order (axis 0
+    # fastest), the ordering TensorProductElementGroup expects for
+    # bilinear corner vertices
+    corners = np.array(
+        [[2.0 * ((k >> a) & 1) - 1.0 for k in range(2 ** dim)]
+         for a in range(dim)], dtype=lfcenters.dtype)
+
+    nleaf = len(lfboxes)
+    lfvertices = (np.repeat(lfcenters, 2 ** dim, axis=1)
+                  + np.repeat(lfradii, 2 ** dim)
+                  * np.tile(corners, (1, nleaf)))
+
+    # FIXME (like the reference): vertices shared by adjacent leaves
+    # are not deduplicated
+    vertex_indices = np.arange(
+        nleaf * 2 ** dim, dtype=tob.box_id_dtype).reshape(-1, 2 ** dim)
+    group = make_group_from_vertices(
+        lfvertices, vertex_indices, 1,
+        group_cls=TensorProductElementGroup, unit_nodes=None)
+    return make_mesh(lfvertices, [group]), tob.leaf_boxes

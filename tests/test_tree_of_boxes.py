@@ -85,3 +85,71 @@ def test_traversal_from_tree_of_boxes():
     starts = np.asarray(trav.from_sep_siblings_starts)
     counts = np.diff(starts)
     assert counts.max() == 27
+
+
+def test_make_meshmode_mesh_from_leaves_contract(monkeypatch):
+    """Contract test against a minimal fake mesh module (meshmode is
+    absent here): the exported vertices must be exactly each leaf box's
+    corners, elements index their own 2^d vertices, and the returned
+    map is the leaf-box list (ref boxtree/tree_of_boxes.py:467-504)."""
+    import sys
+    import types
+
+    calls = {}
+
+    fake_mesh = types.ModuleType("meshmode.mesh")
+    fake_mesh.TensorProductElementGroup = type(
+        "TensorProductElementGroup", (), {})
+
+    def make_mesh(vertices, groups):
+        calls["make_mesh"] = (vertices, groups)
+        return ("mesh", vertices, tuple(groups))
+
+    fake_mesh.make_mesh = make_mesh
+
+    fake_gen = types.ModuleType("meshmode.mesh.generation")
+
+    def make_group_from_vertices(vertices, vertex_indices, order, *,
+                                 group_cls, unit_nodes):
+        calls["group"] = (vertices, vertex_indices, order, group_cls)
+        return ("group", vertex_indices)
+
+    fake_gen.make_group_from_vertices = make_group_from_vertices
+
+    fake_root = types.ModuleType("meshmode")
+    fake_root.mesh = fake_mesh
+    fake_mesh.generation = fake_gen
+    monkeypatch.setitem(sys.modules, "meshmode", fake_root)
+    monkeypatch.setitem(sys.modules, "meshmode.mesh", fake_mesh)
+    monkeypatch.setitem(sys.modules, "meshmode.mesh.generation", fake_gen)
+
+    from boxtree_tpu.tree.tree_of_boxes import (
+        make_meshmode_mesh_from_leaves,
+    )
+
+    tob = make_tree_of_boxes_root((np.zeros(2), np.ones(2)))
+    tob = uniformly_refine_tree_of_boxes(tob)
+    flags = np.zeros(tob.nboxes, bool)
+    flags[np.asarray(tob.leaf_boxes)[0]] = True
+    tob = refine_tree_of_boxes(tob, flags)   # non-uniform leaves
+
+    mesh, leaf_map = make_meshmode_mesh_from_leaves(tob)
+    leaves = np.asarray(tob.leaf_boxes)
+    np.testing.assert_array_equal(np.asarray(leaf_map), leaves)
+
+    vertices, vertex_indices, order, group_cls = calls["group"]
+    assert order == 1
+    assert group_cls is fake_mesh.TensorProductElementGroup
+    assert vertex_indices.shape == (len(leaves), 4)
+    assert mesh[0] == "mesh"
+
+    centers = np.asarray(tob.box_centers)[:, leaves]
+    radii = (float(np.asarray(tob.root_extent)) / 2
+             / 2.0 ** np.asarray(tob.box_levels)[leaves])
+    for e in range(len(leaves)):
+        # corner set per element: each axis takes center +- radius,
+        # every combination once (tensor-product order, axis 0 fastest)
+        got = vertices[:, vertex_indices[e]]
+        want = centers[:, e][:, None] + radii[e] * np.array(
+            [[-1, 1, -1, 1], [-1, -1, 1, 1]], float)
+        np.testing.assert_allclose(got, want)
