@@ -838,8 +838,8 @@ def sharded_l1_edges(tree, skel, ntable_rows, mesh):
     keys for the boxes it owns — the same-level neighbor row plus, per
     cross-level shift ``s``, the <= 2^d coarser-level touching window of
     the single-device fast generators
-    (:func:`boxtree_tpu.traversal.neighbors.fgen_list1_target_side` /
-    ``..._source_side``) — sorts and compacts them locally
+    (:func:`boxtree_tpu.traversal.neighbors.fgen_list1_tgt` /
+    :func:`...fgen_list1_src`) — sorts and compacts them locally
     (:func:`..traversal.build._emit_compact`'s chunk trick, one chunk
     per rank).  The union over ranks equals the single-device
     traversal's List 1 exactly (``tests/test_shard_build.py``).

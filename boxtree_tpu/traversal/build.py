@@ -577,12 +577,12 @@ def _emit_compact(gen, rows_pfx, aux, buf, off):
     return buf, off
 
 
-def _emit_rowcsr(gen, rows_pfx, row_base, buf, off, starts, chunk):
+def _emit_rowcsr(gen, rows_pfx, row_base, buf, off, starts, chunk,
+                 keep64=False):
     """Fused rowlist count+fill: compaction-scan emission (as
-    :func:`_emit_compact`) PLUS the dense CSR starts, read per chunk
-    with one searchsorted of the chunk's row bounds into its sorted
-    keys (start of row r = running valid offset + position of the
-    first chunk key >= ``r << 32``).
+    :func:`_emit_compact`) PLUS the dense CSR starts from the pre-sort
+    per-row counts (rows ascend in enumeration order, so the exclusive
+    cumsum IS each key's sorted position).
 
     Requires the caller's plan to enumerate global row indices
     contiguously ascending — every rowlist plan does (rows ARE the CSR
@@ -590,12 +590,24 @@ def _emit_rowcsr(gen, rows_pfx, row_base, buf, off, starts, chunk):
     final CSR array: no separate counts enumeration, no cumsum, no
     global sort.  Rows past a segment's end (emission pads) resolve to
     the running offset and are overwritten by the next segment, so
-    *starts* needs one chunk of slack past its logical end."""
+    *starts* needs one chunk of slack past its logical end.
+
+    With ``keep64=True`` the buffer keeps the full ``(row << 32) | val``
+    int64 keys (for callers that may still need a cross-plan merge
+    sort, e.g. List 1's target side).
+
+    (Measured dead end, r4: per-chunk ``lax.cond`` fast branches for
+    all-valid / all-invalid chunks do NOT pay on this TPU backend — the
+    conditional executes as if both sides ran, adding ~10% instead of
+    skipping the chunk sort.)"""
     padded, nchunks = _pad_rows(rows_pfx, chunk)
     nrows = rows_pfx.shape[0]
     gidx = row_base + jnp.arange(padded.shape[0], dtype=jnp.int64)
     valid_row = jnp.arange(padded.shape[0]) < nrows
     mask32 = np.int64(0xFFFFFFFF)
+
+    def out_of(k64):
+        return k64 if keep64 else (k64 & mask32).astype(jnp.int32)
 
     def body(carry, inp):
         buf, off, starts = carry
@@ -605,9 +617,8 @@ def _emit_rowcsr(gen, rows_pfx, row_base, buf, off, starts, chunk):
         keys = jnp.where(
             valid, (ridx[:, None] << np.int64(32))
             | cand.astype(jnp.int64), _INVALID_KEY)
-        skeys = lax.sort(keys.reshape(-1))
         buf = lax.dynamic_update_slice(
-            buf, (skeys & mask32).astype(jnp.int32), (off,))
+            buf, out_of(lax.sort(keys.reshape(-1))), (off,))
         # per-row starts from the pre-sort counts (rows ascend in
         # enumeration order, so exclusive cumsum == sorted position);
         # a chunk-sized cumsum beats a searchsorted into chunk*K keys
@@ -622,6 +633,48 @@ def _emit_rowcsr(gen, rows_pfx, row_base, buf, off, starts, chunk):
         (padded.reshape(nchunks, -1), gidx.reshape(nchunks, -1),
          valid_row.reshape(nchunks, -1)))
     return buf, off, starts
+
+
+def _emit_l1_fast(gen, rows_pfx, row_base, bufT, offT, startsT,
+                  bufS, offS):
+    """Fused both-sides List-1 emission over rows that are BOTH the
+    target CSR rows and the source participants (``sources_are_targets``
+    fast path): one clamped-table row gather per row feeds the
+    CSR-ordered target side (:func:`_emit_rowcsr` semantics, int64
+    keys + dense starts) AND the compacted source-side key buffer
+    (:func:`_emit_compact` semantics) in the same scan."""
+    padded, nchunks = _pad_rows(rows_pfx, _ROW_CHUNK)
+    nrows = rows_pfx.shape[0]
+    gidx = row_base + jnp.arange(padded.shape[0], dtype=jnp.int64)
+    valid_row = jnp.arange(padded.shape[0]) < nrows
+
+    def body(carry, inp):
+        bufT, offT, startsT, bufS, offS = carry
+        rows, ridx, vr = inp
+        cand_t, keys_s = gen(rows, rows.astype(jnp.int64))
+        # target side: CSR-ordered keys + counts-based dense starts
+        valid = (cand_t >= 0) & vr[:, None]
+        keys_t = jnp.where(
+            valid, (ridx[:, None] << np.int64(32))
+            | cand_t.astype(jnp.int64), _INVALID_KEY)
+        bufT = lax.dynamic_update_slice(
+            bufT, lax.sort(keys_t.reshape(-1)), (offT,))
+        cnt = valid.sum(axis=1).astype(jnp.int64)
+        csum = _prefix_sum(cnt)
+        startsT = lax.dynamic_update_slice(
+            startsT, offT + csum - cnt, (ridx[0],))
+        # source side: compaction write
+        keys_s = jnp.where(vr[:, None], keys_s, _INVALID_KEY)
+        skeys = lax.sort(keys_s.reshape(-1))
+        nv = jnp.searchsorted(skeys, _INVALID_KEY).astype(jnp.int64)
+        bufS = lax.dynamic_update_slice(bufS, skeys, (offS,))
+        return (bufT, offT + csum[-1], startsT, bufS, offS + nv), None
+
+    (bufT, offT, startsT, bufS, offS), _ = lax.scan(
+        body, (bufT, offT, startsT, bufS, offS),
+        (padded.reshape(nchunks, -1), gidx.reshape(nchunks, -1),
+         valid_row.reshape(nchunks, -1)))
+    return bufT, offT, startsT, bufS, offS
 
 
 def _emit_l2_parent_rowcsr(gen, prows, child_level_parents, lsb_child,
@@ -860,9 +913,20 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
     if ext:
         src_cumul, tbb_min, tbb_max, bbox_min, root_extent, sof = ext_data
 
-    def l1_leaf(lt):
-        """Fast path only: both List-1 sides from one clamped row."""
-        return partial(nbr.fgen_list1_leaf, ntable=ntable,
+    def l1t(lt):
+        """Fast path only: target-side List-1 candidates (one clamped
+        row; emitted in CSR order, no post-sort)."""
+        return partial(nbr.fgen_list1_tgt, ntable=ntable,
+                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb)
+
+    def l1s(lt):
+        """Fast path only: source-side (cross-level) List-1 keys."""
+        return partial(nbr.fgen_list1_src, ntable=ntable,
+                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb)
+
+    def l1b(lt):
+        """Fast path, sources_are_targets: both sides, one row gather."""
+        return partial(nbr.fgen_list1_both, ntable=ntable,
                        prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb)
 
     def l1_tgt(lt):
@@ -912,7 +976,7 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
         return lambda rows, bi: g(
             prefixes[jnp.clip(rows, 0).astype(jnp.int64)], bi)
 
-    return l1_leaf, l1_tgt, l1_src, l3, l4c
+    return (l1t, l1s, l1b), l1_tgt, l1_src, l3, l4c
 
 
 # }}}
@@ -923,13 +987,14 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
 @partial(jax.jit, static_argnames=(
     "dimensions", "n_away", "lsb", "ls_tgt", "ls_part", "ntarget_boxes",
     "fast", "src_levels", "tgt_levels", "ls_totp", "ext", "crit",
-    "min_nsources"))
+    "min_nsources", "l1_same_rows"))
 def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
                     tgt_row_of_box, ntable, parents, totp_boxes,
                     ext_data, *, dimensions, n_away, lsb, ls_tgt,
                     ls_part=None, ntarget_boxes=0, fast=False,
                     src_levels=None, tgt_levels=None, ls_totp=None,
-                    ext=False, crit=None, min_nsources=0):
+                    ext=False, crit=None, min_nsources=0,
+                    l1_same_rows=False):
     """Single-enumeration edge emission for List 1, the per-source-level
     List 3, and (with target extents) the close lists, via the
     compaction scan (:func:`_emit_compact`): each buffer comes back with
@@ -940,7 +1005,7 @@ def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
     pass (a full second enumeration) and the round-3 global sorts over
     every padded lane (doc/PERF.md)."""
     nlevels = len(lsb) - 1
-    l1_leaf, l1_tgt, l1_src, l3g, l4cg = _edge_gens(
+    (l1tg, l1sg, l1bg), l1_tgt, l1_src, l3g, l4cg = _edge_gens(
         prefixes, box_flags, tgt_row_of_box, ntable, parents,
         dimensions=dimensions, n_away=n_away, lsb=lsb, fast=fast,
         src_levels=src_levels, tgt_levels=tgt_levels, ext=ext,
@@ -971,20 +1036,65 @@ def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
             buf, off = _emit_compact(gen, rows, aux, buf, off)
         return buf, off
 
-    # List 1.  Fast path: ONE plan over the source-or-target leaf rows
-    # per level; each row's clamped table row yields both the
-    # target-side and source-side keys (fgen_list1_leaf).  Generic
-    # path: the two-sided plans.
-    l1_plan = []
+    # List 1.  Fast path: the TARGET side (same-or-coarser sources of
+    # each target leaf, the bulk of the list) is emitted in CSR order
+    # over target rows with counts-based dense starts — NO post-sort —
+    # while the rare cross-level SOURCE-side keys compact into their
+    # own small buffer, merged later by one real-edges sort only when
+    # nonempty (never for uniform trees).  Generic path: the two-sided
+    # key plans + full sort machinery.
     if fast:
-        for lt in range(nlevels):
-            r0, r1 = ls_part[lt], ls_part[lt + 1]
-            if r1 == r0:
-                continue
-            rows = part_boxes[r0:r1]
-            l1_plan.append((l1_leaf(lt), rows,
-                            (rows.astype(jnp.int64),)))
+        m = 3 ** dimensions
+
+        def plan_size(levels):
+            return sum(
+                max(1, -(-(ls[lt + 1] - ls[lt]) // _ROW_CHUNK))
+                * _ROW_CHUNK * m
+                for ls, lt in levels)
+
+        if l1_same_rows:
+            # sources_are_targets: ONE row gather per leaf row serves
+            # both sides in a single fused scan
+            levels = [(ls_tgt, lt) for lt in range(nlevels)
+                      if ls_tgt[lt + 1] > ls_tgt[lt]]
+            size = plan_size(levels)
+            bufT = jnp.zeros(size, jnp.int64)
+            startsT = jnp.zeros(ntarget_boxes + 1 + _ROW_CHUNK,
+                                jnp.int64)
+            bufS = jnp.full(size, _INVALID_KEY, jnp.int64)
+            offT = offS = jnp.int64(0)
+            for _ls, lt in levels:
+                r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
+                bufT, offT, startsT, bufS, offS = _emit_l1_fast(
+                    l1bg(lt), target_boxes[r0:r1], r0,
+                    bufT, offT, startsT, bufS, offS)
+        else:
+            t_plan, s_plan = [], []
+            for lt in range(nlevels):
+                r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
+                if r1 != r0:
+                    t_plan.append((l1tg(lt), target_boxes[r0:r1], r0))
+                p0, p1 = ls_part[lt], ls_part[lt + 1]
+                if p1 != p0 and lt > 0:
+                    rows = part_boxes[p0:p1]
+                    s_plan.append((l1sg(lt), rows,
+                                   (rows.astype(jnp.int64),)))
+            size = plan_size([(ls_tgt, lt) for lt in range(nlevels)
+                              if ls_tgt[lt + 1] > ls_tgt[lt]])
+            bufT = jnp.zeros(size, jnp.int64)
+            startsT = jnp.zeros(ntarget_boxes + 1 + _ROW_CHUNK,
+                                jnp.int64)
+            offT = jnp.int64(0)
+            for gen, rows, rb in t_plan:
+                bufT, offT, startsT = _emit_rowcsr(
+                    gen, rows, rb, bufT, offT, startsT, _ROW_CHUNK,
+                    keep64=True)
+            bufS, offS = emit_plan(s_plan, 'l1src') if s_plan else (
+                jnp.full(1, _INVALID_KEY, jnp.int64), jnp.int64(0))
+        startsT = startsT.at[ntarget_boxes].set(offT)
+        l1 = (bufT, offT, startsT[:ntarget_boxes + 1], bufS, offS)
     else:
+        l1_plan = []
         for lt in range(nlevels):
             r0, r1 = ls_tgt[lt], ls_tgt[lt + 1]
             if r1 == r0:
@@ -997,7 +1107,7 @@ def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
             ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
             l1_plan.append((l1_src(ls), ids_l,
                             (ids_l.astype(jnp.int64),)))
-    l1 = emit_plan(l1_plan, 'l1')
+        l1 = emit_plan(l1_plan, 'l1')
 
     # List 3 per source level (a level can contribute iff any level at
     # or below it holds source boxes AND some coarser level holds
@@ -1106,32 +1216,61 @@ def _edge_sort_pass(l1_buf, l3_bufs, l3c_buf, l4c_buf, target_boxes, *,
 
 
 @partial(jax.jit, static_argnames=("nlevels", "l1_nonempty", "l3_totals",
-                                   "l3_nonempty", "ext"))
-def _edge_slice_pass(l1_keys, l1_pos, l3_keys, l3_pos, l3c_keys,
-                     l4c_keys, target_boxes, tgt_row_of_box, *, nlevels,
-                     l1_nonempty, l3_totals, l3_nonempty, ext):
+                                   "l3_nonempty", "ext", "fast",
+                                   "l1t_total", "l1s_total",
+                                   "row_totals"))
+def _edge_slice_pass(l1_keys, l1_pos, l1_fast, l3_keys, l3_pos, l3c_keys,
+                     l4c_keys, target_boxes, tgt_row_of_box, rowlists, *,
+                     nlevels, l1_nonempty, l3_totals, l3_nonempty, ext,
+                     fast=False, l1t_total=0, l1s_total=0,
+                     row_totals=(0, 0, 0)):
     """Extract the final static-shape lists from the sorted compact key
     buffers (all totals are static by now).  List 3's compressed CSR
     comes straight from the row-boundary masks: the boundary positions
     ARE the compressed starts, and the boundary keys carry the
-    nonempty target boxes.  List 1's dense starts come from one
-    binary search of the row bounds against the distinct boxes."""
+    nonempty target boxes.
+
+    List 1, fast path: the target side arrives ALREADY in CSR order
+    with counts-based dense starts; if the cross-level source side is
+    empty (uniform trees) no sort happens at all, otherwise ONE sort
+    merges in the (rare) source-side keys and the starts gain the
+    side's searchsorted cumulative counts.  Generic path: dense starts
+    from one binary search of the row bounds against the distinct
+    boxes of the pre-sorted keys."""
     mask32 = np.int64(0xFFFFFFFF)
-    l1_lists = (l1_keys & mask32).astype(jnp.int32)
-    l1_total = int(l1_keys.shape[0])
+    ntarget = int(target_boxes.shape[0])
     nboxes = int(tgt_row_of_box.shape[0])
-    if l1_total and l1_nonempty:
-        pos = l1_pos[:l1_nonempty]
-        dboxes = l1_keys[pos] >> np.int64(32)
-        bounds = jnp.concatenate(
-            [target_boxes.astype(jnp.int64),
-             jnp.full(1, nboxes, jnp.int64)])
-        idx = jnp.searchsorted(dboxes, bounds).astype(jnp.int64)
-        pos_pad = jnp.concatenate(
-            [pos, jnp.full(1, l1_total, jnp.int64)])
-        l1_starts = pos_pad[idx].astype(jnp.int32)
+    if fast:
+        bufT, startsT, bufS = l1_fast
+        if l1s_total == 0:
+            l1_lists = (bufT[:l1t_total] & mask32).astype(jnp.int32)
+            l1_starts = startsT.astype(jnp.int32)
+        else:
+            keys_s = bufS[:l1s_total]
+            rows_s = tgt_row_of_box[keys_s >> np.int64(32)]
+            merged = lax.sort(jnp.concatenate(
+                [bufT[:l1t_total],
+                 (rows_s << np.int64(32)) | (keys_s & mask32)]))
+            l1_lists = (merged & mask32).astype(jnp.int32)
+            c2s = jnp.searchsorted(
+                lax.sort(rows_s),
+                jnp.arange(ntarget + 1, dtype=rows_s.dtype))
+            l1_starts = (startsT + c2s).astype(jnp.int32)
     else:
-        l1_starts = jnp.zeros(target_boxes.shape[0] + 1, jnp.int32)
+        l1_lists = (l1_keys & mask32).astype(jnp.int32)
+        l1_total = int(l1_keys.shape[0])
+        if l1_total and l1_nonempty:
+            pos = l1_pos[:l1_nonempty]
+            dboxes = l1_keys[pos] >> np.int64(32)
+            bounds = jnp.concatenate(
+                [target_boxes.astype(jnp.int64),
+                 jnp.full(1, nboxes, jnp.int64)])
+            idx = jnp.searchsorted(dboxes, bounds).astype(jnp.int64)
+            pos_pad = jnp.concatenate(
+                [pos, jnp.full(1, l1_total, jnp.int64)])
+            l1_starts = pos_pad[idx].astype(jnp.int32)
+        else:
+            l1_starts = jnp.zeros(target_boxes.shape[0] + 1, jnp.int32)
 
     l3_out = []
     for ls in range(nlevels):
@@ -1157,7 +1296,13 @@ def _edge_slice_pass(l1_keys, l1_pos, l3_keys, l3_pos, l3c_keys,
     if ext:
         close_out = ((l3c_keys & mask32).astype(jnp.int32),
                      (l4c_keys & mask32).astype(jnp.int32))
-    return (l1_lists, l1_starts), tuple(l3_out), close_out
+
+    # rowlist finalization (same program: avoids ~6 tiny dispatches,
+    # each ~25 ms through the tunnel)
+    row_csr = tuple(
+        (starts64.astype(jnp.int32), buf[:total])
+        for (starts64, buf), total in zip(rowlists, row_totals))
+    return (l1_lists, l1_starts), tuple(l3_out), close_out, row_csr
 
 # }}}
 
@@ -1355,7 +1500,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     # every edge key and compacts the valid ones to the buffer front
     # with an exact device-scalar count (no global sort over the ~90%
     # invalid padded lanes — doc/PERF.md)
-    (l1_buf, l1_tot), l3_em, (l3c_em, l4c_em) = (
+    l1_em, l3_em, (l3c_em, l4c_em) = (
         _edge_emit_pass(
             prefixes, target_boxes, part_boxes, flags_dev,
             tgt_row_of_box_dev, ntable, parents_dev,
@@ -1364,30 +1509,31 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
             ntarget_boxes=ntarget_boxes, fast=fast,
             src_levels=src_levels, tgt_levels=tgt_levels,
             ls_totp=ls_totp, ext=ext, crit=crit,
-            min_nsources=min_nsources))
+            min_nsources=min_nsources,
+            l1_same_rows=part_boxes is target_boxes))
+    if fast:
+        l1t_buf, l1t_tot, l1t_starts, l1s_buf, l1s_tot = l1_em
+        l1_buf, l1_tot = jnp.zeros(1, jnp.int64), jnp.int64(0)
+    else:
+        l1_buf, l1_tot = l1_em
+        l1t_buf = l1t_starts = l1s_buf = None
+        l1t_tot = l1s_tot = jnp.int64(0)
 
-    _toc("emit_edges", _t, l1_buf,
+    _toc("emit_edges", _t, l1_buf if not fast else l1t_buf,
          *(l3_em[ls][0] for ls in range(nlevels)))
     _t = _tic()
 
     # first host sync: every list size
     packed = jax.device_get(_pack_totals(
         slnws_tot, l2_tot, l4_tot, l1_tot, l3c_em[1], l4c_em[1],
+        l1t_tot, l1s_tot,
         jnp.stack([l3_em[ls][1] for ls in range(nlevels)])))
-    slnws_total, l2_total, l4_total, l1_total, l3c_total, l4c_total = (
-        int(packed[i]) for i in range(6))
-    l3_totals = tuple(int(x) for x in packed[6:6 + nlevels])
+    (slnws_total, l2_total, l4_total, l1_total, l3c_total, l4c_total,
+     l1t_total, l1s_total) = (int(packed[i]) for i in range(8))
+    l3_totals = tuple(int(x) for x in packed[8:8 + nlevels])
 
     _toc("host_sync", _t)
     _t = _tic()
-
-    # slice the emitted rowlists to their (now static) totals
-    slnws_starts = slnws_starts64.astype(jnp.int32)
-    slnws_lists = slnws_buf[:slnws_total]
-    l2_starts = l2_starts64.astype(jnp.int32)
-    l2_lists = l2_buf[:l2_total]
-    l4_starts = l4_starts64.astype(jnp.int32)
-    l4_lists = l4_buf[:l4_total]
 
     # sort the real edges (static sizes now); the second sync pulls
     # only the nonempty-row counts (nlevels + 1 ints)
@@ -1405,13 +1551,22 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
          *(l3_srt[ls][0] for ls in range(nlevels)))
     _t = _tic()
 
-    (l1_lists, l1_starts), l3_csr, close_lists = _edge_slice_pass(
-        l1_keys, l1_pos,
+    l1_fast = ((l1t_buf, l1t_starts, l1s_buf) if fast
+               else (jnp.zeros(1, jnp.int64),) * 3)
+    ((l1_lists, l1_starts), l3_csr, close_lists,
+     row_csr) = _edge_slice_pass(
+        l1_keys, l1_pos, l1_fast,
         tuple(l3_srt[ls][0] for ls in range(nlevels)),
         tuple(l3_srt[ls][1] for ls in range(nlevels)),
         l3c_srt[0], l4c_srt[0], target_boxes, tgt_row_of_box_dev,
+        ((slnws_starts64, slnws_buf), (l2_starts64, l2_buf),
+         (l4_starts64, l4_buf)),
         nlevels=nlevels, l1_nonempty=l1_nonempty, l3_totals=l3_totals,
-        l3_nonempty=l3_nonempty, ext=ext)
+        l3_nonempty=l3_nonempty, ext=ext, fast=fast,
+        l1t_total=l1t_total, l1s_total=l1s_total,
+        row_totals=(slnws_total, l2_total, l4_total))
+    ((slnws_starts, slnws_lists), (l2_starts, l2_lists),
+     (l4_starts, l4_lists)) = row_csr
     close_csr = None
     if ext:
         close_csr = ((l3c_srt[1], close_lists[0]),

@@ -416,50 +416,86 @@ def fgen_list4(rows, ntable, parents, prefixes, *, lb,
     return jnp.where(valid, ids, -1)
 
 
-def fgen_list1_leaf(rows, row_boxes, ntable, prefixes, *, lt,
-                    dimensions, lsb):
-    """Both sides of List 1 from ONE clamped row gather per leaf box:
+def fgen_list1_tgt(rows, ntable, prefixes, *, lt, dimensions, lsb):
+    """Target-side List-1 keys ``(b << 32) | src`` from ONE clamped row
+    gather per leaf box: source leaves touching b at b's level or
+    coarser = the row's SRC_BIT entries (same-level entries always
+    touch; coarser entries touch by the clamp invariant; the
+    canonical-lane mask dedupes multi-cell coverage).
 
-    - target-side keys ``(b << 32) | src``: source leaves touching b at
-      b's level or coarser = the row's SRC_BIT entries (same-level
-      entries always touch; coarser entries touch by the clamp
-      invariant; canonical-lane mask dedupes),
-    - source-side keys ``(tgt << 32) | b``: coarser target leaves
-      touching b = the row's coarser TGT_BIT entries.
-
-    Deeper-source edges of a coarse target emerge from the deeper leaf's
-    own enumeration (its row contains the coarse box), so enumerating
-    every source-or-target leaf once covers the whole list.  Replaces
-    the round-3 target-side (own row + per-coarser-level windows) +
-    source-side (per-coarser-level windows) pair: ~8 row gathers -> 1.
-    """
+    Rows are enumerated ascending across the whole plan, so the emitted
+    keys are ALREADY in global CSR order — the target side needs no
+    post-sort at all (its per-row counts fall out of the emission
+    scan).  Deeper-source edges of a coarse target come from
+    :func:`fgen_list1_src`."""
     d = dimensions
-    m = 3 ** d
     rows_i = jnp.clip(rows, 0).astype(jnp.int64)
     t = ntable[rows_i]                                      # (B, m)
     ids = jnp.clip(t, 0) & ID_MASK
     lev = _id_level(ids, lsb)
-    same = ids >= np.int32(lsb[lt])
-    valid = t >= 0
-    center = t[:, m // 2]
-    row_is_tgt = (center & TGT_BIT) != 0
-    row_is_src = (center & SRC_BIT) != 0
+    row_is_tgt = (t[:, 3 ** d // 2] & TGT_BIT) != 0
     # canonical dedupe applies to coarser entries only (same-level
     # entries each cover exactly one cell; the mask is trivially True
     # there, so one combined mask serves both)
     cells = morton.deinterleave(prefixes[rows_i], d)        # (d, B)
     canon = _canonical_mask(cells, lev, lt, d)
+    return jnp.where(
+        (t >= 0) & ((t & SRC_BIT) != 0) & canon & row_is_tgt[:, None],
+        ids, -1)
 
+
+def fgen_list1_both(rows, row_boxes, ntable, prefixes, *, lt,
+                    dimensions, lsb):
+    """Both List-1 sides from ONE clamped row gather (used when target
+    rows == participant rows, i.e. ``sources_are_targets``): returns
+    ``(cand_t, keys_s)`` — the target-side candidate ids (B, 3^d) for
+    the CSR-ordered emission of :func:`fgen_list1_tgt`, and the
+    source-side ``(tgt << 32) | b`` keys of :func:`fgen_list1_src`."""
+    d = dimensions
+    rows_i = jnp.clip(rows, 0).astype(jnp.int64)
+    t = ntable[rows_i]                                      # (B, m)
+    ids = jnp.clip(t, 0) & ID_MASK
+    lev = _id_level(ids, lsb)
+    same = ids >= np.int32(lsb[lt])
+    center = t[:, 3 ** d // 2]
+    cells = morton.deinterleave(prefixes[rows_i], d)        # (d, B)
+    canon = _canonical_mask(cells, lev, lt, d)
+    valid = (t >= 0) & canon
+    cand_t = jnp.where(
+        valid & ((t & SRC_BIT) != 0)
+        & ((center & TGT_BIT) != 0)[:, None],
+        ids, -1)
+    keys_s = jnp.where(
+        valid & ((t & TGT_BIT) != 0) & ~same
+        & ((center & SRC_BIT) != 0)[:, None],
+        (ids.astype(jnp.int64) << np.int64(32))
+        | row_boxes.astype(jnp.int64)[:, None], _INVALID_KEY)
+    return cand_t, keys_s
+
+
+def fgen_list1_src(rows, row_boxes, ntable, prefixes, *, lt,
+                   dimensions, lsb):
+    """Source-side List-1 keys ``(tgt << 32) | b``: coarser target
+    leaves touching source leaf b = the coarser TGT_BIT entries of b's
+    clamped row.  These cross-level edges are RARE (they exist only
+    along coarse-fine leaf boundaries) and land in other boxes' CSR
+    rows, so they are emitted into their own small compacted buffer and
+    merged with the target side by one real-edges-only sort — skipped
+    entirely when this side is empty (e.g. uniform trees)."""
+    d = dimensions
+    rows_i = jnp.clip(rows, 0).astype(jnp.int64)
+    t = ntable[rows_i]                                      # (B, m)
+    ids = jnp.clip(t, 0) & ID_MASK
+    lev = _id_level(ids, lsb)
+    same = ids >= np.int32(lsb[lt])
+    row_is_src = (t[:, 3 ** d // 2] & SRC_BIT) != 0
+    cells = morton.deinterleave(prefixes[rows_i], d)        # (d, B)
+    canon = _canonical_mask(cells, lev, lt, d)
     b64 = row_boxes.astype(jnp.int64)[:, None]
-    ids64 = ids.astype(jnp.int64)
-    k_tgt = jnp.where(
-        valid & ((t & SRC_BIT) != 0) & canon & row_is_tgt[:, None],
-        (b64 << np.int64(32)) | ids64, _INVALID_KEY)
-    k_src = jnp.where(
-        valid & ((t & TGT_BIT) != 0) & ~same & canon
+    return jnp.where(
+        (t >= 0) & ((t & TGT_BIT) != 0) & ~same & canon
         & row_is_src[:, None],
-        (ids64 << np.int64(32)) | b64, _INVALID_KEY)
-    return jnp.concatenate([k_tgt, k_src], axis=1)
+        (ids.astype(jnp.int64) << np.int64(32)) | b64, _INVALID_KEY)
 
 
 def fgen_list3(rows, w_ids, ntable, parents, prefixes, box_flags, *, ls,
