@@ -861,7 +861,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         # row-major fast path for the standard List-1 call (identity
         # check works under tracing: the driver passes the wrangler's
         # own traversal fields)
-        if (self._l1_rowmap is not None
+        if (self._l1_rowmaps is not None
                 and neighbor_sources_starts
                 is self.traversal.neighbor_source_boxes_starts):
             return self._eval_direct_rowmajor(src_weights)
@@ -871,12 +871,21 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             target_boxes[rows], neighbor_sources_lists, None, src_weights)
 
     def _build_l1_row_plan(self, traversal):
-        """Padded (ntarget_boxes, max_row_len) List-1 neighbor map +
-        target-row-of-box map, for the row-major P2P: one source-block
-        gather per (row, slot) and pure contiguous writes, replacing
-        the edge formulation's 4 gathers + 1 scatter per edge (the FMM
-        stage profile's dominant stage, doc/PERF.md)."""
-        self._l1_rowmap = None
+        """Padded List-1 neighbor maps + target-row-of-box map, for the
+        row-major P2P: one source-block gather per (row, slot) and pure
+        contiguous writes, replacing the edge formulation's 4 gathers +
+        1 scatter per edge (the FMM stage profile's dominant stage,
+        doc/PERF.md).
+
+        TWO-TIER maps (r4): padding every row to the global max length
+        wasted ~59% of the pair lanes at 1e6 (lmax 54 vs mean 22.3 —
+        the long rows are the rare coarse-fine boundary ones).  Rows
+        are split at a device-chosen threshold T minimizing
+        ``nA*T + nB*lmax`` over a candidate grid; each bucket runs the
+        same scan at its own width, and the bucket permutation is
+        composed into the row-of-box indirection the final
+        per-particle gather already uses (zero extra cost there)."""
+        self._l1_rowmaps = None
         if np.issubdtype(np.dtype(self.dtype), np.complexfloating):
             return                      # complex path: CPU-only, keep old
         lists = traversal.neighbor_source_boxes_lists
@@ -884,12 +893,64 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             return
         starts = traversal.neighbor_source_boxes_starts
         ntb = int(starts.shape[0]) - 1
-        lmax = int(_csr_lmax(starts))                  # scalar pull
+        bt = self._P2P_ROW_CHUNK
+
+        @jax.jit
+        def pick(starts):
+            lens = (starts[1:] - starts[:-1]).astype(jnp.int64)
+            lmax = lens.max()
+            cands = jnp.asarray([8, 12, 16, 20, 24, 28, 32, 40, 48],
+                                jnp.int64)
+            na = (lens[None, :] <= cands[:, None]).sum(axis=1)
+            cost = na * cands + (ntb - na) * lmax
+            cost = jnp.where(cands < lmax, cost, ntb * lmax)
+            best = jnp.argmin(cost)
+            t_best = jnp.where(cost[best] < ntb * lmax, cands[best],
+                               lmax)
+            na_best = (lens <= t_best).sum()
+            return jnp.stack([lmax, t_best, na_best])
+
+        lmax, t_split, na = (int(x) for x in
+                             jax.device_get(pick(starts)))  # one pull
         if not 0 < lmax <= 1024:
             return
-        self._l1_rowmap = _rowmap_from_csr(starts, lists,
-                                           ntb=ntb, lmax=lmax)
-        self._l1_row_of_box = self._tgt_row_of_box_arr()
+
+        full = _rowmap_from_csr(starts, lists, ntb=ntb, lmax=lmax)
+        row_of_box = self._tgt_row_of_box_arr()
+        tb_ids = traversal.target_boxes
+
+        if na in (0, ntb) or t_split >= lmax:
+            self._l1_rowmaps = ((full, tb_ids),)
+            self._l1_row_of_box = row_of_box
+            return
+
+        @partial(jax.jit, static_argnames=("na", "t", "bt"))
+        def split(starts, full, row_of_box, tb_ids, *, na, t, bt):
+            lens = starts[1:] - starts[:-1]
+            short = lens <= t
+            # stable partition: bucket-A rows first, then bucket B
+            pos_a = jnp.cumsum(short.astype(jnp.int64)) - 1
+            pos_b = jnp.cumsum((~short).astype(jnp.int64)) - 1
+            perm = jnp.zeros(ntb, jnp.int64)
+            perm = perm.at[jnp.where(short, pos_a, na + pos_b)].set(
+                jnp.arange(ntb, dtype=jnp.int64), unique_indices=True)
+            na_pad = -(-na // bt) * bt
+            out_pos = jnp.where(short, pos_a, na_pad + pos_b).astype(
+                jnp.int32)
+            rmap_a = full[perm[:na], :t]
+            rmap_b = full[perm[na:]]
+            tb_a = tb_ids[perm[:na]]
+            tb_b = tb_ids[perm[na:]]
+            new_rob = jnp.where(row_of_box >= 0,
+                                out_pos[jnp.clip(row_of_box, 0)
+                                        .astype(jnp.int64)],
+                                row_of_box)
+            return rmap_a, tb_a, rmap_b, tb_b, new_rob
+
+        rmap_a, tb_a, rmap_b, tb_b, new_rob = split(
+            starts, full, row_of_box, tb_ids, na=na, t=t_split, bt=bt)
+        self._l1_rowmaps = ((rmap_a, tb_a), (rmap_b, tb_b))
+        self._l1_row_of_box = new_rob
 
     def _tgt_row_of_box_arr(self):
         """(nboxes + 1,) map: global box id -> its row in
@@ -906,8 +967,6 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
     def _eval_direct_rowmajor(self, src_weights):
         tree = self.tree
         tb, sb = self.tgt_blocks, self.src_blocks
-        rmap = self._l1_rowmap
-        ntb, lmax = rmap.shape
         bt = self._P2P_ROW_CHUNK
         d = self.dim
         pm = sb.pmax
@@ -922,43 +981,53 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         pack = jnp.concatenate(
             [pack, jnp.zeros((1,) + pack.shape[1:], pack.dtype)])
 
-        ntb_pad = -(-ntb // bt) * bt
-        rmap_p = jnp.concatenate(
-            [rmap, jnp.full((ntb_pad - ntb, lmax), -1, rmap.dtype)])
-        tboxes_p = jnp.concatenate(
-            [self.traversal.target_boxes.astype(jnp.int64),
-             jnp.zeros(ntb_pad - ntb, jnp.int64)])
+        # bucketed row scans (see _build_l1_row_plan): each bucket's
+        # rows run at their own padded width; outputs stack in bucket
+        # order, which the permuted row-of-box map already points at
+        outs = []
+        for rmap, tboxes in self._l1_rowmaps:
+            ntb, lmax = rmap.shape
+            ntb_pad = -(-ntb // bt) * bt
+            rmap_p = jnp.concatenate(
+                [rmap, jnp.full((ntb_pad - ntb, lmax), -1, rmap.dtype)])
+            tboxes_p = jnp.concatenate(
+                [tboxes.astype(jnp.int64),
+                 jnp.zeros(ntb_pad - ntb, jnp.int64)])
 
-        out = jnp.zeros((ntb_pad, tb.pmax, *self._pot_extra_dims),
-                        self.dtype)
+            out = jnp.zeros((ntb_pad, tb.pmax, *self._pot_extra_dims),
+                            self.dtype)
 
-        def body(carry, i):
-            r0 = i * bt
-            tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
-            tpts = tb.points[tbox]
-            nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
-                                    (bt, lmax))
-            sp = pack[jnp.where(nbr >= 0, nbr,
-                                tree.nboxes).astype(jnp.int64)]
-            spts = sp[..., :d].reshape(bt, lmax * pm, d)
-            sval = sp[..., d].reshape(bt, lmax * pm) > 0
-            qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(self.dtype)
-            if self.dipole_vec is None:
-                vals = jax.vmap(self._p2p)(tpts, spts, sval, qv)
-            else:
-                dip = sp[..., d + 2:].reshape(bt, lmax * pm, d)
+            def body(carry, i, rmap_p=rmap_p, tboxes_p=tboxes_p,
+                     lmax=lmax):
+                r0 = i * bt
+                tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
+                tpts = tb.points[tbox]
+                nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
+                                        (bt, lmax))
+                sp = pack[jnp.where(nbr >= 0, nbr,
+                                    tree.nboxes).astype(jnp.int64)]
+                spts = sp[..., :d].reshape(bt, lmax * pm, d)
+                sval = sp[..., d].reshape(bt, lmax * pm) > 0
+                qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(
+                    self.dtype)
+                if self.dipole_vec is None:
+                    vals = jax.vmap(self._p2p)(tpts, spts, sval, qv)
+                else:
+                    dip = sp[..., d + 2:].reshape(bt, lmax * pm, d)
 
-                def per_box(tp, s, v, qq, dd):
-                    return jax.jvp(
-                        lambda ss: self._p2p(tp, ss, v, qq),
-                        (s,), (dd,))[1]
-                vals = jax.vmap(per_box)(tpts, spts, sval, qv, dip)
-            idx = (r0,) + (jnp.int64(0),) * (out.ndim - 1)
-            return lax.dynamic_update_slice(
-                carry, vals.astype(carry.dtype), idx), None
+                    def per_box(tp, s, v, qq, dd):
+                        return jax.jvp(
+                            lambda ss: self._p2p(tp, ss, v, qq),
+                            (s,), (dd,))[1]
+                    vals = jax.vmap(per_box)(tpts, spts, sval, qv, dip)
+                idx = (r0,) + (jnp.int64(0),) * (carry.ndim - 1)
+                return lax.dynamic_update_slice(
+                    carry, vals.astype(carry.dtype), idx), None
 
-        out, _ = lax.scan(body, out,
-                          jnp.arange(ntb_pad // bt, dtype=jnp.int64))
+            out, _ = lax.scan(body, out,
+                              jnp.arange(ntb_pad // bt, dtype=jnp.int64))
+            outs.append(out)
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
         row = self._l1_row_of_box[
             tree.box_id_of_target.astype(jnp.int64)].astype(jnp.int64)

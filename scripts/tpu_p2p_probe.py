@@ -45,14 +45,32 @@ emit(stage="built", nboxes=int(tree.nboxes),
 q = jax.device_put(rng.standard_normal(N).astype(np.float32))
 
 
-def time_p2p(label, *, chunk=None, rowmajor=True):
+def _p2p_sum(self, tgt_pts, src_pts, src_valid, q):
+    """Reduce formulation: multiply+sum instead of ``g @ q`` so XLA can
+    fuse the whole diff/r2/rsqrt/weight chain into the reduction loop
+    (a dot operand forces the (nt, ns) kernel matrix to materialize)."""
+    import jax.numpy as jnp
+    diff = tgt_pts[:, None, :] - src_pts[None, :, :]
+    r2 = (diff * diff).sum(-1)
+    g = jnp.where((r2 > 0) & src_valid[None, :],
+                  1.0 / jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
+    return (g * q[None, :]).sum(-1).astype(self.dtype)
+
+
+def time_p2p(label, *, chunk=None, rowmajor=True, p2p=None,
+             row_chunk=None):
     try:
         w = make_laplace_wrangler(trav, order=8, pairs=True,
                                   rscale="auto", dtype=np.float32)
         if chunk is not None:
             w._EDGE_CHUNK = chunk
+        if p2p is not None:
+            import types
+            w._p2p = types.MethodType(p2p, w)
+        if row_chunk is not None:
+            w._P2P_ROW_CHUNK = row_chunk
         if not rowmajor:
-            w._l1_rowmap = None        # force the edge path
+            w._l1_rowmaps = None       # force the edge path
         leaves = []
         tmpl = _harvest(w, leaves, set(), min_bytes=65536)
 
@@ -80,6 +98,15 @@ def time_p2p(label, *, chunk=None, rowmajor=True):
         emit(stage="error", label=label, err=repr(e)[:250])
 
 
+# row-length diagnostics: padding waste of the (ntb, lmax) row map
+starts = np.asarray(trav.neighbor_source_boxes_starts)
+lens = np.diff(starts)
+emit(stage="rows", ntb=len(lens), lmax=int(lens.max()),
+     avg=round(float(lens.mean()), 1),
+     pad_waste=round(1 - float(lens.mean()) / max(int(lens.max()), 1), 3))
+
 time_p2p("rowmajor")
-time_p2p("edges4096", rowmajor=False)
+time_p2p("rowmajor_sum", p2p=_p2p_sum)
+time_p2p("rowmajor_sum_bt512", p2p=_p2p_sum, row_chunk=512)
+time_p2p("rowmajor_bt512", row_chunk=512)
 emit(stage="done")
