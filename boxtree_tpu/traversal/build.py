@@ -758,8 +758,10 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                   src_levels=None, ext=False, bbox_min=None,
                   root_extent=None, sof=None):
     """Per-level generator triples (slnws, list2, list4) over box-id rows.
-    The fast flavor uses the neighbor table (n_away == 1 only); the
-    generic flavor binary-searches the per-level Morton tables."""
+    ``fast`` is a MODE: 0 = generic binary-search generators, 1 = full
+    neighbor-table fast path (n_away == 1), 2 = partial fast (slnws and
+    List 2 off a radius-n table, List 4 generic — its n>=2 membership
+    rule mixes touching and colleague criteria across levels)."""
     d = dimensions
     nlevels = len(lsb) - 1
     offs_n = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
@@ -773,10 +775,14 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
             gen_2 = partial(nbr.fgen_list2, ntable=ntable,
                             child_rows=child_rows, parents=parents,
                             prefixes=prefixes, dimensions=d,
-                            min_id=lsb[lev - 1] if lev >= 1 else 0)
-            gen_4 = partial(nbr.fgen_list4, ntable=ntable, parents=parents,
-                            prefixes=prefixes,
-                            lb=lev, dimensions=d, lsb=lsb)
+                            min_id=lsb[lev - 1] if lev >= 1 else 0,
+                            n_away=n_away)
+            if fast == 1:
+                gen_4 = partial(nbr.fgen_list4, ntable=ntable,
+                                parents=parents, prefixes=prefixes,
+                                lb=lev, dimensions=d, lsb=lsb)
+                return gen_s, gen_2, gen_4
+            gen_4 = _generic_gen4(lev)
             return gen_s, gen_2, gen_4
         pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
 
@@ -791,12 +797,18 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
         gen_2 = by_pfx(partial(_gen_list2, prefixes_l=pfx_l,
                                lsb_lev=lsb[lev], offs=offs_2, level=lev,
                                dimensions=d, n_away=n_away))
-        gen_4 = by_pfx(partial(_gen_list4, prefixes=prefixes,
-                               box_flags=box_flags, offs=offs_n, lb=lev,
-                               dimensions=d, n_away=n_away, lsb=lsb,
-                               k_pad=k_pad4, ext=ext, bbox_min=bbox_min,
-                               root_extent=root_extent, sof=sof))
+        gen_4 = _generic_gen4(lev)
         return gen_s, gen_2, gen_4
+
+    def _generic_gen4(lev):
+        def wrapped(rows):
+            return _gen_list4(
+                prefixes[jnp.clip(rows, 0).astype(jnp.int64)],
+                prefixes=prefixes, box_flags=box_flags, offs=offs_n,
+                lb=lev, dimensions=d, n_away=n_away, lsb=lsb,
+                k_pad=k_pad4, ext=ext, bbox_min=bbox_min,
+                root_extent=root_extent, sof=sof)
+        return wrapped
 
     return make
 
@@ -835,7 +847,7 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
         rows = totp_boxes[r0:r1]
         if not fast:
             l2_plan.append((gen_2, rows, r0))
-        if fast:
+        if fast == 1:
             # List-4 sources live at levels 1..lev-1 (coarser leaves)
             if any(src_levels is None or src_levels[wl]
                    for wl in range(1, lev)):
@@ -874,7 +886,7 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
         def gen2p_at(plev):
             return partial(nbr.fgen_list2_parent, ntable=ntable,
                            child_rows=child_rows, dimensions=dimensions,
-                           min_id=lsb[plev])
+                           min_id=lsb[plev], n_away=n_away)
         is_totp = jnp.zeros(nboxes + 1, bool).at[
             totp_boxes.astype(jnp.int64)].set(True)
         cs = jax.eval_shape(gen2p_at(0), jax.ShapeDtypeStruct(
@@ -913,21 +925,29 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
     if ext:
         src_cumul, tbb_min, tbb_max, bbox_min, root_extent, sof = ext_data
 
+    # List 1 only ever needs the |delta| <= 1 columns; with a radius-n
+    # table (n_away >= 2 partial-fast mode) the gens slice them out
+    tcols = (None if n_away == 1
+             else tuple(int(x) for x in nbr.touch_columns(d, n_away)))
+
     def l1t(lt):
         """Fast path only: target-side List-1 candidates (one clamped
         row; emitted in CSR order, no post-sort)."""
         return partial(nbr.fgen_list1_tgt, ntable=ntable,
-                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb)
+                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb,
+                       touch_cols=tcols)
 
     def l1s(lt):
         """Fast path only: source-side (cross-level) List-1 keys."""
         return partial(nbr.fgen_list1_src, ntable=ntable,
-                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb)
+                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb,
+                       touch_cols=tcols)
 
     def l1b(lt):
         """Fast path, sources_are_targets: both sides, one row gather."""
         return partial(nbr.fgen_list1_both, ntable=ntable,
-                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb)
+                       prefixes=prefixes, lt=lt, dimensions=d, lsb=lsb,
+                       touch_cols=tcols)
 
     def l1_tgt(lt):
         g = partial(_gen_list1_target_side, prefixes=prefixes,
@@ -955,7 +975,7 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
                         min_nsources=min_nsources, close=close)
             return lambda rows, wi: g(
                 prefixes[jnp.clip(rows, 0).astype(jnp.int64)], wi)
-        if fast:
+        if fast == 1:
             return partial(nbr.fgen_list3, ntable=ntable, parents=parents,
                            box_flags=box_flags,
                            prefixes=prefixes, ls=ls, dimensions=d,
@@ -1441,20 +1461,24 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     _t = _tic()
 
-    # neighbor table (fast path) — only the 1-away window is tabulated;
-    # the with-extent lists always use the generic Morton-search path.
-    # Entries pack the IS_SOURCE / is-target-row bits (see neighbors.py).
-    fast = (n_away == 1) and not ext
+    # neighbor table (fast paths).  fast == 1: the full n_away == 1
+    # path (every list off the clamped radius-1 table); fast == 2: the
+    # n_away >= 2 partial path — slnws / List 2 / List 1 off a
+    # radius-n clamped table, Lists 3/4 through the generic
+    # Morton-search generators (their n >= 2 membership rules mix
+    # touching and colleague criteria across levels).  With-extent
+    # traversals always use the generic path.  Entries pack the
+    # IS_SOURCE / is-target-row bits (see neighbors.py).
+    fast = 0
+    if not ext and nboxes < (1 << 29):
+        fast = 1 if n_away == 1 else 2
     parents_dev = tree.box_parent_ids
     child_rows_dev = jnp.asarray(tree.box_child_ids).T.astype(jnp.int32)
     if fast:
-        if nboxes >= (1 << 29):
-            raise NotImplementedError(
-                "packed neighbor table supports < 2^29 boxes")
         ntable = nbr.build_neighbor_table(
             prefixes, tree.box_parent_ids, tree.box_child_ids,
             flags_dev, jnp.asarray(tgt_row_of_box >= 0),
-            dimensions=d, lsb=lsb)
+            dimensions=d, lsb=lsb, radius=n_away)
     else:
         ntable = jnp.zeros((1, 1), jnp.int32)
     _toc("neighbor_table", _t, ntable)

@@ -61,33 +61,40 @@ def _offsets1(dimensions):
     return _offsets(dimensions, 1)
 
 
-@partial(jax.jit, static_argnames=("dimensions", "lsb"))
+@partial(jax.jit, static_argnames=("dimensions", "lsb", "radius"))
 def build_neighbor_table(prefixes, parents, child_ids, box_flags,
-                         tgt_box_mask, *, dimensions, lsb):
-    """(nboxes, 3^d) CLAMPED neighbor entries: ``table[b, j]`` is the
-    deepest existing box containing ``cell(b) + delta_j`` (the
+                         tgt_box_mask, *, dimensions, lsb, radius=1):
+    """(nboxes, (2r+1)^d) CLAMPED neighbor entries: ``table[b, j]`` is
+    the deepest existing box containing ``cell(b) + delta_j`` (the
     same-level neighbor when it exists, else the finest covering
     coarser box; -1 outside the domain).  Column order matches
-    ``_offsets(d, 1)``, center column = self.  Entries pack the
+    ``_offsets(d, radius)``, center column = self.  Entries pack the
     candidate-filter bits (see module doc).
 
     Built PARENT-side: level lev-1 is a contiguous slice of the table
-    (no gather at all to read it), the children of all 3^d neighbor
+    (no gather at all to read it), the children of all neighbor
     entries arrive in ONE row-gather per parent, and the
     (child digit, column) -> (parent column, child digit) index maps are
-    fully static, so each level costs ~3^d/2^d gather lanes per box
-    instead of the 2*3^d scattered lanes of the child-side build.
+    fully static, so each level costs ~(2r+1)^d/2^d gather lanes per box
+    instead of the 2*(2r+1)^d scattered lanes of the child-side build.
     Clamping falls out of the recurrence: where the parent-level entry
     is coarser (already clamped) or its child at the needed digit is
     absent, the parent-level entry itself propagates down.
+
+    ``radius = n`` serves ``well_sep_is_n_away = n`` (r4): the
+    recurrence stays closed for any n because a child offset delta in
+    [-n, n] needs parent offsets ``(q + delta) >> 1`` within
+    [-ceil(n/2), ceil((n+1)/2)], all inside radius n.
     """
     d = dimensions
-    offs = _offsets1(d)                      # (m, d) numpy
+    from boxtree_tpu.traversal.build import _offsets
+    offs = _offsets(d, radius)               # (m, d) numpy
     m = offs.shape[0]
     nchild = 2 ** d
     nboxes = lsb[-1]
     nlevels = len(lsb) - 1
-    col_w = 3 ** (d - 1 - np.arange(d))      # column weights (axis 0 slowest)
+    width = 2 * radius + 1
+    col_w = width ** (d - 1 - np.arange(d))  # column weights (axis 0 slowest)
 
     iota = jnp.arange(nboxes, dtype=jnp.int32)
     ent = (iota
@@ -109,7 +116,7 @@ def build_neighbor_table(prefixes, parents, child_ids, box_flags,
         qb = np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
         for j in range(m):
             dp = (qb + offs[j]) >> 1
-            pcol[q, j] = ((dp + 1) * col_w).sum()
+            pcol[q, j] = ((dp + radius) * col_w).sum()
             cdig[q, j] = (((qb + offs[j]) & 1)
                           << (d - 1 - np.arange(d))).sum()
 
@@ -280,8 +287,10 @@ def _not_touching(cells_f, level_f, anchor_cells, anchor_level, lev_e,
 def fgen_slnws(rows, ntable, *, lsb_lev, dimensions):
     """Colleagues = same-level entries of the clamped neighbor-table row
     without the center column (clamped coarser entries are filtered by
-    the one ``id >= lsb[lev]`` compare — row entries are never deeper)."""
-    m = 3 ** dimensions
+    the one ``id >= lsb[lev]`` compare — row entries are never deeper).
+    Works at any table radius: radius n rows give exactly the
+    ``well_sep_is_n_away = n`` colleague window."""
+    m = ntable.shape[1]
     t = ntable[jnp.clip(rows, 0).astype(jnp.int64)]
     keep = np.arange(m) != m // 2
     t = t[:, keep]
@@ -289,12 +298,23 @@ def fgen_slnws(rows, ntable, *, lsb_lev, dimensions):
     return jnp.where((t >= 0) & (ids >= np.int32(lsb_lev)), ids, -1)
 
 
-def _list2_valid_pairs(dimensions):
+def touch_columns(dimensions, radius):
+    """Static indices of the |delta|_inf <= 1 columns within a
+    radius-*radius* table row, in ``_offsets(d, 1)`` order (the raster
+    layouts nest, so filtering preserves relative order)."""
+    from boxtree_tpu.traversal.build import _offsets
+    offs = _offsets(dimensions, radius)
+    return np.flatnonzero((np.abs(offs) <= 1).all(axis=1))
+
+
+def _list2_valid_pairs(dimensions, n_away=1):
     """For each child digit r: the static list of (neighbor column j,
     child digit q) whose candidate is well-separated from r — i.e. the
-    List-2 window, enumerated once per *parent*."""
+    List-2 window, enumerated once per *parent*.  Columns index the
+    radius-``n_away`` table layout."""
     d = dimensions
-    offs = _offsets1(d)
+    from boxtree_tpu.traversal.build import _offsets
+    offs = _offsets(d, n_away)
     nchild = 2 ** d
 
     def bits(q):
@@ -306,20 +326,20 @@ def _list2_valid_pairs(dimensions):
         for j in range(len(offs)):
             for q in range(nchild):
                 off = 2 * offs[j] + bits(q) - bits(r)
-                if (np.abs(off) > 1).any():
+                if (np.abs(off) > n_away).any():
                     lst.append((j, q))
         pairs.append(lst)
     return pairs
 
 
 def fgen_list2_parent(prows, ntable, child_rows, *, dimensions,
-                      min_id=0):
+                      min_id=0, n_away=1):
     """List-2 candidates enumerated from the PARENT level: one
-    neighbor-table row plus 3^d child-row gathers per parent serve all
-    2^d children (the per-(column, digit) well-separation test is fully
-    static).  Returns ``(cand, own)`` with ``cand`` (B, 2^d, K) candidate
-    box ids (-1 invalid) and ``own`` (B, 2^d) the child boxes owning each
-    candidate row (0 = absent child).
+    neighbor-table row plus (2n+1)^d child-row gathers per parent serve
+    all 2^d children (the per-(column, digit) well-separation test is
+    fully static).  Returns ``(cand, own)`` with ``cand`` (B, 2^d, K)
+    candidate box ids (-1 invalid) and ``own`` (B, 2^d) the child boxes
+    owning each candidate row (0 = absent child).
 
     :arg min_id: first box id of the parent level — filters clamped
         coarser entries out of the parent row (their children cover the
@@ -327,19 +347,20 @@ def fgen_list2_parent(prows, ntable, child_rows, *, dimensions,
     rows_i = jnp.clip(prows, 0).astype(jnp.int64)
     return list2_from_parent_rows(ntable[rows_i], child_rows[rows_i],
                                   child_rows, dimensions=dimensions,
-                                  min_id=min_id)
+                                  min_id=min_id, n_away=n_away)
 
 
-def list2_from_parent_rows(pn, own, child_rows, *, dimensions, min_id=0):
+def list2_from_parent_rows(pn, own, child_rows, *, dimensions, min_id=0,
+                           n_away=1):
     """Core of :func:`fgen_list2_parent` over already-gathered parent
-    neighbor rows ``pn`` (B, 3^d) and child entries ``own`` (B, 2^d) —
-    also the sharded-traversal entry point, where each device holds its
-    OWNED neighbor-table rows directly
+    neighbor rows ``pn`` (B, (2n+1)^d) and child entries ``own``
+    (B, 2^d) — also the sharded-traversal entry point, where each
+    device holds its OWNED neighbor-table rows directly
     (:func:`boxtree_tpu.parallel.shard_build.sharded_l2_edges`; its
     per-rank table keeps -1 for absent neighbors, so it passes the
     default ``min_id=0``)."""
     d = dimensions
-    m = 3 ** d
+    m = (2 * n_away + 1) ** d
     nchild = 2 ** d
 
     cand_jq = {}
@@ -352,7 +373,7 @@ def list2_from_parent_rows(pn, own, child_rows, *, dimensions, min_id=0):
             c = ch[:, q]
             cand_jq[(j, q)] = jnp.where(ok & (c > 0), c, -1)
 
-    pairs = _list2_valid_pairs(d)
+    pairs = _list2_valid_pairs(d, n_away)
     cand = jnp.stack(
         [jnp.stack([cand_jq[jq] for jq in pairs[r]], axis=1)
          for r in range(nchild)], axis=1)               # (B, nchild, K)
@@ -360,16 +381,17 @@ def list2_from_parent_rows(pn, own, child_rows, *, dimensions, min_id=0):
 
 
 def fgen_list2(rows, ntable, child_rows, parents, prefixes, *, dimensions,
-               min_id=0):
-    """Children of parent's neighbors that are >1 away: candidate cell
+               min_id=0, n_away=1):
+    """Children of parent's neighbors that are >n away: candidate cell
     offsets are fully static per (neighbor column, child digit); each
     neighbor's children come from ONE row gather of the transposed
     child table instead of 2^d scalar gathers.  *min_id* (first box id
     of the parent level) filters clamped coarser parent-row entries."""
     d = dimensions
-    m = 3 ** d
+    from boxtree_tpu.traversal.build import _offsets
+    offs = _offsets(d, n_away)
+    m = len(offs)
     nchild = 2 ** d
-    offs = _offsets1(d)
     rows_i = jnp.clip(rows, 0).astype(jnp.int64)
     pn = ntable[parents[rows_i].astype(jnp.int64)]          # (B, m)
     own_digit = (prefixes[rows_i] & (nchild - 1)).astype(jnp.int64)
@@ -385,7 +407,7 @@ def fgen_list2(rows, ntable, child_rows, parents, prefixes, *, dimensions,
             cand = ch[:, q]
             q_bits = np.array([(q >> (d - 1 - a)) & 1 for a in range(d)])
             off = (2 * offs[j] + q_bits)[:, None] - r_bits  # (d, B)
-            wellsep = (jnp.abs(off) > 1).any(axis=0)
+            wellsep = (jnp.abs(off) > n_away).any(axis=0)
             valid = ok & (cand > 0) & wellsep
             out.append(jnp.where(valid, cand, -1))
     return jnp.stack(out, axis=1)
@@ -416,7 +438,8 @@ def fgen_list4(rows, ntable, parents, prefixes, *, lb,
     return jnp.where(valid, ids, -1)
 
 
-def fgen_list1_tgt(rows, ntable, prefixes, *, lt, dimensions, lsb):
+def fgen_list1_tgt(rows, ntable, prefixes, *, lt, dimensions, lsb,
+                   touch_cols=None):
     """Target-side List-1 keys ``(b << 32) | src`` from ONE clamped row
     gather per leaf box: source leaves touching b at b's level or
     coarser = the row's SRC_BIT entries (same-level entries always
@@ -431,6 +454,8 @@ def fgen_list1_tgt(rows, ntable, prefixes, *, lt, dimensions, lsb):
     d = dimensions
     rows_i = jnp.clip(rows, 0).astype(jnp.int64)
     t = ntable[rows_i]                                      # (B, m)
+    if touch_cols is not None:      # radius-n table: |delta| <= 1 cols
+        t = t[:, np.asarray(touch_cols)]
     ids = jnp.clip(t, 0) & ID_MASK
     lev = _id_level(ids, lsb)
     row_is_tgt = (t[:, 3 ** d // 2] & TGT_BIT) != 0
@@ -445,7 +470,7 @@ def fgen_list1_tgt(rows, ntable, prefixes, *, lt, dimensions, lsb):
 
 
 def fgen_list1_both(rows, row_boxes, ntable, prefixes, *, lt,
-                    dimensions, lsb):
+                    dimensions, lsb, touch_cols=None):
     """Both List-1 sides from ONE clamped row gather (used when target
     rows == participant rows, i.e. ``sources_are_targets``): returns
     ``(cand_t, keys_s)`` — the target-side candidate ids (B, 3^d) for
@@ -454,6 +479,8 @@ def fgen_list1_both(rows, row_boxes, ntable, prefixes, *, lt,
     d = dimensions
     rows_i = jnp.clip(rows, 0).astype(jnp.int64)
     t = ntable[rows_i]                                      # (B, m)
+    if touch_cols is not None:      # radius-n table: |delta| <= 1 cols
+        t = t[:, np.asarray(touch_cols)]
     ids = jnp.clip(t, 0) & ID_MASK
     lev = _id_level(ids, lsb)
     same = ids >= np.int32(lsb[lt])
@@ -474,7 +501,7 @@ def fgen_list1_both(rows, row_boxes, ntable, prefixes, *, lt,
 
 
 def fgen_list1_src(rows, row_boxes, ntable, prefixes, *, lt,
-                   dimensions, lsb):
+                   dimensions, lsb, touch_cols=None):
     """Source-side List-1 keys ``(tgt << 32) | b``: coarser target
     leaves touching source leaf b = the coarser TGT_BIT entries of b's
     clamped row.  These cross-level edges are RARE (they exist only
@@ -485,6 +512,8 @@ def fgen_list1_src(rows, row_boxes, ntable, prefixes, *, lt,
     d = dimensions
     rows_i = jnp.clip(rows, 0).astype(jnp.int64)
     t = ntable[rows_i]                                      # (B, m)
+    if touch_cols is not None:      # radius-n table: |delta| <= 1 cols
+        t = t[:, np.asarray(touch_cols)]
     ids = jnp.clip(t, 0) & ID_MASK
     lev = _id_level(ids, lsb)
     same = ids >= np.int32(lsb[lt])
