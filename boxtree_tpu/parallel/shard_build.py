@@ -94,13 +94,18 @@ def sharded_morton_codes(coords, mesh, *, depth=None):
 
 
 def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
-                        dimensions, depth):
-    """Adaptive leaf-level assignment over shard-sorted Morton keys.
+                        dimensions, depth, adaptive=True):
+    """Leaf-level assignment over shard-sorted Morton keys.
 
     :arg codes_s: (n,) int64 globally sorted full-depth Morton keys
         (e.g. the output of ``sharded_key_sort``), n divisible by the
         mesh size.
     :arg weights_s: (n,) refine weights in the same order.
+    :arg adaptive: with ``False``, every particle gets the same uniform
+        leaf level — the first level at which no box is overfull — like
+        the single-device non-adaptive kind (the reference splits every
+        box while any is overfull,
+        ``boxtree/tree_build_kernels.py:580-591``).
     :returns: ``(leaf_level, counts_and_unfit)`` — per-particle leaf
         levels (n,) in sorted order, and the packed per-level non-empty
         box counts + unfit-particle count, matching the single-device
@@ -216,34 +221,67 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
 
         counts0 = jnp.zeros(depth + 2, jnp.int64)
 
-        def cond(state):
-            level, n_active, _leaf, _counts = state
-            return (level <= depth) & (n_active > 0)
+        if adaptive:
+            def cond(state):
+                level, n_active, _leaf, _counts = state
+                return (level <= depth) & (n_active > 0)
 
-        def body(state):
-            level, _n_active, leaf_level, counts = state
-            active = leaf_level > depth
-            is_start, wg = box_weights(level)
-            # counts only particles still deciding; boxes are assigned
-            # whole (leaf level is a box property), so active is
-            # segment-constant
-            nonempty = (is_start & active).sum().astype(jnp.int64)
-            nonempty = lax.psum(nonempty, axis)
-            counts = counts.at[level].set(nonempty)
-            done = active & (wg <= max_weight)
-            leaf_level = jnp.where(done, level.astype(jnp.int32),
-                                   leaf_level)
-            n_act = lax.psum(
-                (leaf_level > depth).sum().astype(jnp.int64), axis)
-            return level + 1, n_act, leaf_level, counts
+            def body(state):
+                level, _n_active, leaf_level, counts = state
+                active = leaf_level > depth
+                is_start, wg = box_weights(level)
+                # counts only particles still deciding; boxes are
+                # assigned whole (leaf level is a box property), so
+                # active is segment-constant
+                nonempty = (is_start & active).sum().astype(jnp.int64)
+                nonempty = lax.psum(nonempty, axis)
+                counts = counts.at[level].set(nonempty)
+                done = active & (wg <= max_weight)
+                leaf_level = jnp.where(done, level.astype(jnp.int32),
+                                       leaf_level)
+                n_act = lax.psum(
+                    (leaf_level > depth).sum().astype(jnp.int64), axis)
+                return level + 1, n_act, leaf_level, counts
 
-        # the initial leaf_level must be device-VARYING (the loop body
-        # writes shard-local values); derive it from the varying codes
-        leaf0 = jnp.where(codes < 0, 0, depth + 1).astype(jnp.int32)
-        init = (jnp.int64(0), jnp.int64(per * nranks), leaf0, counts0)
-        _, _, leaf_level, counts = lax.while_loop(cond, body, init)
-        n_unfit = lax.psum((leaf_level > depth).sum(), axis)
-        leaf_level = jnp.minimum(leaf_level, depth)
+            # the initial leaf_level must be device-VARYING (the loop
+            # body writes shard-local values); derive it from the
+            # varying codes
+            leaf0 = jnp.where(codes < 0, 0, depth + 1).astype(jnp.int32)
+            init = (jnp.int64(0), jnp.int64(per * nranks), leaf0, counts0)
+            _, _, leaf_level, counts = lax.while_loop(cond, body, init)
+            n_unfit = lax.psum((leaf_level > depth).sum(), axis)
+            leaf_level = jnp.minimum(leaf_level, depth)
+        else:
+            # non-adaptive: uniform depth = first level where no box
+            # (globally) is overfull, mirroring `_phase_a`'s branch
+            def cond(state):
+                level, found, _d_used, _counts = state
+                return (level <= depth) & ~found
+
+            def body(state):
+                level, found, d_used, counts = state
+                is_start, wg = box_weights(level)
+                nonempty = lax.psum(
+                    is_start.sum().astype(jnp.int64), axis)
+                counts = counts.at[level].set(nonempty)
+                over = lax.psum(
+                    (wg > max_weight).sum().astype(jnp.int64), axis)
+                all_ok = over == 0
+                d_used = jnp.where(~found & all_ok,
+                                   level.astype(jnp.int32), d_used)
+                return level + 1, found | all_ok, d_used, counts
+
+            # found / d_used must enter the loop device-VARYING (the
+            # body derives them from varying values); build both from
+            # the varying codes
+            init = (jnp.int64(0),
+                    (codes[0] < codes[0]),          # device-varying False
+                    jnp.where(codes[0] < codes[0], 0,
+                              depth).astype(jnp.int32),
+                    counts0)
+            _, found, d_used, counts = lax.while_loop(cond, body, init)
+            leaf_level = jnp.full(per, 1, jnp.int32) * d_used
+            n_unfit = jnp.where(found, 0, per * nranks).astype(jnp.int64)
         return (leaf_level[None],
                 jnp.concatenate([counts,
                                  n_unfit.astype(jnp.int64)[None]])[None])
@@ -259,6 +297,31 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
         (P(axis, None), P(axis, None))))(codes_sh, w_sh)
     return leaf.reshape(-1), np.asarray(counts)[0]
 
+
+
+def sharded_restrict_leaf_levels(codes_s, leaf_level, mesh, *,
+                                 dimensions, depth, max_level):
+    """2:1 level restriction for the sharded build.
+
+    The 2:1 closure is the UNIQUE minimal refinement of the input leaf
+    assignment in which touching non-empty leaves differ by at most one
+    level, so reusing the single-device fixpoint
+    (:func:`boxtree_tpu.tree.level_restrict.restrict_leaf_levels`) on
+    the globally sorted keys produces exactly the tree the oracle
+    expects.  SCALING CAVEAT: the restriction pass itself runs as one
+    global XLA program over the full key array (its searchsorted
+    demand marks and cummax sweeps are not yet decomposed into
+    per-shard programs + collectives the way the rest of the pipeline
+    is), so this step does not yet enjoy the per-rank memory bound of
+    the surrounding build; the fixpoint converges in a handful of
+    rounds and leaf levels only rise, so the work is a small multiple
+    of one phase-A sweep.  *mesh* is accepted for signature symmetry
+    with the other sharded blocks and future SPMD decomposition."""
+    del mesh
+    from boxtree_tpu.tree.level_restrict import restrict_leaf_levels
+    return restrict_leaf_levels(
+        codes_s, leaf_level, dimensions=dimensions, depth=depth,
+        max_level=max_level)
 
 
 def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
@@ -312,9 +375,14 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
                if counts.any() else 1)
     level_starts = np.concatenate(
         [[0], np.cumsum(counts[:nlevels])]).astype(np.int64)
-    # capacity: a shard owns at most one box per particle, plus at most
-    # one boundary spillover per level
-    cap = int(min(level_starts[-1], per + nlevels))
+    # capacity: a level's box starts are distinct particles, so a shard
+    # owns at most min(per, counts[lev]) boxes per level (NOT one box
+    # per particle overall: one particle can start a whole nested
+    # ancestor chain — non-adaptive trees hit ~nlevels boxes/particle);
+    # plus one boundary spillover per level
+    cap = int(min(level_starts[-1],
+                  sum(int(min(per, counts[lev]))
+                      for lev in range(nlevels)) + nlevels))
     iota = np.arange(cap)
 
     def step(codes, leaf):
@@ -493,9 +561,11 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     The result is field-for-field identical to
     :func:`boxtree_tpu.build_tree` (that is the oracle in
     ``tests/test_shard_build.py``): every stage reproduces the
-    single-device conventions bitwise.  Currently the flagship
-    configuration only — no-extent, sources-are-targets, unit refine
-    weights (``max_particles_in_box``).  Particle-sized arrays
+    single-device conventions bitwise.  All three tree *kinds* are
+    supported (adaptive, non-adaptive, adaptive-level-restricted — the
+    latter via :func:`sharded_restrict_leaf_levels`, see its scaling
+    caveat); extents are not (no-extent, sources-are-targets, unit
+    refine weights via ``max_particles_in_box``).  Particle-sized arrays
     (coordinates, permutations, per-particle leaf boxes) stay sharded
     over the mesh end to end (:func:`..shard_sort.sharded_permute`);
     only the O(nboxes) box arrays are assembled on the host.
@@ -510,8 +580,9 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         sharded_key_sort, sharded_rebalance)
     from boxtree_tpu.tree.containers import Tree, box_flags_enum
 
-    if kind != "adaptive":
-        raise NotImplementedError("sharded build: kind='adaptive' only")
+    from boxtree_tpu.tree.build import _TREE_KINDS
+    if kind not in _TREE_KINDS:
+        raise ValueError(f"unknown tree kind: '{kind}'")
     coords = jnp.asarray(particles)
     dims, n = coords.shape
     coord_dtype = coords.dtype
@@ -552,13 +623,20 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
 
     leaf_level, counts_and_unfit = sharded_leaf_levels(
         codes_s, jnp.ones(n, jnp.int64), mesh,
-        max_weight=max_particles_in_box, dimensions=dims, depth=depth)
+        max_weight=max_particles_in_box, dimensions=dims, depth=depth,
+        adaptive=(kind != "non-adaptive"))
     counts_h, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
     if n_unfit:
         from boxtree_tpu.tree.build import MaxLevelsExceeded
         raise MaxLevelsExceeded(
             f"{n_unfit} particles remain in overfull boxes at the "
             f"deepest representable level ({depth})")
+
+    if kind == "adaptive-level-restricted":
+        leaf_level, counts_h = sharded_restrict_leaf_levels(
+            codes_s, leaf_level, mesh, dimensions=dims, depth=depth,
+            max_level=int(np.max(np.nonzero(np.asarray(counts_h))[0])))
+        counts_and_unfit = np.concatenate([counts_h, [0]])
 
     skel = sharded_box_skeleton(codes_s, leaf_level, counts_and_unfit,
                                 mesh, dimensions=dims, depth=depth)

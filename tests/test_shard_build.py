@@ -107,23 +107,7 @@ def test_sharded_front_end_pipeline(mesh):
     np.testing.assert_array_equal(counts_out, counts_ref)
 
 
-def test_sharded_build_tree_matches_build_tree(mesh):
-    """End-to-end: the sharded pipeline's assembled Tree is
-    field-for-field identical to ``build_tree``'s, and drives the
-    counting FMM to exact completeness."""
-    from boxtree_tpu import build_tree
-    from boxtree_tpu.parallel.shard_build import sharded_build_tree
-
-    rng = np.random.default_rng(71)
-    dims, n, mpb = 3, 1 << 13, 30
-    pts = np.concatenate([
-        rng.random((dims, n // 2)) * 0.05,
-        rng.random((dims, n // 2)),
-    ], axis=1)
-
-    tree_s = sharded_build_tree(pts, mesh, max_particles_in_box=mpb)
-    tree = build_tree(pts, max_particles_in_box=mpb)
-
+def _assert_trees_equal(tree_s, tree):
     assert tree_s.level_start_box_nrs == tree.level_start_box_nrs
     for field in ("box_morton_prefixes", "box_levels", "box_parent_ids",
                   "box_child_ids", "box_flags", "box_source_starts",
@@ -143,6 +127,25 @@ def test_sharded_build_tree_matches_build_tree(mesh):
     np.testing.assert_array_equal(
         np.asarray(tree_s.sources), np.asarray(tree.sources))
 
+
+def test_sharded_build_tree_matches_build_tree(mesh):
+    """End-to-end: the sharded pipeline's assembled Tree is
+    field-for-field identical to ``build_tree``'s, and drives the
+    counting FMM to exact completeness."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import sharded_build_tree
+
+    rng = np.random.default_rng(71)
+    dims, n, mpb = 3, 1 << 13, 30
+    pts = np.concatenate([
+        rng.random((dims, n // 2)) * 0.05,
+        rng.random((dims, n // 2)),
+    ], axis=1)
+
+    tree_s = sharded_build_tree(pts, mesh, max_particles_in_box=mpb)
+    tree = build_tree(pts, max_particles_in_box=mpb)
+    _assert_trees_equal(tree_s, tree)
+
     # the assembled tree drives the counting FMM exactly
     from boxtree_tpu.fmm import drive_fmm
     from boxtree_tpu.models.constant_one import (
@@ -154,6 +157,28 @@ def test_sharded_build_tree_matches_build_tree(mesh):
         ConstantOneTreeIndependentDataForWrangler(), trav),
         (jnp.ones(n),))
     np.testing.assert_allclose(np.asarray(pot), n, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("kind", ["non-adaptive",
+                                  "adaptive-level-restricted"])
+def test_sharded_build_tree_kinds(mesh, kind):
+    """The full ``_TREE_KINDS`` matrix builds sharded, field-for-field
+    equal to the single-device build of the same kind (clustered points
+    so the kinds actually differ from plain adaptive)."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import sharded_build_tree
+
+    rng = np.random.default_rng(72)
+    dims, n, mpb = 3, 1 << 12, 30
+    pts = np.concatenate([
+        rng.random((dims, n // 4)) * 0.03 + 0.9,
+        rng.random((dims, 3 * n // 4)),
+    ], axis=1)
+
+    tree_s = sharded_build_tree(pts, mesh, max_particles_in_box=mpb,
+                                kind=kind)
+    tree = build_tree(pts, max_particles_in_box=mpb, kind=kind)
+    _assert_trees_equal(tree_s, tree)
 
 
 def test_sharded_neighbor_table(mesh):
