@@ -126,6 +126,65 @@ def _csr_lmax(starts):
     return (starts[1:] - starts[:-1]).max()
 
 
+def _bucket_rowmap(rmap, rows, row_of_box, bt):
+    """Two-tier split of a padded (ntb, lmax) row map (doc/PERF.md r4):
+    rows no longer than a device-chosen threshold T — minimizing
+    ``nA*T + nB*lmax`` over a candidate grid — run in their own
+    narrower scan, cutting the padded evaluation lanes (~59% waste for
+    List 1 at 1e6: lmax 54 vs mean 22).  The bucket permutation is
+    composed into *row_of_box* (the indirection the final per-particle
+    gather uses anyway), with bucket B's out rows offset by bucket A's
+    bt-padded row count.
+
+    :returns: ``(buckets, new_row_of_box, padded_lanes)`` where
+        *buckets* is a tuple of ``(rmap_i, rows_i)`` and *padded_lanes*
+        the total bt-padded lane count (for callers gating on waste).
+    """
+    ntb, lmax = (int(x) for x in rmap.shape)
+
+    def pad(x):
+        return -(-x // bt) * bt
+
+    @jax.jit
+    def pick(rmap):
+        lens = (rmap >= 0).sum(axis=1).astype(jnp.int64)
+        cands = jnp.asarray([4, 6, 8, 12, 16, 20, 24, 28, 32, 40, 48],
+                            jnp.int64)
+        na = (lens[None, :] <= cands[:, None]).sum(axis=1)
+        cost = na * cands + (ntb - na) * lmax
+        cost = jnp.where(cands < lmax, cost, ntb * lmax)
+        best = jnp.argmin(cost)
+        t_best = jnp.where(cost[best] < ntb * lmax, cands[best], lmax)
+        return jnp.stack([t_best, (lens <= t_best).sum()])
+
+    t_split, na = (int(x) for x in jax.device_get(pick(rmap)))
+    if na in (0, ntb) or t_split >= lmax:
+        return ((rmap, rows),), row_of_box, pad(ntb) * lmax
+
+    @partial(jax.jit, static_argnames=("na", "t"))
+    def split(rmap, rows, row_of_box, *, na, t):
+        lens = (rmap >= 0).sum(axis=1)
+        short = lens <= t
+        pos_a = jnp.cumsum(short.astype(jnp.int64)) - 1
+        pos_b = jnp.cumsum((~short).astype(jnp.int64)) - 1
+        perm = jnp.zeros(ntb, jnp.int64)
+        perm = perm.at[jnp.where(short, pos_a, na + pos_b)].set(
+            jnp.arange(ntb, dtype=jnp.int64), unique_indices=True)
+        out_pos = jnp.where(short, pos_a, pad(na) + pos_b).astype(
+            jnp.int32)
+        new_rob = jnp.where(
+            row_of_box >= 0,
+            out_pos[jnp.clip(row_of_box, 0).astype(jnp.int64)],
+            row_of_box)
+        return (rmap[perm[:na], :t], rows[perm[:na]],
+                rmap[perm[na:]], rows[perm[na:]], new_rob)
+
+    rmap_a, rows_a, rmap_b, rows_b, new_rob = split(
+        rmap, rows, row_of_box, na=na, t=t_split)
+    lanes = pad(na) * t_split + pad(ntb - na) * lmax
+    return ((rmap_a, rows_a), (rmap_b, rows_b)), new_rob, lanes
+
+
 @jax.jit
 def _csr_lmax_nne(starts):
     lens = starts[1:] - starts[:-1]
@@ -893,64 +952,13 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             return
         starts = traversal.neighbor_source_boxes_starts
         ntb = int(starts.shape[0]) - 1
-        bt = self._P2P_ROW_CHUNK
-
-        @jax.jit
-        def pick(starts):
-            lens = (starts[1:] - starts[:-1]).astype(jnp.int64)
-            lmax = lens.max()
-            cands = jnp.asarray([8, 12, 16, 20, 24, 28, 32, 40, 48],
-                                jnp.int64)
-            na = (lens[None, :] <= cands[:, None]).sum(axis=1)
-            cost = na * cands + (ntb - na) * lmax
-            cost = jnp.where(cands < lmax, cost, ntb * lmax)
-            best = jnp.argmin(cost)
-            t_best = jnp.where(cost[best] < ntb * lmax, cands[best],
-                               lmax)
-            na_best = (lens <= t_best).sum()
-            return jnp.stack([lmax, t_best, na_best])
-
-        lmax, t_split, na = (int(x) for x in
-                             jax.device_get(pick(starts)))  # one pull
+        lmax = int(_csr_lmax(starts))                  # scalar pull
         if not 0 < lmax <= 1024:
             return
-
         full = _rowmap_from_csr(starts, lists, ntb=ntb, lmax=lmax)
-        row_of_box = self._tgt_row_of_box_arr()
-        tb_ids = traversal.target_boxes
-
-        if na in (0, ntb) or t_split >= lmax:
-            self._l1_rowmaps = ((full, tb_ids),)
-            self._l1_row_of_box = row_of_box
-            return
-
-        @partial(jax.jit, static_argnames=("na", "t", "bt"))
-        def split(starts, full, row_of_box, tb_ids, *, na, t, bt):
-            lens = starts[1:] - starts[:-1]
-            short = lens <= t
-            # stable partition: bucket-A rows first, then bucket B
-            pos_a = jnp.cumsum(short.astype(jnp.int64)) - 1
-            pos_b = jnp.cumsum((~short).astype(jnp.int64)) - 1
-            perm = jnp.zeros(ntb, jnp.int64)
-            perm = perm.at[jnp.where(short, pos_a, na + pos_b)].set(
-                jnp.arange(ntb, dtype=jnp.int64), unique_indices=True)
-            na_pad = -(-na // bt) * bt
-            out_pos = jnp.where(short, pos_a, na_pad + pos_b).astype(
-                jnp.int32)
-            rmap_a = full[perm[:na], :t]
-            rmap_b = full[perm[na:]]
-            tb_a = tb_ids[perm[:na]]
-            tb_b = tb_ids[perm[na:]]
-            new_rob = jnp.where(row_of_box >= 0,
-                                out_pos[jnp.clip(row_of_box, 0)
-                                        .astype(jnp.int64)],
-                                row_of_box)
-            return rmap_a, tb_a, rmap_b, tb_b, new_rob
-
-        rmap_a, tb_a, rmap_b, tb_b, new_rob = split(
-            starts, full, row_of_box, tb_ids, na=na, t=t_split, bt=bt)
-        self._l1_rowmaps = ((rmap_a, tb_a), (rmap_b, tb_b))
-        self._l1_row_of_box = new_rob
+        self._l1_rowmaps, self._l1_row_of_box, _ = _bucket_rowmap(
+            full, traversal.target_boxes, self._tgt_row_of_box_arr(),
+            self._P2P_ROW_CHUNK)
 
     def _tgt_row_of_box_arr(self):
         """(nboxes + 1,) map: global box id -> its row in
@@ -1121,69 +1129,79 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             self._tgt_row_of_box_arr(), ntb=ntb)
         lmax, nne = int(lmax), int(nne)                # scalar pulls
         nedges = int(rows.shape[0])
-        if (not 0 < lmax <= 1024
-                or nne * lmax > self._M2P_ROWMAJOR_MAX_WASTE * nedges):
+        if not 0 < lmax <= 1024:
             return
-        (self._m2p_rowmap, self._m2p_rows,
-         self._m2p_row_of_box) = _nonempty_rowmap(
+        rowmap, ne_boxes, row_of_box = _nonempty_rowmap(
             rows, srcs, traversal.target_boxes.astype(jnp.int64),
             ntb=ntb, nne=nne, lmax=lmax, nboxes=self.tree.nboxes)
+        buckets, row_of_box, lanes = _bucket_rowmap(
+            rowmap, ne_boxes, row_of_box, self._M2P_ROW_CHUNK)
+        # gate on the BUCKETED padded lanes: the two-tier split absorbs
+        # most row-length skew, so the map applies more often
+        if lanes > self._M2P_ROWMAJOR_MAX_WASTE * nedges:
+            return
+        self._m2p_rowmap = buckets
+        self._m2p_row_of_box = row_of_box
 
     def _eval_multipoles_rowmajor(self, mpole_exps):
         tree = self.tree
         tb = self.tgt_blocks
-        rmap = self._m2p_rowmap
-        ntb, lmax = rmap.shape                          # ntb = nne rows
         bt = self._M2P_ROW_CHUNK
         ctr_t = self.centers.T                          # (nboxes, d)
         scl = None
         if self._scale_of_level is not None:
             scl = self._scale_of_level[tree.box_levels]
 
-        ntb_pad = -(-ntb // bt) * bt
-        rmap_p = jnp.concatenate(
-            [rmap, jnp.full((ntb_pad - ntb, lmax), -1, rmap.dtype)])
-        tboxes_p = jnp.concatenate(
-            [self._m2p_rows, jnp.zeros(ntb_pad - ntb, jnp.int64)])
+        outs = []
+        for rmap, ne_rows in self._m2p_rowmap:          # row buckets
+            ntb, lmax = rmap.shape                      # ntb = nne rows
+            ntb_pad = -(-ntb // bt) * bt
+            rmap_p = jnp.concatenate(
+                [rmap, jnp.full((ntb_pad - ntb, lmax), -1, rmap.dtype)])
+            tboxes_p = jnp.concatenate(
+                [ne_rows, jnp.zeros(ntb_pad - ntb, jnp.int64)])
 
-        out = jnp.zeros((ntb_pad, tb.pmax, *self._pot_extra_dims),
-                        self.dtype)
+            out = jnp.zeros((ntb_pad, tb.pmax, *self._pot_extra_dims),
+                            self.dtype)
 
-        def body(carry, i):
-            r0 = i * bt
-            tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
-            tpts = tb.points[tbox]                      # (bt, pm, d)
-            nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
-                                    (bt, lmax))
-            valid = nbr >= 0
-            nb = jnp.clip(nbr, 0).astype(jnp.int64)
-            sctr = ctr_t[nb]                            # (bt, lmax, d)
-            exps = mpole_exps[nb]                       # (bt, lmax, K)
-            if scl is None:
-                def per_src(tp, c, e):
-                    return self._m2p_eval(tp.T - c[:, None], e)
-                vals = jax.vmap(lambda tp, cs, es: jax.vmap(
-                    lambda c, e: per_src(tp, c, e))(cs, es))(
-                    tpts, sctr, exps)
-            else:
-                s = scl[nb]                             # (bt, lmax)
+            def body(carry, i, rmap_p=rmap_p, tboxes_p=tboxes_p,
+                     lmax=lmax):
+                r0 = i * bt
+                tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
+                tpts = tb.points[tbox]                  # (bt, pm, d)
+                nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
+                                        (bt, lmax))
+                valid = nbr >= 0
+                nb = jnp.clip(nbr, 0).astype(jnp.int64)
+                sctr = ctr_t[nb]                        # (bt, lmax, d)
+                exps = mpole_exps[nb]                   # (bt, lmax, K)
+                if scl is None:
+                    def per_src(tp, c, e):
+                        return self._m2p_eval(tp.T - c[:, None], e)
+                    vals = jax.vmap(lambda tp, cs, es: jax.vmap(
+                        lambda c, e: per_src(tp, c, e))(cs, es))(
+                        tpts, sctr, exps)
+                else:
+                    s = scl[nb]                         # (bt, lmax)
 
-                def per_src(tp, c, e, ss):
-                    return self._m2p_eval((tp.T - c[:, None]) / ss,
-                                          e, ss)
-                vals = jax.vmap(lambda tp, cs, es, ssv: jax.vmap(
-                    lambda c, e, ss: per_src(tp, c, e, ss))(
-                    cs, es, ssv))(tpts, sctr, exps, s)
-            # vals: (bt, lmax, pm, *extra) — mask dead slots, sum srcs
-            vmask = valid.reshape(bt, lmax,
-                                  *([1] * (vals.ndim - 2)))
-            vals = jnp.where(vmask, vals, 0).sum(axis=1)
-            idx = (r0,) + (jnp.int64(0),) * (out.ndim - 1)
-            return lax.dynamic_update_slice(
-                carry, vals.astype(carry.dtype), idx), None
+                    def per_src(tp, c, e, ss):
+                        return self._m2p_eval((tp.T - c[:, None]) / ss,
+                                              e, ss)
+                    vals = jax.vmap(lambda tp, cs, es, ssv: jax.vmap(
+                        lambda c, e, ss: per_src(tp, c, e, ss))(
+                        cs, es, ssv))(tpts, sctr, exps, s)
+                # vals: (bt, lmax, pm, *extra) — mask dead, sum srcs
+                vmask = valid.reshape(bt, lmax,
+                                      *([1] * (vals.ndim - 2)))
+                vals = jnp.where(vmask, vals, 0).sum(axis=1)
+                idx = (r0,) + (jnp.int64(0),) * (carry.ndim - 1)
+                return lax.dynamic_update_slice(
+                    carry, vals.astype(carry.dtype), idx), None
 
-        out, _ = lax.scan(body, out,
-                          jnp.arange(ntb_pad // bt, dtype=jnp.int64))
+            out, _ = lax.scan(body, out,
+                              jnp.arange(ntb_pad // bt, dtype=jnp.int64))
+            outs.append(out)
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
         # most target boxes have no List-3 entries: their particles
         # read zero instead of a compact row
@@ -1284,21 +1302,25 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             return
         nr = int(traversal.target_or_target_parent_boxes.shape[0])
         lmax, nne = (int(x) for x in _csr_lmax_nne(starts))
-        if (not 0 < lmax <= 1024
-                or nne * lmax > self._P2L_ROWMAJOR_MAX_WASTE * nedges):
+        if not 0 < lmax <= 1024:
             return
         rows = _csr_rows_j(starts, nedges).astype(jnp.int32)
-        (self._p2l_rowmap, self._p2l_rows,
-         self._p2l_row_of_box) = _nonempty_rowmap(
+        rowmap, ne_boxes, row_of_box = _nonempty_rowmap(
             rows, lists.astype(jnp.int32),
             traversal.target_or_target_parent_boxes.astype(jnp.int64),
             ntb=nr, nne=nne, lmax=lmax, nboxes=self.tree.nboxes)
+        buckets, _rob, lanes = _bucket_rowmap(
+            rowmap, ne_boxes, row_of_box, self._P2L_ROW_CHUNK)
+        # gate on the BUCKETED padded lanes (the split absorbs most
+        # row-length skew); the eval scatters by box id, so the
+        # permuted row_of_box is unused here
+        if lanes > self._P2L_ROWMAJOR_MAX_WASTE * nedges:
+            return
+        self._p2l_rowmap = buckets
 
     def _form_locals_rowmajor(self, src_weights):
         tree = self.tree
         sb = self.src_blocks
-        rmap = self._p2l_rowmap
-        nr, lmax = rmap.shape
         bt = self._P2L_ROW_CHUNK
         d = self.dim
         pm = sb.pmax
@@ -1318,63 +1340,66 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         if self._scale_of_level is not None:
             scl = self._scale_of_level[tree.box_levels]
 
-        nr_pad = -(-nr // bt) * bt
-        rmap_p = jnp.concatenate(
-            [rmap, jnp.full((nr_pad - nr, lmax), -1, rmap.dtype)])
-        totp_p = jnp.concatenate(
-            [self._p2l_rows, jnp.zeros(nr_pad - nr, jnp.int64)])
+        loc = jnp.zeros((tree.nboxes, self.ncoeff), self.dtype)
+        for rmap, ne_rows in self._p2l_rowmap:          # row buckets
+            nr, lmax = rmap.shape
+            nr_pad = -(-nr // bt) * bt
+            rmap_p = jnp.concatenate(
+                [rmap, jnp.full((nr_pad - nr, lmax), -1, rmap.dtype)])
+            totp_p = jnp.concatenate(
+                [ne_rows, jnp.zeros(nr_pad - nr, jnp.int64)])
 
-        out = jnp.zeros((nr_pad, self.ncoeff), self.dtype)
+            out = jnp.zeros((nr_pad, self.ncoeff), self.dtype)
 
-        def body(carry, i):
-            r0 = i * bt
-            tbox = lax.dynamic_slice(totp_p, (r0,), (bt,))
-            ctr = ctr_t[tbox]                           # (bt, d)
-            nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
-                                    (bt, lmax))
-            sp = pack[jnp.where(nbr >= 0, nbr,
-                                tree.nboxes).astype(jnp.int64)]
-            spts = sp[..., :d].reshape(bt, lmax * pm, d)
-            sval = sp[..., d].reshape(bt, lmax * pm) > 0
-            qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(self.dtype)
+            def body(carry, i, rmap_p=rmap_p, totp_p=totp_p, lmax=lmax):
+                r0 = i * bt
+                tbox = lax.dynamic_slice(totp_p, (r0,), (bt,))
+                ctr = ctr_t[tbox]                       # (bt, d)
+                nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
+                                        (bt, lmax))
+                sp = pack[jnp.where(nbr >= 0, nbr,
+                                    tree.nboxes).astype(jnp.int64)]
+                spts = sp[..., :d].reshape(bt, lmax * pm, d)
+                sval = sp[..., d].reshape(bt, lmax * pm) > 0
+                qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(
+                    self.dtype)
 
-            if self.dipole_vec is None:
-                def per_row(c, pts, sv, qq, ss):
-                    rel = (pts.T - c[:, None]) / ss     # (d, lmax*pm)
-                    terms = self._p2l_terms(rel, qq, ss)
-                    return jnp.sum(
-                        jnp.where(sv[:, None], terms, 0), axis=0)
-            else:
-                dd = sp[..., d + 2:].reshape(bt, lmax * pm, d)
+                if self.dipole_vec is None:
+                    def per_row(c, pts, sv, qq, ss):
+                        rel = (pts.T - c[:, None]) / ss  # (d, lmax*pm)
+                        terms = self._p2l_terms(rel, qq, ss)
+                        return jnp.sum(
+                            jnp.where(sv[:, None], terms, 0), axis=0)
+                else:
+                    dd = sp[..., d + 2:].reshape(bt, lmax * pm, d)
 
-                def per_row(c, pts, sv, qq, ss, dp):
-                    rel = (pts.T - c[:, None]) / ss
-                    _, terms = jax.jvp(
-                        lambda r: self._p2l_terms(r, qq, ss),
-                        (rel,), (dp.T.astype(rel.dtype) / ss,))
-                    return jnp.sum(
-                        jnp.where(sv[:, None], terms, 0), axis=0)
+                    def per_row(c, pts, sv, qq, ss, dp):
+                        rel = (pts.T - c[:, None]) / ss
+                        _, terms = jax.jvp(
+                            lambda r: self._p2l_terms(r, qq, ss),
+                            (rel,), (dp.T.astype(rel.dtype) / ss,))
+                        return jnp.sum(
+                            jnp.where(sv[:, None], terms, 0), axis=0)
 
-            if scl is None:
-                args = (ctr, spts, sval, qv,
-                        jnp.ones(bt, spts.dtype))
-            else:
-                args = (ctr, spts, sval, qv, scl[tbox])
-            if self.dipole_vec is not None:
-                args = args + (dd,)
-            vals = jax.vmap(per_row)(*args)             # (bt, K)
-            return lax.dynamic_update_slice(
-                carry, vals.astype(carry.dtype),
-                (r0, jnp.int64(0))), None
+                if scl is None:
+                    args = (ctr, spts, sval, qv,
+                            jnp.ones(bt, spts.dtype))
+                else:
+                    args = (ctr, spts, sval, qv, scl[tbox])
+                if self.dipole_vec is not None:
+                    args = args + (dd,)
+                vals = jax.vmap(per_row)(*args)         # (bt, K)
+                return lax.dynamic_update_slice(
+                    carry, vals.astype(carry.dtype),
+                    (r0, jnp.int64(0))), None
 
-        out, _ = lax.scan(body, out,
-                          jnp.arange(nr_pad // bt, dtype=jnp.int64))
+            out, _ = lax.scan(body, out,
+                              jnp.arange(nr_pad // bt, dtype=jnp.int64))
 
-        safe = jnp.concatenate(
-            [self._p2l_rows,
-             jnp.full(nr_pad - nr, tree.nboxes, jnp.int64)])
-        loc = jnp.zeros((tree.nboxes, self.ncoeff), self.dtype).at[
-            safe].set(out, mode="drop", unique_indices=True)
+            safe = jnp.concatenate(
+                [ne_rows, jnp.full(nr_pad - nr, tree.nboxes, jnp.int64)])
+            loc = loc.at[safe].set(
+                out, mode="drop", unique_indices=True)
         if self._coeff_mask is not None:
             loc = loc * self._coeff_mask[tree.box_levels]
         return loc

@@ -363,20 +363,20 @@ def list2_from_parent_rows(pn, own, child_rows, *, dimensions, min_id=0,
     m = (2 * n_away + 1) ** d
     nchild = 2 ** d
 
-    cand_jq = {}
-    for j in range(m):
-        pnj = pn[:, j]
-        pid = jnp.clip(pnj, 0) & ID_MASK
-        ch = child_rows[pid]                     # (B, nchild)
-        ok = (pnj >= 0) & (pid >= np.int32(min_id))
-        for q in range(nchild):
-            c = ch[:, q]
-            cand_jq[(j, q)] = jnp.where(ok & (c > 0), c, -1)
-
+    # ONE (B, m, 2^d) child gather + ONE static-index lane gather
+    # (stacking the (j, q) lanes individually explodes the op count —
+    # 7000 concats at n_away=2, measured 36 s/2e6 + 10-min compiles)
+    pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)  # (B, m)
+    ok = (pn >= 0) & (pid >= np.int64(min_id))
+    ch = child_rows[pid]                                 # (B, m, 2^d)
+    cand_all = jnp.where(
+        ok[..., None] & (ch > 0), ch, -1).reshape(pn.shape[0],
+                                                  m * nchild)
     pairs = _list2_valid_pairs(d, n_away)
-    cand = jnp.stack(
-        [jnp.stack([cand_jq[jq] for jq in pairs[r]], axis=1)
-         for r in range(nchild)], axis=1)               # (B, nchild, K)
+    pair_idx = np.asarray(
+        [[j * nchild + q for (j, q) in pairs[r]]
+         for r in range(nchild)])                        # (2^d, K)
+    cand = cand_all[:, pair_idx]                         # (B, 2^d, K)
     return jnp.where(own[..., None] > 0, cand, -1), own
 
 

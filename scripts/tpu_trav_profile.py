@@ -38,19 +38,22 @@ def _force(trav):
             jax.device_get(x.ravel()[-1])
 
 
+WSN = int(os.environ.get("TPU_PROF_WSN", 1))
+
+
 def run(n, seed):
     rng = np.random.default_rng(seed)
     pts = jax.device_put(rng.random((3, n), dtype=np.float32))
     t0 = time.perf_counter()
     tree = build_tree(pts, max_particles_in_box=30)
-    trav = build_traversal(tree)
+    trav = build_traversal(tree, well_sep_is_n_away=WSN)
     _force(trav)
     warm = time.perf_counter() - t0
-    print(f"== n={n}: warm {warm:.1f}s", flush=True)
+    print(f"== n={n}: warm {warm:.1f}s (wsn={WSN})", flush=True)
     print("== timed run:", flush=True)
     t0 = time.perf_counter()
     tree = build_tree(pts, max_particles_in_box=30)
-    trav = build_traversal(tree)
+    trav = build_traversal(tree, well_sep_is_n_away=WSN)
     _force(trav)
     dt = time.perf_counter() - t0
     print(f"== n={n}: timed {dt:.3f}s, {n / 1e6 / dt:.3f} Mpts/s, "
