@@ -178,7 +178,7 @@ class ShardedFMMRunner(DistributedFMMRunner):
 
     def __init__(self, mesh, particles, *, max_particles_in_box,
                  wrangler_factory=None, communicate_mpoles="hypercube",
-                 capacity_factor=4.0):
+                 capacity_factor=4.0, local_particles=False):
         from boxtree_tpu.parallel.shard_build import (
             _shard_map, sharded_build_tree, sharded_traversal_lists)
         from boxtree_tpu.traversal.build import _INVALID_KEY
@@ -195,7 +195,7 @@ class ShardedFMMRunner(DistributedFMMRunner):
         (self.axis_name,) = mesh.axis_names
         axis = self.axis_name
         nranks = mesh.devices.size
-        self.local_particles = False
+        self.local_particles = bool(local_particles)
 
         tree, skel = sharded_build_tree(
             particles, mesh, max_particles_in_box=max_particles_in_box,
@@ -454,7 +454,12 @@ class ShardedFMMRunner(DistributedFMMRunner):
             self._mpole_ops = ()
             self._mpole_tables = ()
 
-        self._step = self._build_step_sharded()
+        if self.local_particles:
+            self._setup_local_blocks(
+                mesh, nranks, nboxes, owned_masks, bid_pad, nb)
+            self._step = self._build_step_sharded_local()
+        else:
+            self._step = self._build_step_sharded()
         logger.info(
             "ShardedFMMRunner: %d ranks, %d boxes, padded edges/rank "
             "l1=%d l2=%d l3=%d l4=%d, m2l ops=%d, mpole stages=%d",
@@ -462,6 +467,255 @@ class ShardedFMMRunner(DistributedFMMRunner):
             self.e3.shape[1], self.e4.shape[1],
             0 if m2l_plan is None else m2l_plan.nops,
             len(self._mpole_perms))
+
+    def _setup_local_blocks(self, mesh, nranks, nboxes, owned_masks,
+                            bid_pad, nb):
+        """Per-rank LOCAL particle blocks, extracted ON DEVICE (the
+        sharded analogue of the base runner's ``local_particles`` mode;
+        reference: ``boxtree/distributed/local_tree.py:198-495``).
+
+        Each rank keeps only the source blocks its P2M/P2P/P2L work
+        touches (owned source boxes + the sources of its ``e1``/``e4``
+        edge slices, read off the device edge arrays — no O(E) host
+        work) and the target blocks of its owned target boxes.  Edge
+        endpoints are remapped to local block rows by one scatter +
+        gather per list.  The block gathers read the wrangler's
+        (replicated) global block arrays, so setup still holds an
+        O(n) transient per device; the *persistent* step state — the
+        arrays the FMM step closes over — scales ~1/nranks.  (Building
+        the blocks from mesh-sharded coordinates with a boundary
+        ``ppermute`` halo exchange, killing the setup transient too,
+        is the remaining step; the analogue of the reference's
+        ``distribute_source_weights``.)
+        """
+        from boxtree_tpu.parallel.shard_build import _shard_map
+        from boxtree_tpu.tree.containers import box_flags_enum as _F
+
+        tree = self.tree
+        axis = self.axis_name
+        wrangler = self.wrangler
+        if not hasattr(wrangler, "src_blocks"):
+            raise TypeError(
+                "local_particles requires an ExpansionWranglerBase "
+                "wrangler (particle-block protocol)")
+        sb, tb = wrangler.src_blocks, wrangler.tgt_blocks
+        sp = P(axis, None)
+        sp3 = P(axis, None, None)
+
+        flags = np.asarray(tree.box_flags)
+        owned_src = owned_masks & ((flags & _F.IS_SOURCE_BOX) != 0)[None]
+        owned_tgt = owned_masks & ((flags & _F.IS_TARGET_BOX) != 0)[None]
+
+        def shard(arr):
+            return jax.device_put(
+                jnp.asarray(arr),
+                NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1)))))
+
+        # target side: owned target boxes (host tables are O(nboxes))
+        cap_tgt = max(1, int(owned_tgt.sum(axis=1).max()))
+        t_box = np.full((nranks, cap_tgt), -1, np.int64)
+        for r in range(nranks):
+            ids = np.flatnonzero(owned_tgt[r])
+            t_box[r, :len(ids)] = ids
+        t_box_d = shard(t_box)
+
+        # program C1: per-rank needed-source masks + counts (device —
+        # the source sets come off the per-rank edge slices)
+        osrc_d = shard(owned_src)
+
+        def count_c(e1, e4, osrc):
+            e1, e4, osrc = e1[0], e4[0], osrc[0]
+            need = jnp.zeros(nboxes + 1, bool)
+            need = need.at[
+                jnp.where(e1[:, 0] >= 0, e1[:, 1], nboxes)].set(True)
+            need = need.at[
+                jnp.where(e4[:, 0] >= 0, e4[:, 1], nboxes)].set(True)
+            need = need[:nboxes] | osrc
+            return need[None], need.sum(dtype=jnp.int64)[None]
+
+        need_d, s_counts = jax.jit(_shard_map(
+            count_c, mesh, (sp3, sp3, sp), (sp, P(axis))))(
+            self.e1, self.e4, osrc_d)
+        cap_src = max(1, int(np.max(np.asarray(s_counts))))
+
+        # program C2: compact per-rank source-box lists, local-row edge
+        # remaps, and the block gathers (one static-shape program)
+        sb_pts, sb_pm, sb_idx = sb.points, sb.mask, sb.index
+        tb_pts, tb_pm, tb_idx = tb.points, tb.mask, tb.index
+        has_dip = wrangler.dipole_vec is not None
+        dip_blocks = (wrangler._dip_blocks if has_dip
+                      else jnp.zeros((1, 1, tree.dimensions),
+                                     sb_pts.dtype))
+
+        def prep_c(need, tbox, osrc, e1, e3, e4):
+            need, tbox, osrc = need[0], tbox[0], osrc[0]
+            e1, e3, e4 = e1[0], e3[0], e4[0]
+            iota = jnp.arange(nboxes, dtype=jnp.int64)
+            sbox = lax.sort(jnp.where(need, iota, nboxes))[:cap_src]
+            sbox = jnp.where(sbox < nboxes, sbox, -1)
+            sb_safe = jnp.clip(sbox, 0)
+            row_of_s = jnp.full(nboxes + 1, -1, jnp.int64).at[
+                jnp.where(sbox >= 0, sbox, nboxes)].set(
+                jnp.arange(cap_src, dtype=jnp.int64))[:nboxes]
+            tb_safe = jnp.clip(tbox, 0)
+            row_of_t = jnp.full(nboxes + 1, -1, jnp.int64).at[
+                jnp.where(tbox >= 0, tbox, nboxes)].set(
+                jnp.arange(tbox.shape[0], dtype=jnp.int64))[:nboxes]
+
+            v1 = e1[:, 0] >= 0
+            e1l = jnp.stack(
+                [jnp.where(v1, row_of_t[jnp.clip(e1[:, 0], 0)], -1),
+                 jnp.where(v1, row_of_s[jnp.clip(e1[:, 1], 0)], 0)], -1)
+            v3 = e3[:, 0] >= 0
+            e3l = jnp.stack(
+                [jnp.where(v3, row_of_t[jnp.clip(e3[:, 0], 0)], -1),
+                 e3[:, 1]], -1)
+            v4 = e4[:, 0] >= 0
+            e4l = jnp.stack(
+                [e4[:, 0],
+                 jnp.where(v4, row_of_s[jnp.clip(e4[:, 1], 0)], 0)], -1)
+
+            s_pts = sb_pts[sb_safe]
+            s_pm = sb_pm[sb_safe] & (sbox >= 0)[:, None]
+            s_idx = jnp.where(s_pm, sb_idx[sb_safe], -1)
+            s_p2m = jnp.where((sbox >= 0) & osrc[sb_safe],
+                              sbox, -1).astype(jnp.int32)
+            s_dip = (dip_blocks[sb_safe] if has_dip
+                     else dip_blocks[jnp.zeros(1, jnp.int64)])
+            t_pts = tb_pts[tb_safe]
+            t_pm = tb_pm[tb_safe] & (tbox >= 0)[:, None]
+            t_idx = jnp.where(t_pm, tb_idx[tb_safe], -1)
+            return tuple(x[None] for x in (
+                e1l, e3l, e4l, s_pts, s_pm, s_idx, s_p2m, s_dip,
+                t_pts, t_pm, t_idx))
+
+        sp4 = P(axis, None, None, None)
+        outs = jax.jit(_shard_map(
+            prep_c, mesh, (sp, sp, sp, sp3, sp3, sp3),
+            (sp3, sp3, sp3, sp4, sp3, sp3, sp, sp4, sp4, sp3, sp3)))(
+            need_d, t_box_d, osrc_d, self.e1, self.e3, self.e4)
+        (self.e1_local, self.e3_local, self.e4_local,
+         s_pts, s_pm, s_idx, s_p2m, s_dip, t_pts, t_pm, t_idx) = outs
+        self._local = {
+            "src_points": s_pts, "src_pmask": s_pm, "src_index": s_idx,
+            "src_p2m_boxes": s_p2m, "src_dip": s_dip,
+            "tgt_boxes": t_box_d, "tgt_points": t_pts, "tgt_pmask": t_pm,
+            "tgt_index": t_idx,
+        }
+        #: per-rank bytes of the local particle blocks (memory-scaling
+        #: assertion in tests)
+        self.local_bytes_per_rank = sum(
+            int(np.prod(v.shape[1:])) * v.dtype.itemsize
+            for v in self._local.values())
+
+        # program D: per-rank weight blocks from the replicated sorted
+        # weights (device analogue of the base runner's host
+        # ``distribute_source_weights`` slice)
+        dtype = wrangler.dtype
+
+        def gather_q(s_idx, s_pm, w):
+            s_idx, s_pm = s_idx[0], s_pm[0]
+            q = jnp.where(s_pm & (s_idx >= 0),
+                          w[jnp.clip(s_idx, 0).astype(jnp.int64)],
+                          0).astype(dtype)
+            return q[None]
+
+        self._gather_q = jax.jit(_shard_map(
+            gather_q, mesh, (sp3, sp3, P()), sp3))
+
+    def _build_step_sharded_local(self):
+        """SPMD step over per-rank LOCAL particle blocks with the
+        sharded downward chain (one refined-local ``all_gather`` per
+        level); the blocks semantics of
+        :meth:`DistributedFMMRunner._build_step_local`."""
+        tree = self.tree
+        axis = self.axis_name
+        wrangler = self.wrangler
+        ntargets = tree.ntargets
+        exchange_mpoles = self._make_mpole_exchange()
+        l2l_slices = self._l2l_level_slices
+        nboxes = tree.nboxes
+        has_dip = wrangler.dipole_vec is not None
+
+        def step(e1, e2, e2_gs, e3, e4, l2l_rows, l2l_dsz,
+                 last_owned, fix_box, fix_src,
+                 src_pts, src_pm, src_p2m_boxes, src_dip,
+                 tgt_boxes, tgt_pts, tgt_pm, tgt_idx,
+                 mpole_tables, q_blocks):
+            e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
+            e2_gs = e2_gs[0]
+            l2l_rows, l2l_dsz = l2l_rows[0], l2l_dsz[0]
+            last_owned = last_owned[0]
+            fix_box, fix_src = fix_box[0], fix_src[0]
+            src_pts, src_pm = src_pts[0], src_pm[0]
+            src_p2m_boxes = src_p2m_boxes[0]
+            tgt_boxes, tgt_pts = tgt_boxes[0], tgt_pts[0]
+            tgt_pm, tgt_idx = tgt_pm[0], tgt_idx[0]
+            q_blocks = q_blocks[0]
+            dip = src_dip[0] if has_dip else None
+
+            mp = wrangler.form_multipoles_blocks(
+                src_p2m_boxes, src_pts, src_pm, q_blocks,
+                dip_blocks=dip)
+            mp = wrangler.coarsen_multipoles(None, None, mp)
+            mp = exchange_mpoles(mp, mpole_tables)
+
+            pot_b = wrangler.eval_direct_blocks(
+                e1[:, 0], e1[:, 1], None, tgt_pts, src_pts, src_pm,
+                q_blocks, dip_blocks=dip)
+            pot_b = pot_b + wrangler.eval_multipoles_blocks(
+                e3[:, 0], e3[:, 1], None, tgt_pts, mp)
+
+            loc = wrangler.multipole_to_local_edges(
+                e2[:, 0], e2[:, 1], e2_gs, mp)
+            loc = loc + wrangler.form_locals_blocks(
+                e4[:, 0], e4[:, 1], None, src_pts, src_pm, q_blocks,
+                dip_blocks=dip)
+
+            # downward chain: identical to the replicated-mode step
+            for (lev, s0, s1) in l2l_slices:
+                loc = wrangler.refine_locals_rows_grouped(
+                    l2l_rows, l2l_dsz, ((lev, s0, s1),), loc)
+                lo = last_owned[lev]
+                pub = loc[jnp.clip(lo, 0)] \
+                    * (lo >= 0).astype(loc.dtype)
+                gath = lax.all_gather(pub, axis)
+                fb = fix_box[lev]
+                safe = jnp.where(fb >= 0, fb, nboxes)
+                loc = loc.at[safe].set(
+                    gath[jnp.clip(fix_src[lev], 0)], mode="drop")
+
+            pot_b = pot_b[:tgt_pts.shape[0]] \
+                + wrangler.eval_locals_blocks(tgt_boxes, tgt_pts,
+                                              tgt_pm, loc)
+
+            valid = tgt_pm & (tgt_boxes >= 0)[:, None] & (tgt_idx >= 0)
+            safe = jnp.where(valid, tgt_idx.astype(jnp.int64), ntargets)
+            extra = wrangler._pot_extra_dims
+            vmask = valid if not extra else \
+                valid[(...,) + (None,) * len(extra)]
+            pot = jnp.zeros((ntargets, *extra), wrangler.dtype) \
+                .at[safe].add(jnp.where(vmask, pot_b, 0), mode="drop")
+            return lax.psum(pot, axis)
+
+        try:
+            from jax import shard_map
+        except ImportError:               # older jax
+            from jax.experimental.shard_map import shard_map
+        table_specs = tuple(
+            (P(axis, None), P(axis, None)) for _ in self._mpole_tables)
+
+        def spec(ndim):
+            return P(axis, *([None] * (ndim - 1)))
+
+        return jax.jit(shard_map(
+            step, mesh=self.mesh,
+            in_specs=(spec(3), spec(3), spec(2), spec(3), spec(3),
+                      spec(2), spec(3), spec(2), spec(2), spec(2),
+                      spec(4), spec(3), spec(2), spec(4),
+                      spec(2), spec(4), spec(3), spec(3),
+                      table_specs, spec(3)),
+            out_specs=P(), check_vma=False))
 
     def _build_step_sharded(self):
         tree = self.tree
@@ -542,10 +796,23 @@ class ShardedFMMRunner(DistributedFMMRunner):
 
     def drive_dfmm(self, source_weights):
         w = self.wrangler.reorder_sources(jnp.asarray(source_weights))
-        pot = self._step(
-            self.resp_masks, self.e1, self.e2, self.e2_group_sizes,
-            self.e3, self.e4, self.l2l_rows, self.l2l_digit_sizes,
-            self._last_owned, self._fix_box, self._fix_src,
-            self._mpole_tables, w)
+        if self.local_particles:
+            lc = self._local
+            q = self._gather_q(lc["src_index"], lc["src_pmask"], w)
+            pot = self._step(
+                self.e1_local, self.e2, self.e2_group_sizes,
+                self.e3_local, self.e4_local, self.l2l_rows,
+                self.l2l_digit_sizes, self._last_owned, self._fix_box,
+                self._fix_src,
+                lc["src_points"], lc["src_pmask"], lc["src_p2m_boxes"],
+                lc["src_dip"],
+                lc["tgt_boxes"], lc["tgt_points"], lc["tgt_pmask"],
+                lc["tgt_index"], self._mpole_tables, q)
+        else:
+            pot = self._step(
+                self.resp_masks, self.e1, self.e2, self.e2_group_sizes,
+                self.e3, self.e4, self.l2l_rows, self.l2l_digit_sizes,
+                self._last_owned, self._fix_box, self._fix_src,
+                self._mpole_tables, w)
         pot = self.wrangler.reorder_potentials(pot)
         return self.wrangler.finalize_potentials(pot)

@@ -67,6 +67,59 @@ def test_sharded_laplace(mesh, pts, single_device_laplace, comm):
     assert err < 1e-12, err
 
 
+def test_sharded_laplace_local_particles(mesh, pts,
+                                         single_device_laplace):
+    """local_particles mode: per-rank particle blocks extracted on
+    device (no O(E)/O(n) host work), FMM result identical to the
+    single-device run, and per-rank block memory well below the global
+    particle footprint (the memory-scaling contract of the reference's
+    ``generate_local_tree``, ``local_tree.py:198-495``)."""
+    from boxtree_tpu.models.laplace import make_laplace_wrangler
+
+    q, ref = single_device_laplace
+    runner = ShardedFMMRunner(
+        mesh, pts, max_particles_in_box=30, local_particles=True,
+        wrangler_factory=lambda t: make_laplace_wrangler(t, order=5))
+    dist = np.asarray(runner.drive_dfmm(q))
+    err = np.abs(dist - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, err
+
+    # step-state memory: per-rank blocks must be far below the global
+    # block footprint (halo overhead allows a generous factor)
+    sb, tb = runner.wrangler.src_blocks, runner.wrangler.tgt_blocks
+    global_bytes = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in (sb.points, sb.mask, sb.index,
+                  tb.points, tb.mask, tb.index))
+    nranks = mesh.devices.size
+    assert runner.local_bytes_per_rank < 3 * global_bytes / nranks, \
+        (runner.local_bytes_per_rank, global_bytes / nranks)
+
+
+def test_sharded_dipoles_local_particles(mesh, pts):
+    """Dipole sources exercise the dip-block gather path."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.fmm import drive_fmm
+    from boxtree_tpu.models.laplace import make_laplace_wrangler
+    from boxtree_tpu.traversal import build_traversal
+
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal(N)
+    dip = rng.standard_normal((3, N))
+    tree = build_tree(pts, max_particles_in_box=30)
+    trav = build_traversal(tree)
+    ref = np.asarray(drive_fmm(
+        make_laplace_wrangler(trav, order=6, dipole_vec=dip), (q,)))
+
+    runner = ShardedFMMRunner(
+        mesh, pts, max_particles_in_box=30, local_particles=True,
+        wrangler_factory=lambda t: make_laplace_wrangler(
+            t, order=6, dipole_vec=dip))
+    dist = np.asarray(runner.drive_dfmm(q))
+    err = np.abs(dist - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, err
+
+
 def test_sharded_runner_no_global_traversal(mesh, pts):
     """Setup must not hold a global traversal; per-rank list work is
     owner-split (every edge appears on exactly one rank)."""
