@@ -777,11 +777,13 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                             prefixes=prefixes, dimensions=d,
                             min_id=lsb[lev - 1] if lev >= 1 else 0,
                             n_away=n_away)
-            if fast == 1:
+            if fast == 1 and not ext:
                 gen_4 = partial(nbr.fgen_list4, ntable=ntable,
                                 parents=parents, prefixes=prefixes,
                                 lb=lev, dimensions=d, lsb=lsb)
                 return gen_s, gen_2, gen_4
+            # ext: List-4 membership needs the sep-bigger criterion per
+            # ancestor level — generic generator (it branches on ext)
             gen_4 = _generic_gen4(lev)
             return gen_s, gen_2, gen_4
         pfx_l = prefixes[lsb[lev]:lsb[lev + 1]]
@@ -847,7 +849,7 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
         rows = totp_boxes[r0:r1]
         if not fast:
             l2_plan.append((gen_2, rows, r0))
-        if fast == 1:
+        if fast == 1 and not ext:
             # List-4 sources live at levels 1..lev-1 (coarser leaves)
             if any(src_levels is None or src_levels[wl]
                    for wl in range(1, lev)):
@@ -1467,10 +1469,14 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     # radius-n clamped table, Lists 3/4 through the generic
     # Morton-search generators (their n >= 2 membership rules mix
     # touching and colleague criteria across levels).  With-extent
-    # traversals always use the generic path.  Entries pack the
-    # IS_SOURCE / is-target-row bits (see neighbors.py).
+    # traversals (r4): slnws / List 2 / List 1 are pure integer-cell
+    # criteria — extent-INDEPENDENT — so they ride the same table;
+    # only Lists 3/4 and the close lists, whose membership tests the
+    # stick-out-stretched separation criteria per ancestor level, stay
+    # on the generic generators (the gens check ``ext`` themselves).
+    # Entries pack the IS_SOURCE / is-target-row bits (neighbors.py).
     fast = 0
-    if not ext and nboxes < (1 << 29):
+    if nboxes < (1 << 29):
         fast = 1 if n_away == 1 else 2
     parents_dev = tree.box_parent_ids
     child_rows_dev = jnp.asarray(tree.box_child_ids).T.astype(jnp.int32)
