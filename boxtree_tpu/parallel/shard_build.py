@@ -55,7 +55,7 @@ def sharded_morton_codes(coords, mesh, *, depth=None):
     conventions — the front end of the sharded build pipeline.
 
     The global bounding box is two ``psum``-style reductions (local
-    min/max + ``pmin``/``pmax`` over the mesh); float min/max is exact,
+    min/max + ``all_gather`` and a local reduce); float min/max is exact,
     so the box — and therefore every code — is bitwise equal to the
     single-device ``_phase_a`` (``tree/build.py``: device min/max,
     squarify, ``ROOT_EXTENT_STRETCH_FACTOR`` stretch, mirroring
@@ -76,8 +76,14 @@ def sharded_morton_codes(coords, mesh, *, depth=None):
 
     def step(block):
         block = block[0]                               # (dims, per)
-        lo = lax.pmin(jnp.min(block, axis=1), axis)
-        hi = lax.pmax(jnp.max(block, axis=1), axis)
+        # min/max all-reduce as all_gather + local reduce: the real TPU
+        # backend lowers only Sum all-reduces ("Supported lowering only
+        # of Sum all reduce", measured r4 via scripts/mesh_scaling_table
+        # .py), so pmin/pmax must not appear on the wire.  float min/max
+        # stays exact either way, keeping the bbox bitwise equal to the
+        # single-device build.
+        lo = jnp.min(lax.all_gather(jnp.min(block, axis=1), axis), axis=0)
+        hi = jnp.max(lax.all_gather(jnp.max(block, axis=1), axis), axis=0)
         root_extent = (jnp.max(hi - lo)
                        * (1 + config.ROOT_EXTENT_STRETCH_FACTOR))
         codes = morton.encode_points(block, lo, root_extent, depth)
