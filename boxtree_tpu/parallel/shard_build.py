@@ -1435,7 +1435,55 @@ def _sharded_local_csr(keys, counts, skel, mesh):
     return merged, starts, totals
 
 
-def sharded_traversal_lists(tree, skel, mesh, *, capacity_factor=4.0):
+def sharded_emit_blocks(tree, skel, mesh):
+    """Per-rank emission of every interaction-list key block (slnws +
+    Lists 1-4) — the first half of :func:`sharded_traversal_lists`,
+    exposed separately so a caller can inspect the (ownership-
+    independent) emitted edges before routing, e.g. to compute a
+    cost-balanced ownership (:func:`cost_partition_bounds`, the
+    analogue of the reference's ``partition_work``,
+    ``boxtree/distributed/partition.py:60-121``)."""
+    ntable_rows = sharded_neighbor_table(tree, skel, mesh)
+    blocks = dict(sharded_l3l4_edges(tree, skel, ntable_rows, mesh))
+    blocks["l1"] = sharded_l1_edges(tree, skel, ntable_rows, mesh)
+    blocks["l2"] = sharded_l2_edges(tree, skel, ntable_rows, mesh)
+    return blocks
+
+
+def sharded_route_blocks(blocks, tree, skel_own, mesh, *,
+                         capacity_factor=4.0, emission_is_ownership=True):
+    """Route emitted key blocks to their target-row owners and build
+    each rank's CSR — the second half of :func:`sharded_traversal_lists`.
+
+    :arg skel_own: the OWNERSHIP skeleton (``box_id`` / ``box_level`` /
+        ``nboxes`` per rank) the CSRs are built over — the build's own
+        :func:`sharded_box_skeleton` output, or a re-balanced assignment
+        from :func:`ownership_skel`.
+    :arg emission_is_ownership: True when *skel_own* is the same
+        assignment the blocks were emitted under; only then can the
+        slnws block skip the owner exchange (its keys are emitted on
+        their target's rank by construction).
+    """
+    out = {}
+    for name, (keys, counts) in blocks.items():
+        if name == "slnws" and emission_is_ownership:
+            # slnws targets are by construction locally owned: skip the
+            # owner exchange (one collective + nranks*cap buffer saved)
+            out[name] = _sharded_local_csr(keys, counts, skel_own, mesh)
+            continue
+        merged, starts, totals, ok = sharded_edges_to_owner_csr(
+            keys, counts, tree, skel_own, mesh,
+            capacity_factor=capacity_factor)
+        if not ok:
+            raise RuntimeError(
+                f"sharded_route_blocks: {name} exchange overflowed "
+                f"capacity_factor={capacity_factor}; retry larger")
+        out[name] = (merged, starts, totals)
+    return out
+
+
+def sharded_traversal_lists(tree, skel, mesh, *, capacity_factor=4.0,
+                            skel_own=None):
     """Per-rank interaction lists, end to end: neighbor table ->
     emission of slnws + Lists 1-4 -> owner exchange -> per-rank CSR.
 
@@ -1451,26 +1499,151 @@ def sharded_traversal_lists(tree, skel, mesh, *, capacity_factor=4.0):
     level of a List-3 *source* box is recoverable from the replicated
     ``tree.box_levels``.
 
+    :arg skel_own: optional re-balanced ownership skeleton
+        (:func:`ownership_skel`); defaults to *skel* itself.
     :raises RuntimeError: if an exchange bucket overflows
         *capacity_factor* (retry larger).
     """
-    ntable_rows = sharded_neighbor_table(tree, skel, mesh)
-    blocks = dict(sharded_l3l4_edges(tree, skel, ntable_rows, mesh))
-    blocks["l1"] = sharded_l1_edges(tree, skel, ntable_rows, mesh)
-    blocks["l2"] = sharded_l2_edges(tree, skel, ntable_rows, mesh)
-    out = {}
-    for name, (keys, counts) in blocks.items():
-        if name == "slnws":
-            # slnws targets are by construction locally owned: skip the
-            # owner exchange (one collective + nranks*cap buffer saved)
-            out[name] = _sharded_local_csr(keys, counts, skel, mesh)
-            continue
-        merged, starts, totals, ok = sharded_edges_to_owner_csr(
-            keys, counts, tree, skel, mesh,
-            capacity_factor=capacity_factor)
-        if not ok:
-            raise RuntimeError(
-                f"sharded_traversal_lists: {name} exchange overflowed "
-                f"capacity_factor={capacity_factor}; retry larger")
-        out[name] = (merged, starts, totals)
-    return out
+    blocks = sharded_emit_blocks(tree, skel, mesh)
+    return sharded_route_blocks(
+        blocks, tree, skel_own if skel_own is not None else skel, mesh,
+        capacity_factor=capacity_factor,
+        emission_is_ownership=skel_own is None)
+
+
+def cost_partition_bounds(tree, blocks, mesh, *, order=8, nranks=None):
+    """Cost-balanced contiguous particle boundaries from the emitted
+    edge blocks — the sharded analogue of the reference's cost-weighted
+    DFS partition (``boxtree/distributed/partition.py:60-121``: the
+    root ranks boxes in DFS order and cuts contiguous segments of equal
+    ``cost_per_box`` prefix).
+
+    One small device program accumulates, per box, the same per-stage
+    work terms as :meth:`boxtree_tpu.cost.model.AbstractFMMCostModel.
+    cost_per_box` (P2P pairs, M2L/M2P/P2L translations weighted by the
+    pde-aware ``(p+1)^(d-1)`` coefficient counts, P2M/L2P evaluation)
+    off the per-rank key blocks, ``psum``-combined.  The host then
+    (O(nboxes)) prefixes the leaf costs in particle order and cuts
+    ``nranks`` equal-cost particle intervals at leaf-box boundaries —
+    ownership stays "box belongs to the rank owning its first
+    particle", so every downward-halo invariant of the sharded runner
+    (chain box = its owner's last box of the level) is preserved.
+
+    :returns: host int64 ``p_bounds`` of shape (nranks + 1,), with
+        ``p_bounds[0] == 0`` and ``p_bounds[-1] == n``.
+    """
+    (axis,) = mesh.axis_names
+    if nranks is None:
+        nranks = mesh.devices.size
+    nboxes = tree.nboxes
+    d = tree.dimensions
+    lev = jnp.asarray(tree.box_levels).astype(jnp.int64)
+    ns = jnp.asarray(tree.box_source_counts_cumul).astype(jnp.float32)
+    nt = jnp.asarray(tree.box_target_counts_cumul).astype(jnp.float32)
+    # pde-aware coefficient count per level (constant order here; the
+    # reference's per-level orders enter through level_to_order, which
+    # the caller can fold into *order* — load balance only needs
+    # relative weights)
+    ncoeff = float((order + 1) ** (d - 1))
+
+    def _shard(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    def step(k1, c1, k2, c2, k3, c3, k4, c4):
+        cost = jnp.zeros(nboxes + 1, jnp.float32)
+
+        def add(keys, cnt, weight_of):
+            nonlocal cost
+            keys, cnt = keys[0], cnt[0]
+            lane_ok = jnp.arange(keys.shape[0]) < cnt
+            tgt = jnp.where(lane_ok, keys >> np.int64(32), nboxes)
+            src = jnp.where(lane_ok, keys & np.int64((1 << 32) - 1), 0)
+            cost = cost.at[tgt].add(weight_of(tgt, src))
+
+        # eval_direct: ntargets(tgt) * nsources(src) pairs per edge
+        add(k1, c1, lambda t, s: nt[jnp.clip(t, 0, nboxes - 1)] * ns[s])
+        # multipole_to_local: ncoeff^2 per edge
+        add(k2, c2, lambda t, s: jnp.full(t.shape, ncoeff * ncoeff,
+                                          jnp.float32))
+        # eval_multipoles: ntargets(tgt) * ncoeff per edge
+        add(k3, c3, lambda t, s: nt[jnp.clip(t, 0, nboxes - 1)] * ncoeff)
+        # form_locals: nsources(src) * ncoeff per edge
+        add(k4, c4, lambda t, s: ns[s] * ncoeff)
+        cost = lax.psum(cost[:nboxes], axis)
+        # per-box P2M + L2P, added after the psum so it counts once
+        # (every rank computes the identical replicated value)
+        cost = cost + (ns + nt) * ncoeff
+        return cost
+
+    args = []
+    for name in ("l1", "l2", "l3", "l4"):
+        k, c = blocks[name]
+        args += [_shard(k), jax.device_put(
+            c, NamedSharding(mesh, P(axis)))]
+    sp = P(axis, None)
+    cost = np.asarray(jax.jit(_shard_map(
+        step, mesh, (sp, P(axis)) * 4, P(None)))(*args))
+
+    # host: per-leaf aggregated costs in particle order -> equal-cost
+    # particle cuts.  EVERY box's cost (internal boxes carry the bulk
+    # of the M2L work) is charged to the leaf containing its first
+    # particle — ownership is by first particle, so that is exactly the
+    # rank that will do the box's work.
+    flags = np.asarray(tree.box_flags)
+    from boxtree_tpu.tree.containers import box_flags_enum as _F
+    leaf = np.flatnonzero(flags & _F.IS_LEAF_BOX)
+    all_starts = np.asarray(tree.box_source_starts).astype(np.int64)
+    starts = all_starts[leaf]
+    o = np.argsort(starts, kind="stable")
+    leaf, starts = leaf[o], starts[o]
+    lcost = np.zeros(len(leaf))
+    np.add.at(lcost,
+              np.searchsorted(starts, all_starts, side="right") - 1,
+              cost)
+    prefix = np.concatenate([[0.0], np.cumsum(lcost)])
+    total = prefix[-1]
+    n = int(tree.nsources)
+    bounds = np.empty(nranks + 1, np.int64)
+    bounds[0], bounds[-1] = 0, n
+    for r in range(1, nranks):
+        i = int(np.searchsorted(prefix, total * r / nranks))
+        i = min(max(i, 1), len(leaf) - 1)
+        bounds[r] = starts[i]
+    # boundaries must be nondecreasing (degenerate distributions can
+    # collapse cuts onto the same leaf)
+    np.maximum.accumulate(bounds, out=bounds)
+    return bounds
+
+
+def ownership_skel(tree, p_bounds, mesh):
+    """Ownership skeleton for arbitrary contiguous particle boundaries:
+    rank ``r`` owns the boxes whose first particle lies in
+    ``[p_bounds[r], p_bounds[r+1])`` (host O(nboxes); the sharded
+    analogue of scattering the reference's ``responsible_boxes_list``).
+
+    Returns a dict with the fields the routing/runner layers read:
+    ``box_id`` / ``box_level`` (nranks, cap) sharded, ``nboxes``
+    (nranks,) — same layout as :func:`sharded_box_skeleton` (ids
+    ascending per rank, -1 pad)."""
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    p_bounds = np.asarray(p_bounds, np.int64)
+    starts = np.asarray(tree.box_source_starts).astype(np.int64)
+    levels = np.asarray(tree.box_levels)
+    owner = np.searchsorted(p_bounds, starts, side="right") - 1
+    owner = np.clip(owner, 0, nranks - 1)
+    counts = np.bincount(owner, minlength=nranks)
+    cap = max(1, int(counts.max()))
+    box_id = np.full((nranks, cap), -1, np.int64)
+    box_level = np.zeros((nranks, cap), np.int32)
+    for r in range(nranks):
+        ids = np.flatnonzero(owner == r)          # ascending
+        box_id[r, :len(ids)] = ids
+        box_level[r, :len(ids)] = levels[ids]
+    spec = NamedSharding(mesh, P(axis, None))
+    return {
+        "box_id": jax.device_put(jnp.asarray(box_id), spec),
+        "box_level": jax.device_put(jnp.asarray(box_level), spec),
+        "nboxes": jnp.asarray(counts.astype(np.int64)),
+    }

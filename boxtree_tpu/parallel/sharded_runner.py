@@ -106,7 +106,7 @@ class ShardedTraversalShim:
 
 
 def _ancestor_chain_tables(tree, owned_rank_of_box, last_owned_tbl,
-                           nranks):
+                           nranks, p_bounds=None):
     """Per-(rank, level) downward-halo tables.
 
     A rank's non-owned ancestors are exactly the boxes whose particle
@@ -118,6 +118,12 @@ def _ancestor_chain_tables(tree, owned_rank_of_box, last_owned_tbl,
     publishes it.  Publishing uses *last_owned_tbl* (each rank's last
     owned box per level), validated here: a chain box spans its owner's
     shard end, so it must BE the owner's last box of its level.
+
+    :arg p_bounds: optional (nranks + 1,) contiguous particle
+        boundaries (cost-balanced ownership); defaults to the equal
+        ``n // nranks`` split.  The invariants hold for ANY contiguous
+        split: ownership is always "rank owning the box's first
+        particle".
     """
     levels = np.asarray(tree.box_levels)
     starts = np.asarray(tree.box_source_starts).astype(np.int64)
@@ -129,7 +135,8 @@ def _ancestor_chain_tables(tree, owned_rank_of_box, last_owned_tbl,
     fix_box = np.full((nranks, nlevels), -1, np.int64)
     fix_src = np.zeros((nranks, nlevels), np.int64)
     for r in range(nranks):
-        r_start = r * per
+        r_start = (r * per if p_bounds is None
+                   else int(p_bounds[r]))
         b = 0
         while has_child[b]:
             ch = children[:, b]
@@ -178,14 +185,19 @@ class ShardedFMMRunner(DistributedFMMRunner):
 
     def __init__(self, mesh, particles, *, max_particles_in_box,
                  wrangler_factory=None, communicate_mpoles="hypercube",
-                 capacity_factor=4.0, local_particles=False):
+                 capacity_factor=4.0, local_particles=False,
+                 partition="count", cost_order=8):
         from boxtree_tpu.parallel.shard_build import (
-            _shard_map, sharded_build_tree, sharded_traversal_lists)
+            _shard_map, cost_partition_bounds, ownership_skel,
+            sharded_build_tree, sharded_emit_blocks,
+            sharded_route_blocks, sharded_traversal_lists)
         from boxtree_tpu.traversal.build import _INVALID_KEY
 
         if communicate_mpoles not in ("hypercube", "allreduce"):
             raise ValueError(
                 f"bad communicate_mpoles: {communicate_mpoles}")
+        if partition not in ("count", "cost"):
+            raise ValueError(f"bad partition: {partition}")
         self.communicate_mpoles = communicate_mpoles
         if isinstance(mesh, int):
             from jax.sharding import Mesh
@@ -196,12 +208,30 @@ class ShardedFMMRunner(DistributedFMMRunner):
         axis = self.axis_name
         nranks = mesh.devices.size
         self.local_particles = bool(local_particles)
+        self.partition = partition
 
         tree, skel = sharded_build_tree(
             particles, mesh, max_particles_in_box=max_particles_in_box,
             return_skeleton=True)
-        lists = sharded_traversal_lists(
-            tree, skel, mesh, capacity_factor=capacity_factor)
+        if partition == "cost":
+            # cost-balanced ownership (the analogue of the reference's
+            # ``partition_work`` cost prefix, ``distributed/partition.
+            # py:60-121``): emit once under the build's equal-count
+            # assignment, accumulate per-box stage costs off the edge
+            # blocks, cut equal-cost contiguous particle intervals, and
+            # route the SAME blocks to the re-balanced owners
+            blocks = sharded_emit_blocks(tree, skel, mesh)
+            self.p_bounds = cost_partition_bounds(
+                tree, blocks, mesh, order=cost_order)
+            skel = ownership_skel(tree, self.p_bounds, mesh)
+            lists = sharded_route_blocks(
+                blocks, tree, skel, mesh,
+                capacity_factor=capacity_factor,
+                emission_is_ownership=False)
+        else:
+            self.p_bounds = None
+            lists = sharded_traversal_lists(
+                tree, skel, mesh, capacity_factor=capacity_factor)
 
         # The wrangler's particle blocks and reorder maps become
         # closure constants of the SPMD step; a sharded array there
@@ -253,7 +283,8 @@ class ShardedFMMRunner(DistributedFMMRunner):
                     last_owned_tbl[r, lev] = of_lev.max()
 
         fix_box, fix_src = _ancestor_chain_tables(
-            tree, owner, last_owned_tbl, nranks)
+            tree, owner, last_owned_tbl, nranks,
+            p_bounds=self.p_bounds)
 
         # contributes-multipoles masks: owned boxes + their ancestors
         parents = np.asarray(tree.box_parent_ids)

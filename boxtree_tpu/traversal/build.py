@@ -1337,6 +1337,29 @@ def _level_counts_of_mask(mask_np, level_starts):
             for i in range(nlevels)]
 
 
+@partial(jax.jit, static_argnames=("lsb",))
+def _mask_level_counts(*masks, lsb):
+    """(nmasks, nlevels) int64 per-level True counts — the single tiny
+    device->host pull that replaces host-side box-flag processing."""
+    nlevels = len(lsb) - 1
+    return jnp.stack([
+        jnp.stack([m[lsb[i]:lsb[i + 1]].sum() for i in range(nlevels)])
+        for m in masks]).astype(jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("nboxes",))
+def _row_of_box_table(boxes, *, nboxes):
+    """(nboxes,) row index of each box in ascending *boxes* (-1 when
+    absent) — a sorted searchsorted instead of a host scatter (the
+    table never leaves the device)."""
+    iota = jnp.arange(nboxes, dtype=jnp.int64)
+    if boxes.shape[0] == 0:
+        return jnp.full(nboxes, -1, jnp.int64)
+    idx = jnp.searchsorted(boxes.astype(jnp.int64), iota)
+    idxc = jnp.clip(idx, 0, boxes.shape[0] - 1)
+    return jnp.where(boxes[idxc] == iota, idxc, -1)
+
+
 @jax.jit
 def _pack_totals(*vals):
     flat = [v.reshape(-1).astype(jnp.int64) for v in vals]
@@ -1387,57 +1410,73 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     nboxes = tree.nboxes
     lsb = tree.level_start_box_nrs       # host tuple, len nlevels+1
 
-    flags_np = np.asarray(tree.box_flags)
     flags_dev = tree.box_flags
     prefixes = tree.box_morton_prefixes
 
-    # {{{ basic box lists
+    # {{{ basic box lists (all on device: pulling box_flags or a box
+    # list to the host costs seconds at 1e7 through the tunnel —
+    # device->host transfers run at ~MB/s there.  The only pull is ONE
+    # packed (nmasks, nlevels) level-count table.)
 
-    src_mask = (flags_np & _F.IS_SOURCE_BOX) != 0
-    src_parent_mask = (flags_np & _F.HAS_SOURCE_CHILD_BOXES) != 0
-    tgt_mask = (flags_np & _F.IS_TARGET_BOX) != 0
-    totp_mask = (flags_np & (_F.IS_TARGET_BOX
-                             | _F.HAS_TARGET_CHILD_BOXES)) != 0
+    src_mask = (flags_dev & _F.IS_SOURCE_BOX) != 0
+    src_parent_mask = (flags_dev & _F.HAS_SOURCE_CHILD_BOXES) != 0
+    tgt_mask = (flags_dev & _F.IS_TARGET_BOX) != 0
+    totp_mask = (flags_dev & (_F.IS_TARGET_BOX
+                              | _F.HAS_TARGET_CHILD_BOXES)) != 0
 
-    def make_list(mask_np):
-        total = int(mask_np.sum())
-        lst = _mask_to_list(jnp.asarray(mask_np), total=total)
-        counts = _level_counts_of_mask(mask_np, lsb)
+    src_list_mask = src_mask
+    if source_boxes_mask is not None:
+        src_list_mask = src_mask & jnp.asarray(source_boxes_mask, bool)
+    src_parent_list_mask = src_parent_mask
+    if source_parent_boxes_mask is not None:
+        src_parent_list_mask = src_parent_mask & jnp.asarray(
+            source_parent_boxes_mask, bool)
+
+    sources_are_targets = getattr(tree, "sources_are_targets", True)
+    # slot 3 = UNMASKED source boxes (interaction lists ignore the
+    # distributed masks; static level skips read these counts)
+    mask_list = [src_list_mask, src_parent_list_mask, totp_mask,
+                 src_mask]
+    # target rows / List-1 participant rows (fast path: every
+    # source-or-target leaf emits both List-1 sides from its one
+    # clamped table row)
+    tgt_sel = None          # index into mask_list, or None = src slot
+    part_sel = None
+    if sources_are_targets:
+        if source_boxes_mask is not None:
+            tgt_sel = part_sel = 3          # unmasked sources
+    else:
+        mask_list.append(tgt_mask)
+        tgt_sel = len(mask_list) - 1
+        mask_list.append(src_mask | tgt_mask)
+        part_sel = len(mask_list) - 1
+
+    counts_tbl = np.asarray(jax.device_get(_mask_level_counts(
+        *mask_list, lsb=lsb)))
+
+    def make_list(i):
+        counts = counts_tbl[i]
+        total = int(counts.sum())
+        lst = _mask_to_list(mask_list[i], total=total)
         level_starts = tuple(
             int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
         return lst, level_starts
 
-    src_list_mask = src_mask
-    if source_boxes_mask is not None:
-        src_list_mask = src_mask & np.asarray(source_boxes_mask, bool)
-    src_parent_list_mask = src_parent_mask
-    if source_parent_boxes_mask is not None:
-        src_parent_list_mask = src_parent_mask & np.asarray(
-            source_parent_boxes_mask, bool)
-
-    source_boxes, ls_src = make_list(src_list_mask)
-    source_parent_boxes, ls_srcp = make_list(src_parent_list_mask)
-    target_or_target_parent_boxes, ls_totp = make_list(totp_mask)
-    if getattr(tree, "sources_are_targets", True):
-        if source_boxes_mask is None:
-            target_boxes, ls_tgt = source_boxes, ls_src
-        else:
-            target_boxes, ls_tgt = make_list(src_mask)
+    source_boxes, ls_src = make_list(0)
+    source_parent_boxes, ls_srcp = make_list(1)
+    target_or_target_parent_boxes, ls_totp = make_list(2)
+    src_level_counts = [int(c) for c in counts_tbl[3]]
+    if tgt_sel is None:
+        target_boxes, ls_tgt = source_boxes, ls_src
     else:
-        target_boxes, ls_tgt = make_list(tgt_mask)
-
-    target_boxes_np = np.asarray(target_boxes)
-    ntarget_boxes = len(target_boxes_np)
-    tgt_row_of_box = np.full(nboxes, -1, np.int64)
-    tgt_row_of_box[target_boxes_np] = np.arange(ntarget_boxes)
-    tgt_row_of_box_dev = jnp.asarray(tgt_row_of_box)
-
-    # List-1 participant rows (fast path): every source-or-target leaf
-    # emits both sides of List 1 from its one clamped table row
-    if getattr(tree, "sources_are_targets", True):
+        target_boxes, ls_tgt = make_list(tgt_sel)
+    if part_sel is None or part_sel == tgt_sel:
         part_boxes, ls_part = target_boxes, ls_tgt
     else:
-        part_boxes, ls_part = make_list(src_mask | tgt_mask)
+        part_boxes, ls_part = make_list(part_sel)
+
+    ntarget_boxes = ls_tgt[-1]
+    tgt_row_of_box_dev = _row_of_box_table(target_boxes, nboxes=nboxes)
 
     # }}}
 
@@ -1483,7 +1522,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     if fast:
         ntable = nbr.build_neighbor_table(
             prefixes, tree.box_parent_ids, tree.box_child_ids,
-            flags_dev, jnp.asarray(tgt_row_of_box >= 0),
+            flags_dev, tgt_row_of_box_dev >= 0,
             dimensions=d, lsb=lsb, radius=n_away)
     else:
         ntable = jnp.zeros((1, 1), jnp.int32)
@@ -1491,7 +1530,6 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     # which levels carry source / target boxes at all (static skips) —
     # from the UNMASKED flags: interaction lists ignore the masks
-    src_level_counts = _level_counts_of_mask(src_mask, lsb)
     src_levels = tuple(c > 0 for c in src_level_counts)
     tgt_levels = tuple(ls_tgt[i + 1] > ls_tgt[i] for i in range(nlevels))
 

@@ -142,3 +142,54 @@ def test_sharded_runner_no_global_traversal(mesh, pts):
     rows = np.repeat(np.arange(len(tb)), np.diff(starts))
     want_keys = np.sort(tb[rows].astype(np.int64) * (1 << 32) + lists)
     np.testing.assert_array_equal(got_keys, want_keys)
+
+
+def test_cost_partition_skewed(mesh):
+    """Cost-balanced ownership (the analogue of the reference's
+    cost-weighted DFS partition, ``distributed/partition.py:60-121``):
+    on a skewed distribution the per-rank P2P work spread must tighten
+    vs equal-particle-count ownership, with the counting oracle intact.
+    """
+    rng = np.random.default_rng(23)
+    n = 4096
+    # 3/4 of the points clustered in a corner ball, rest uniform
+    nc = 3 * n // 4
+    cluster = 0.04 * rng.random((3, nc)) + 0.01
+    rest = rng.random((3, n - nc))
+    pts = np.concatenate([cluster, rest], axis=1)
+
+    def work_spread(runner, order=8):
+        """Per-rank total stage work off the routed edge slices, with
+        the same weights the cost partition balances (P2P pairs, M2L
+        coefficient products, M2P/P2L coefficient evaluations) — the
+        work a real-kernel wrangler performs per rank."""
+        ns = np.asarray(runner.tree.box_source_counts_cumul)
+        nt = np.asarray(runner.tree.box_target_counts_cumul)
+        K = float((order + 1) ** 2)
+        e = {k: np.asarray(getattr(runner, k))
+             for k in ("e1", "e2", "e3", "e4")}
+        per_rank = []
+        for r in range(e["e1"].shape[0]):
+            v1 = e["e1"][r][e["e1"][r, :, 0] >= 0]
+            v2 = e["e2"][r][e["e2"][r, :, 0] >= 0]
+            v3 = e["e3"][r][e["e3"][r, :, 0] >= 0]
+            v4 = e["e4"][r][e["e4"][r, :, 0] >= 0]
+            per_rank.append(
+                float((nt[v1[:, 0]] * ns[v1[:, 1]]).sum())
+                + K * K * len(v2)
+                + K * float(nt[v3[:, 0]].sum())
+                + K * float(ns[v4[:, 1]].sum()))
+        per_rank = np.asarray(per_rank)
+        return per_rank.max() / max(per_rank.mean(), 1.0)
+
+    r_cnt = ShardedFMMRunner(mesh, pts, max_particles_in_box=30)
+    r_cost = ShardedFMMRunner(mesh, pts, max_particles_in_box=30,
+                              partition="cost")
+
+    pot = np.asarray(r_cost.drive_dfmm(np.ones(n)))
+    assert (pot == n).all()
+
+    s_cnt, s_cost = work_spread(r_cnt), work_spread(r_cost)
+    # equal-count ownership leaves the cluster's dense interactions on
+    # few ranks; the cost partition must measurably tighten the spread
+    assert s_cost < 0.8 * s_cnt, (s_cnt, s_cost)
