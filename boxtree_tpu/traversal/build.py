@@ -1491,15 +1491,24 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     def _toc(name, t0, *sync):
         if _timing:
-            # force completion with a scalar device_get per array:
-            # jax.block_until_ready is a no-op through the axon tunnel
-            # (execution is fully lazy; only host pulls force it)
-            for x in sync:
-                if hasattr(x, "ravel") and x.size:
-                    jax.device_get(x.ravel()[-1])
+            # force completion with ONE packed scalar pull over every
+            # output (jax.block_until_ready is a no-op through the axon
+            # tunnel — execution is fully lazy; only host pulls force
+            # it.  Pulling each array separately costs one ~25 ms round
+            # trip per array AND leaves unpulled outputs to finalize
+            # inside the NEXT stage's timing).
+            last = [x.ravel()[-1:].astype(jnp.int32) for x in sync
+                    if hasattr(x, "ravel") and getattr(x, "size", 0)
+                    and x.dtype != bool]
+            if last:
+                jax.device_get(jnp.concatenate(last))
             print(f"# trav {name}: {_time.perf_counter() - t0:.3f}s",
                   flush=True)
 
+    _t = _tic()
+    _toc("box_lists", _t, source_boxes, source_parent_boxes,
+         target_or_target_parent_boxes, target_boxes, part_boxes,
+         tgt_row_of_box_dev)
     _t = _tic()
 
     # neighbor table (fast paths).  fast == 1: the full n_away == 1
@@ -1561,7 +1570,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         parents_dev, child_rows_dev, bbox_min_dev, root_extent_dev,
         sof_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
         fast=fast, src_levels=src_levels, ext=ext)
-    _toc("emit_rowlists", _t, slnws_buf, l2_buf, l4_buf)
+    _toc("emit_rowlists", _t, slnws_buf, l2_buf, l4_buf,
+         slnws_starts64, l2_starts64, l4_starts64)
     _t = _tic()
 
     # single-enumeration edge construction: the compaction scan emits
@@ -1588,6 +1598,7 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         l1t_tot = l1s_tot = jnp.int64(0)
 
     _toc("emit_edges", _t, l1_buf if not fast else l1t_buf,
+         *(() if not fast else (l1t_starts, l1s_buf)),
          *(l3_em[ls][0] for ls in range(nlevels)))
     _t = _tic()
 
@@ -1615,8 +1626,9 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         [nne_l1] + [l3_srt[ls][2] for ls in range(nlevels)]))
     l1_nonempty = int(ne_packed[0])
     l3_nonempty = tuple(int(x) for x in ne_packed[1:])
-    _toc("sort_edges", _t, l1_keys,
-         *(l3_srt[ls][0] for ls in range(nlevels)))
+    _toc("sort_edges", _t, l1_keys, l1_pos,
+         *(l3_srt[ls][0] for ls in range(nlevels)),
+         *(l3_srt[ls][1] for ls in range(nlevels)))
     _t = _tic()
 
     l1_fast = ((l1t_buf, l1t_starts, l1s_buf) if fast
@@ -1640,7 +1652,9 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         close_csr = ((l3c_srt[1], close_lists[0]),
                      (l4c_srt[1], close_lists[1]))
     _toc("slice_edges", _t, l1_lists, l1_starts,
-         *(l3_csr[ls][1] for ls in range(nlevels)))
+         slnws_starts, slnws_lists, l2_starts, l2_lists, l4_starts,
+         l4_lists, *(l3_csr[ls][1] for ls in range(nlevels)),
+         *(l3_csr[ls][0] for ls in range(nlevels)))
 
     from_sep_smaller_by_level = []
     target_boxes_sep_smaller = []

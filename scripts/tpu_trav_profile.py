@@ -25,17 +25,20 @@ BUDGET = float(os.environ.get("TPU_PROF_BUDGET_S", 2700))
 
 
 def _force(trav):
-    # block_until_ready is a no-op through the axon tunnel; pull one
-    # scalar per output array to force every traversal pass (bench.py
-    # does the same).
-    for x in (trav.neighbor_source_boxes_lists,
-              trav.neighbor_source_boxes_starts,
-              trav.same_level_non_well_sep_boxes_lists,
-              trav.from_sep_siblings_lists,
-              trav.from_sep_bigger_lists,
-              *(bl.lists for bl in trav.from_sep_smaller_by_level)):
-        if getattr(x, "size", 0):
-            jax.device_get(x.ravel()[-1])
+    # block_until_ready is a no-op through the axon tunnel; pull ONE
+    # packed scalar concat over every output (bench.py does the same —
+    # one round trip instead of one per array).
+    import jax.numpy as jnp
+    last = [x.ravel()[-1:].astype(jnp.int32)
+            for x in (trav.neighbor_source_boxes_lists,
+                      trav.neighbor_source_boxes_starts,
+                      trav.same_level_non_well_sep_boxes_lists,
+                      trav.from_sep_siblings_lists,
+                      trav.from_sep_bigger_lists,
+                      *(bl.lists for bl in trav.from_sep_smaller_by_level))
+            if getattr(x, "size", 0)]
+    if last:
+        jax.device_get(jnp.concatenate(last))
 
 
 WSN = int(os.environ.get("TPU_PROF_WSN", 1))

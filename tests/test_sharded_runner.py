@@ -159,26 +159,30 @@ def test_cost_partition_skewed(mesh):
     pts = np.concatenate([cluster, rest], axis=1)
 
     def work_spread(runner, order=8):
-        """Per-rank total stage work off the routed edge slices, with
-        the same weights the cost partition balances (P2P pairs, M2L
-        coefficient products, M2P/P2L coefficient evaluations) — the
-        work a real-kernel wrangler performs per rank."""
+        """Per-rank total stage work (max/mean) off the routed edge
+        slices + owned boxes, with the same weights the cost partition
+        balances (P2P pairs, M2L coefficient products, M2P/P2L
+        coefficient evaluations, per-box P2M/L2P) — the work a
+        real-kernel wrangler performs per rank."""
         ns = np.asarray(runner.tree.box_source_counts_cumul)
         nt = np.asarray(runner.tree.box_target_counts_cumul)
         K = float((order + 1) ** 2)
         e = {k: np.asarray(getattr(runner, k))
              for k in ("e1", "e2", "e3", "e4")}
+        resp = np.asarray(runner.resp_masks)
         per_rank = []
         for r in range(e["e1"].shape[0]):
             v1 = e["e1"][r][e["e1"][r, :, 0] >= 0]
             v2 = e["e2"][r][e["e2"][r, :, 0] >= 0]
             v3 = e["e3"][r][e["e3"][r, :, 0] >= 0]
             v4 = e["e4"][r][e["e4"][r, :, 0] >= 0]
+            own = np.flatnonzero(resp[r])
             per_rank.append(
                 float((nt[v1[:, 0]] * ns[v1[:, 1]]).sum())
                 + K * K * len(v2)
                 + K * float(nt[v3[:, 0]].sum())
-                + K * float(ns[v4[:, 1]].sum()))
+                + K * float(ns[v4[:, 1]].sum())
+                + K * float(ns[own].sum() + nt[own].sum()))
         per_rank = np.asarray(per_rank)
         return per_rank.max() / max(per_rank.mean(), 1.0)
 
@@ -191,5 +195,7 @@ def test_cost_partition_skewed(mesh):
 
     s_cnt, s_cost = work_spread(r_cnt), work_spread(r_cost)
     # equal-count ownership leaves the cluster's dense interactions on
-    # few ranks; the cost partition must measurably tighten the spread
-    assert s_cost < 0.8 * s_cnt, (s_cnt, s_cost)
+    # few ranks; the cost partition must cut the imbalance (the excess
+    # of max/mean over the perfect 1.0) by well over half.  Measured on
+    # this configuration: 1.18 -> 1.01.
+    assert s_cost - 1 < 0.3 * (s_cnt - 1), (s_cnt, s_cost)
