@@ -639,39 +639,131 @@ class ShardedFMMRunner(DistributedFMMRunner):
             int(np.prod(v.shape[1:])) * v.dtype.itemsize
             for v in self._local.values())
 
-        # program D: per-rank weight blocks from the replicated sorted
-        # weights (device analogue of the base runner's host
-        # ``distribute_source_weights`` slice)
+        # program D: per-rank weight blocks from MESH-SHARDED sorted
+        # weights (the device analogue of the reference's
+        # ``distribute_source_weights``, ``calculation.py:85-105``):
+        # the step never sees a replicated (n,)-sized weight array.
+        # The exchange tables are STATIC (the traversal fixes which
+        # tree-order weights each rank needs), so they are computed
+        # once here — at step time one fixed-capacity ``all_to_all``
+        # of VALUES rides them.
         dtype = wrangler.dtype
+        n = int(tree.nsources)
+        per = n // nranks
+        lanes_q = int(np.prod(self._local["src_index"].shape[1:]))
 
-        def gather_q(s_idx, s_pm, w):
+        def count_w(s_idx, s_pm):
             s_idx, s_pm = s_idx[0], s_pm[0]
-            q = jnp.where(s_pm & (s_idx >= 0),
-                          w[jnp.clip(s_idx, 0).astype(jnp.int64)],
-                          0).astype(dtype)
-            return q[None]
+            need = s_pm & (s_idx >= 0)
+            idx = jnp.where(need, s_idx.astype(jnp.int64), n).reshape(-1)
+            owner = jnp.minimum(idx // per, nranks - 1)
+            owner = jnp.where(idx < n, owner, nranks)
+            owner_s, idx_s, pos_s = lax.sort(
+                (owner, idx, jnp.arange(lanes_q, dtype=jnp.int64)),
+                num_keys=1)
+            starts = jnp.searchsorted(
+                owner_s, jnp.arange(nranks + 1, dtype=jnp.int64))
+            lens = starts[1:] - starts[:-1]
+            return lens.max()[None]
+
+        cap_w = int(np.max(np.asarray(jax.jit(_shard_map(
+            count_w, mesh, (sp3, sp3), P(axis)))(
+            self._local["src_index"], self._local["src_pmask"]))))
+        cap_w = max(1, cap_w)
+        self._w_cap = cap_w
+
+        def setup_w(s_idx, s_pm):
+            s_idx, s_pm = s_idx[0], s_pm[0]
+            rank = lax.axis_index(axis).astype(jnp.int64)
+            need = s_pm & (s_idx >= 0)
+            idx = jnp.where(need, s_idx.astype(jnp.int64), n).reshape(-1)
+            owner = jnp.minimum(idx // per, nranks - 1)
+            owner = jnp.where(idx < n, owner, nranks)
+            owner_s, idx_s, pos_s = lax.sort(
+                (owner, idx, jnp.arange(lanes_q, dtype=jnp.int64)),
+                num_keys=1)
+            starts = jnp.searchsorted(
+                owner_s, jnp.arange(nranks + 1, dtype=jnp.int64))
+            lens = starts[1:] - starts[:-1]
+            j = jnp.arange(cap_w, dtype=jnp.int64)
+            rows = starts[:-1, None] + j[None, :]
+            ok = j[None, :] < lens[:, None]
+            rows_c = jnp.clip(rows, 0, lanes_q - 1)
+            req = jnp.where(ok, idx_s[rows_c], -1)       # (nranks, cap_w)
+            fill = jnp.where(ok, pos_s[rows_c], -1)
+            # ship requests home; owners keep LOCAL serve indices
+            serve = lax.all_to_all(req, axis, 0, 0, tiled=False)
+            serve = jnp.where(serve >= 0, serve - rank * per, -1)
+            return serve[None], fill[None]
+
+        self._w_serve, self._w_fill = jax.jit(_shard_map(
+            setup_w, mesh, (sp3, sp3), (sp3, sp3)))(
+            self._local["src_index"], self._local["src_pmask"])
+
+        blk_shape = self._local["src_index"].shape[1:]
+
+        def gather_q(serve, fill, w_sh):
+            serve, fill, w = serve[0], fill[0], w_sh[0]
+            send = jnp.where(serve >= 0,
+                             w[jnp.clip(serve, 0)], 0).astype(dtype)
+            recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
+            q = jnp.zeros(lanes_q, dtype).at[
+                jnp.where(fill >= 0, fill, lanes_q).reshape(-1)].set(
+                recv.reshape(-1), mode="drop", unique_indices=True)
+            return q.reshape(blk_shape)[None]
 
         self._gather_q = jax.jit(_shard_map(
-            gather_q, mesh, (sp3, sp3, P()), sp3))
+            gather_q, mesh, (sp3, sp3, sp), sp3))
+
+        # per-rank OWNED-TARGET windows: a rank's owned target boxes
+        # are a contiguous run of leaves, so their (tree-order) target
+        # ranges tile one contiguous interval [t0_r, t1_r) and the
+        # per-rank potentials need no collective at all — the windows
+        # concatenate to the global potential (the analogue of the
+        # reference's ``gather_potential_results`` to the root,
+        # ``calculation.py:107-145``)
+        tstarts = np.asarray(tree.box_target_starts).astype(np.int64)
+        tcnt = np.asarray(
+            tree.box_target_counts_nonchild).astype(np.int64)
+        win_t0 = np.zeros(nranks, np.int64)
+        win_len = np.zeros(nranks, np.int64)
+        t_box_h = np.asarray(t_box)
+        for r in range(nranks):
+            ids = t_box_h[r][t_box_h[r] >= 0]
+            if len(ids):
+                win_t0[r] = tstarts[ids].min()
+                win_len[r] = (tstarts[ids] + tcnt[ids]).max() - win_t0[r]
+        self._win_t0 = win_t0
+        self._win_len = win_len
+        self._win_cap = max(1, int(win_len.max()))
+        self._win_t0_dev = shard(win_t0.reshape(nranks, 1))
 
     def _build_step_sharded_local(self):
         """SPMD step over per-rank LOCAL particle blocks with the
         sharded downward chain (one refined-local ``all_gather`` per
         level); the blocks semantics of
-        :meth:`DistributedFMMRunner._build_step_local`."""
+        :meth:`DistributedFMMRunner._build_step_local`.
+
+        Per-rank memory contract (the reference's ``generate_local_
+        tree`` scaling, ``local_tree.py:198-495``): weights arrive
+        MESH-SHARDED and reach each rank's blocks through the static
+        exchange tables (one value ``all_to_all``); the potential
+        leaves as each rank's contiguous owned-target WINDOW — no
+        (n,)-sized array and no collective on either side of the step.
+        """
         tree = self.tree
         axis = self.axis_name
         wrangler = self.wrangler
-        ntargets = tree.ntargets
         exchange_mpoles = self._make_mpole_exchange()
         l2l_slices = self._l2l_level_slices
         nboxes = tree.nboxes
         has_dip = wrangler.dipole_vec is not None
+        win_cap = self._win_cap
 
         def step(e1, e2, e2_gs, e3, e4, l2l_rows, l2l_dsz,
                  last_owned, fix_box, fix_src,
                  src_pts, src_pm, src_p2m_boxes, src_dip,
-                 tgt_boxes, tgt_pts, tgt_pm, tgt_idx,
+                 tgt_boxes, tgt_pts, tgt_pm, tgt_idx, win_t0,
                  mpole_tables, q_blocks):
             e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
             e2_gs = e2_gs[0]
@@ -720,14 +812,17 @@ class ShardedFMMRunner(DistributedFMMRunner):
                 + wrangler.eval_locals_blocks(tgt_boxes, tgt_pts,
                                               tgt_pm, loc)
 
+            # owned-target window: ownership is disjoint and complete,
+            # so the scatter is purely local and no psum is needed
             valid = tgt_pm & (tgt_boxes >= 0)[:, None] & (tgt_idx >= 0)
-            safe = jnp.where(valid, tgt_idx.astype(jnp.int64), ntargets)
+            local = tgt_idx.astype(jnp.int64) - win_t0[0]
+            safe = jnp.where(valid, local, win_cap)
             extra = wrangler._pot_extra_dims
             vmask = valid if not extra else \
                 valid[(...,) + (None,) * len(extra)]
-            pot = jnp.zeros((ntargets, *extra), wrangler.dtype) \
+            pot = jnp.zeros((win_cap, *extra), wrangler.dtype) \
                 .at[safe].add(jnp.where(vmask, pot_b, 0), mode="drop")
-            return lax.psum(pot, axis)
+            return pot[None]
 
         try:
             from jax import shard_map
@@ -744,9 +839,11 @@ class ShardedFMMRunner(DistributedFMMRunner):
             in_specs=(spec(3), spec(3), spec(2), spec(3), spec(3),
                       spec(2), spec(3), spec(2), spec(2), spec(2),
                       spec(4), spec(3), spec(2), spec(4),
-                      spec(2), spec(4), spec(3), spec(3),
+                      spec(2), spec(4), spec(3), spec(3), spec(2),
                       table_specs, spec(3)),
-            out_specs=P(), check_vma=False))
+            out_specs=P(axis, *([None] * (
+                1 + len(wrangler._pot_extra_dims)))),
+            check_vma=False))
 
     def _build_step_sharded(self):
         tree = self.tree
@@ -825,12 +922,37 @@ class ShardedFMMRunner(DistributedFMMRunner):
                       table_specs, P()),
             out_specs=P(), check_vma=False))
 
+    def _assemble_windows(self, wins):
+        """Concatenate the per-rank owned-target windows into the
+        global (ntargets,) potential (one static-slice program; the
+        root-side analogue of the reference's potential gather)."""
+        ntargets = int(self.tree.ntargets)
+        extra = self.wrangler._pot_extra_dims
+        nranks = self.mesh.devices.size
+        t0, ln = self._win_t0, self._win_len
+
+        @jax.jit
+        def assemble(wins):
+            out = jnp.zeros((ntargets, *extra), wins.dtype)
+            for r in range(nranks):
+                if ln[r]:
+                    out = lax.dynamic_update_slice(
+                        out, wins[r, :int(ln[r])],
+                        (int(t0[r]),) + (0,) * len(extra))
+            return out
+
+        return assemble(wins)
+
     def drive_dfmm(self, source_weights):
         w = self.wrangler.reorder_sources(jnp.asarray(source_weights))
         if self.local_particles:
             lc = self._local
-            q = self._gather_q(lc["src_index"], lc["src_pmask"], w)
-            pot = self._step(
+            nranks = self.mesh.devices.size
+            w_sh = jax.device_put(
+                w.reshape(nranks, -1),
+                NamedSharding(self.mesh, P(self.axis_name, None)))
+            q = self._gather_q(self._w_serve, self._w_fill, w_sh)
+            wins = self._step(
                 self.e1_local, self.e2, self.e2_group_sizes,
                 self.e3_local, self.e4_local, self.l2l_rows,
                 self.l2l_digit_sizes, self._last_owned, self._fix_box,
@@ -838,7 +960,9 @@ class ShardedFMMRunner(DistributedFMMRunner):
                 lc["src_points"], lc["src_pmask"], lc["src_p2m_boxes"],
                 lc["src_dip"],
                 lc["tgt_boxes"], lc["tgt_points"], lc["tgt_pmask"],
-                lc["tgt_index"], self._mpole_tables, q)
+                lc["tgt_index"], self._win_t0_dev,
+                self._mpole_tables, q)
+            pot = self._assemble_windows(wins)
         else:
             pot = self._step(
                 self.resp_masks, self.e1, self.e2, self.e2_group_sizes,
