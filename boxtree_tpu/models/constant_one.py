@@ -211,6 +211,24 @@ class ConstantOneExpansionWrangler(ExpansionWranglerInterface):
                                  mpole_exps):
         return self._edge_scatter(tgt_e, src_e, None, mpole_exps)
 
+    def coarsen_multipoles_rows_grouped(self, rows, digit_sizes,
+                                        level_slices, mpoles):
+        """Upward pass over an explicit level-sorted padded row set
+        (per-rank owned + ancestor boxes; *digit_sizes* unused — the
+        counting "operator" is digit-independent).  *level_slices*
+        descend."""
+        tree = self.tree
+        parents = tree.box_parent_ids
+        for _lev, s0, s1 in level_slices:
+            ids = rows[s0:s1]
+            contrib = mpoles[jnp.clip(ids, 0)]
+            mpoles = mpoles.at[
+                jnp.where(ids >= 0,
+                          parents[jnp.clip(ids, 0)].astype(jnp.int64),
+                          tree.nboxes)].add(
+                    jnp.where(ids >= 0, contrib, 0), mode="drop")
+        return mpoles
+
     def refine_locals_rows_grouped(self, rows, digit_sizes, level_slices,
                                    local_exps):
         """Downward pass over an explicit level-sorted padded row set

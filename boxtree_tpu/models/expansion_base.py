@@ -683,6 +683,32 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             mpoles = mpoles.at[par].add(shifted)
         return mpoles
 
+    def coarsen_multipoles_rows_grouped(self, rows, digit_sizes,
+                                        level_slices, mpoles):
+        """Upward M2M restricted to an explicit (level, digit)-sorted
+        padded row set — the distributed runner's per-rank owned +
+        ancestor boxes (the analogue of the reference's
+        ``source_parent_boxes_mask`` restriction,
+        ``local_traversal.py:34-62``): boxes outside a rank's
+        contributing set hold zero partial multipoles, so skipping them
+        changes nothing and saves the redundant full-skeleton M2M.
+
+        Same row-plan contract as :meth:`refine_locals_rows_grouped`;
+        *level_slices* must come in DESCENDING level order.
+        """
+        tree = self.tree
+        parents = tree.box_parent_ids
+        for lev, s0, s1 in level_slices:
+            ids = rows[s0:s1]
+            shifted = grouped_matmul(mpoles[jnp.clip(ids, 0)],
+                                     self._m2m_opsT[lev],
+                                     digit_sizes[lev])
+            mpoles = mpoles.at[
+                jnp.where(ids >= 0,
+                          parents[jnp.clip(ids, 0)].astype(jnp.int64),
+                          tree.nboxes)].add(shifted, mode="drop")
+        return mpoles
+
     def refine_locals(self, level_start_target_or_target_parent_box_nrs,
                       target_or_target_parent_boxes, local_exps):
         tree = self.tree

@@ -429,38 +429,64 @@ class ShardedFMMRunner(DistributedFMMRunner):
                 jnp.asarray(arr),
                 NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1)))))
 
-        # {{{ downward-pass row plan over OWNED rows (level >= 1)
+        # {{{ upward/downward row plans
 
         box_digit = (np.asarray(tree.box_morton_prefixes)
                      & (nchild - 1)).astype(np.int64)
-        ids_all, rr_all = [], []
-        for r in range(nranks):
-            ids = bid_pad[r, :nb[r]]
-            ids = ids[box_lev[ids] >= 1]
-            ids_all.append(ids)
-            rr_all.append(np.full(len(ids), r, np.int64))
-        ids = np.concatenate(ids_all) if ids_all else np.zeros(0, np.int64)
-        rr = np.concatenate(rr_all) if rr_all else np.zeros(0, np.int64)
-        o = np.lexsort((box_digit[ids], box_lev[ids], rr))
-        ids, rr = ids[o], rr[o]
-        lev_counts = np.zeros((nranks, nlevels), np.int64)
-        np.add.at(lev_counts, (rr, box_lev[ids]), 1)
-        widths = lev_counts.max(axis=0)
-        w_starts = np.concatenate([[0], np.cumsum(widths)])
+
+        def rows_plan(ids_per_rank, min_level):
+            """(level, digit)-sorted padded per-rank row blocks + digit
+            group sizes + per-level static slices (the contract of the
+            ``*_rows_grouped`` wrangler stage forms)."""
+            ids_all, rr_all = [], []
+            for r, ids in enumerate(ids_per_rank):
+                ids = ids[box_lev[ids] >= min_level]
+                ids_all.append(ids)
+                rr_all.append(np.full(len(ids), r, np.int64))
+            ids = (np.concatenate(ids_all) if ids_all
+                   else np.zeros(0, np.int64))
+            rr = (np.concatenate(rr_all) if rr_all
+                  else np.zeros(0, np.int64))
+            o = np.lexsort((box_digit[ids], box_lev[ids], rr))
+            ids, rr = ids[o], rr[o]
+            lev_counts = np.zeros((nranks, nlevels), np.int64)
+            np.add.at(lev_counts, (rr, box_lev[ids]), 1)
+            widths = lev_counts.max(axis=0)
+            w_starts = np.concatenate([[0], np.cumsum(widths)])
+            key = rr * nlevels + box_lev[ids]
+            grp_start = np.searchsorted(key, np.arange(nranks * nlevels))
+            within = np.arange(len(ids)) - grp_start[key]
+            rows_pad = np.full((nranks, max(1, int(w_starts[-1]))), -1,
+                               np.int64)
+            rows_pad[rr, w_starts[box_lev[ids]] + within] = ids
+            dsize = np.zeros((nranks, nlevels, nchild), np.int32)
+            np.add.at(dsize, (rr, box_lev[ids], box_digit[ids]), 1)
+            dsize[:, :, -1] += (widths[None, :]
+                                - lev_counts).astype(np.int32)
+            return rows_pad, dsize, widths, w_starts
+
+        owned_ids = [bid_pad[r, :nb[r]] for r in range(nranks)]
+        rows_pad, dsize, widths, w_starts = rows_plan(owned_ids, 1)
         self._l2l_level_slices = tuple(
             (lev, int(w_starts[lev]), int(w_starts[lev + 1]))
             for lev in range(1, nlevels) if widths[lev])
-        key = rr * nlevels + box_lev[ids]
-        grp_start = np.searchsorted(key, np.arange(nranks * nlevels))
-        within = np.arange(len(ids)) - grp_start[key]
-        rows_pad = np.full((nranks, max(1, int(w_starts[-1]))), -1,
-                           np.int64)
-        rows_pad[rr, w_starts[box_lev[ids]] + within] = ids
-        dsize = np.zeros((nranks, nlevels, nchild), np.int32)
-        np.add.at(dsize, (rr, box_lev[ids], box_digit[ids]), 1)
-        dsize[:, :, -1] += (widths[None, :] - lev_counts).astype(np.int32)
         self.l2l_rows = shard(rows_pad)
         self.l2l_digit_sizes = shard(dsize)
+
+        # masked upward: M2M only over each rank's contributing boxes
+        # (owned + ancestors — everything else holds zero partial
+        # multipoles; the analogue of the reference's
+        # ``source_parent_boxes_mask``, ``local_traversal.py:34-62``),
+        # instead of the full replicated skeleton.  Source levels
+        # descend (children shift into parents), range 3..nlevels-1
+        # like the wranglers' own upward loop.
+        contrib_ids = [np.flatnonzero(contrib[r]) for r in range(nranks)]
+        rows_pad, dsize, widths, w_starts = rows_plan(contrib_ids, 3)
+        self._m2m_level_slices = tuple(
+            (lev, int(w_starts[lev]), int(w_starts[lev + 1]))
+            for lev in range(nlevels - 1, 2, -1) if widths[lev])
+        self.m2m_rows = shard(rows_pad)
+        self.m2m_digit_sizes = shard(dsize)
 
         # }}}
 
@@ -760,14 +786,17 @@ class ShardedFMMRunner(DistributedFMMRunner):
         has_dip = wrangler.dipole_vec is not None
         win_cap = self._win_cap
 
+        m2m_slices = self._m2m_level_slices
+
         def step(e1, e2, e2_gs, e3, e4, l2l_rows, l2l_dsz,
-                 last_owned, fix_box, fix_src,
+                 m2m_rows, m2m_dsz, last_owned, fix_box, fix_src,
                  src_pts, src_pm, src_p2m_boxes, src_dip,
                  tgt_boxes, tgt_pts, tgt_pm, tgt_idx, win_t0,
                  mpole_tables, q_blocks):
             e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
             e2_gs = e2_gs[0]
             l2l_rows, l2l_dsz = l2l_rows[0], l2l_dsz[0]
+            m2m_rows, m2m_dsz = m2m_rows[0], m2m_dsz[0]
             last_owned = last_owned[0]
             fix_box, fix_src = fix_box[0], fix_src[0]
             src_pts, src_pm = src_pts[0], src_pm[0]
@@ -780,7 +809,8 @@ class ShardedFMMRunner(DistributedFMMRunner):
             mp = wrangler.form_multipoles_blocks(
                 src_p2m_boxes, src_pts, src_pm, q_blocks,
                 dip_blocks=dip)
-            mp = wrangler.coarsen_multipoles(None, None, mp)
+            mp = wrangler.coarsen_multipoles_rows_grouped(
+                m2m_rows, m2m_dsz, m2m_slices, mp)
             mp = exchange_mpoles(mp, mpole_tables)
 
             pot_b = wrangler.eval_direct_blocks(
@@ -837,7 +867,8 @@ class ShardedFMMRunner(DistributedFMMRunner):
         return jax.jit(shard_map(
             step, mesh=self.mesh,
             in_specs=(spec(3), spec(3), spec(2), spec(3), spec(3),
-                      spec(2), spec(3), spec(2), spec(2), spec(2),
+                      spec(2), spec(3), spec(2), spec(3),
+                      spec(2), spec(2), spec(2),
                       spec(4), spec(3), spec(2), spec(4),
                       spec(2), spec(4), spec(3), spec(3), spec(2),
                       table_specs, spec(3)),
@@ -855,20 +886,26 @@ class ShardedFMMRunner(DistributedFMMRunner):
         l2l_slices = self._l2l_level_slices
         nboxes = tree.nboxes
 
+        m2m_slices = self._m2m_level_slices
+
         def step(resp_mask, e1, e2, e2_gs, e3, e4, l2l_rows, l2l_dsz,
-                 last_owned, fix_box, fix_src, mpole_tables, weights):
+                 m2m_rows, m2m_dsz, last_owned, fix_box, fix_src,
+                 mpole_tables, weights):
             resp_mask = resp_mask[0]
             e1, e2, e3, e4 = e1[0], e2[0], e3[0], e4[0]
             e2_gs = e2_gs[0]
             l2l_rows, l2l_dsz = l2l_rows[0], l2l_dsz[0]
+            m2m_rows, m2m_dsz = m2m_rows[0], m2m_dsz[0]
             last_owned = last_owned[0]
             fix_box, fix_src = fix_box[0], fix_src[0]
 
             # upward: P2M from owned leaf boxes' sources (disjoint,
-            # complete), M2M over the replicated skeleton, exchange
+            # complete), M2M over owned + ancestor rows only (masked
+            # upward — everything else holds zero partials), exchange
             w_mine = jnp.where(resp_mask[box_of_src], weights, 0)
             mp = wrangler.form_multipoles(None, None, (w_mine,))
-            mp = wrangler.coarsen_multipoles(None, None, mp)
+            mp = wrangler.coarsen_multipoles_rows_grouped(
+                m2m_rows, m2m_dsz, m2m_slices, mp)
             mp = exchange_mpoles(mp, mpole_tables)
 
             pot = wrangler.eval_direct_edges(
@@ -918,6 +955,7 @@ class ShardedFMMRunner(DistributedFMMRunner):
                       P(axis, None, None), P(axis, None),
                       P(axis, None, None), P(axis, None, None),
                       P(axis, None), P(axis, None, None),
+                      P(axis, None), P(axis, None, None),
                       P(axis, None), P(axis, None), P(axis, None),
                       table_specs, P()),
             out_specs=P(), check_vma=False))
@@ -955,7 +993,8 @@ class ShardedFMMRunner(DistributedFMMRunner):
             wins = self._step(
                 self.e1_local, self.e2, self.e2_group_sizes,
                 self.e3_local, self.e4_local, self.l2l_rows,
-                self.l2l_digit_sizes, self._last_owned, self._fix_box,
+                self.l2l_digit_sizes, self.m2m_rows,
+                self.m2m_digit_sizes, self._last_owned, self._fix_box,
                 self._fix_src,
                 lc["src_points"], lc["src_pmask"], lc["src_p2m_boxes"],
                 lc["src_dip"],
@@ -967,6 +1006,7 @@ class ShardedFMMRunner(DistributedFMMRunner):
             pot = self._step(
                 self.resp_masks, self.e1, self.e2, self.e2_group_sizes,
                 self.e3, self.e4, self.l2l_rows, self.l2l_digit_sizes,
+                self.m2m_rows, self.m2m_digit_sizes,
                 self._last_owned, self._fix_box, self._fix_src,
                 self._mpole_tables, w)
         pot = self.wrangler.reorder_potentials(pot)

@@ -108,14 +108,16 @@ def _prefix_sum(x):
 
 @partial(jax.jit, static_argnames=("total",))
 def _mask_to_list(mask, *, total):
+    """Indices of True entries, ascending — compaction by ONE int32
+    sort (~6 ns/elem) instead of a scatter (~150 ns/elem, the dominant
+    cost of the traversal's box-list setup at 1e7; doc/PERF.md
+    primitive table)."""
     if total == 0:
         return jnp.zeros(0, jnp.int32)
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int64)) - 1
-    lane = jnp.arange(n, dtype=jnp.int64)
-    out = jnp.zeros(total, jnp.int32)
-    return out.at[jnp.where(mask, pos, total + lane)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    return lax.sort(jnp.where(mask, iota,
+                              np.int32(np.iinfo(np.int32).max)))[:total]
 
 
 def _pad_rows(arr, chunk):
@@ -1347,17 +1349,12 @@ def _mask_level_counts(*masks, lsb):
         for m in masks]).astype(jnp.int64)
 
 
-@partial(jax.jit, static_argnames=("nboxes",))
-def _row_of_box_table(boxes, *, nboxes):
-    """(nboxes,) row index of each box in ascending *boxes* (-1 when
-    absent) — a sorted searchsorted instead of a host scatter (the
-    table never leaves the device)."""
-    iota = jnp.arange(nboxes, dtype=jnp.int64)
-    if boxes.shape[0] == 0:
-        return jnp.full(nboxes, -1, jnp.int64)
-    idx = jnp.searchsorted(boxes.astype(jnp.int64), iota)
-    idxc = jnp.clip(idx, 0, boxes.shape[0] - 1)
-    return jnp.where(boxes[idxc] == iota, idxc, -1)
+@jax.jit
+def _row_of_box_table(mask):
+    """(nboxes,) row index of each True box within the ascending list
+    of True boxes (-1 where False) — one cumsum (a searchsorted here
+    costs ~0.9 s at 1e7: TPU binary search is a gather loop)."""
+    return jnp.where(mask, jnp.cumsum(mask.astype(jnp.int64)) - 1, -1)
 
 
 @jax.jit
@@ -1476,7 +1473,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         part_boxes, ls_part = make_list(part_sel)
 
     ntarget_boxes = ls_tgt[-1]
-    tgt_row_of_box_dev = _row_of_box_table(target_boxes, nboxes=nboxes)
+    tgt_row_of_box_dev = _row_of_box_table(
+        mask_list[0 if tgt_sel is None else tgt_sel])
 
     # }}}
 
