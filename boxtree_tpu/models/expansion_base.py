@@ -226,7 +226,8 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
     def __init__(self, tree_indep, traversal, dipole_vec=None,
                  dipoles_already_reordered=False, level_to_order=None,
-                 rscale=None, dtype=None, m2l_mode="dense"):
+                 rscale=None, dtype=None, m2l_mode="dense",
+                 m2l_accurate=False):
         """:arg dipole_vec: optional ``(dim, nsources)`` array (user order
         unless *dipoles_already_reordered*).  When given, the sources are
         dipoles: the potential of source ``y`` with FMM weight ``w`` is
@@ -253,6 +254,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         ``rscale^n`` rescaling.
         """
         super().__init__(tree_indep, traversal)
+        self.m2l_accurate = bool(m2l_accurate)
         if dtype is not None:
             # reduced-precision expansions (e.g. complex64 for float32
             # trees — the float32 FMM path of ``test/test_fmm.py:672``)
@@ -770,17 +772,33 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 and os.environ.get("BOXTREE_TPU_M2L_CLASS_DENSE",
                                    "1") == "1")
 
+    #: with True, ONLY the M2L operator matmuls run at
+    #: ``Precision.HIGHEST`` (6-pass f32 emulation on the MXU).  M2L is
+    #: the one matmul-bound stage, so this recovers the truncation
+    #: floor (3.3e-5 at order 8, doc/PERF.md Config-D analysis) at a
+    #: fraction of the global JAX_DEFAULT_MATMUL_PRECISION=highest
+    #: cost (m2l 0.49 -> 1.07 s at 1e6/order 8; every other stage
+    #: keeps the fast bf16-pass path).
+    m2l_accurate = False
+
+    def _m2l_precision_ctx(self):
+        import contextlib
+        if self.m2l_accurate:
+            return jax.default_matmul_precision("highest")
+        return contextlib.nullcontext()
+
     def multipole_to_local(self, level_start_target_or_target_parent_box_nrs,
                            target_or_target_parent_boxes, starts, lists,
                            mpole_exps):
         plan = self.m2l_plan
-        if self._m2l_use_class_dense():
-            return self._m2l_class_dense(mpole_exps)
-        if (self._m2l_rot is None and plan.nops
-                and int(plan.tgt.shape[0]) > self._M2L_EDGE_CHUNK):
-            return self._m2l_tiled(mpole_exps)
-        return self.multipole_to_local_edges(
-            plan.tgt, plan.src, plan.group_sizes, mpole_exps)
+        with self._m2l_precision_ctx():
+            if self._m2l_use_class_dense():
+                return self._m2l_class_dense(mpole_exps)
+            if (self._m2l_rot is None and plan.nops
+                    and int(plan.tgt.shape[0]) > self._M2L_EDGE_CHUNK):
+                return self._m2l_tiled(mpole_exps)
+            return self.multipole_to_local_edges(
+                plan.tgt, plan.src, plan.group_sizes, mpole_exps)
 
     def _m2l_class_dense(self, mpole_exps):
         """Scatter-free M2L: per level the target box ids are one
@@ -891,9 +909,10 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             return local_exps
 
         def apply_ops(mp_c, sizes_c):
-            if self._m2l_rot is not None:
-                return self._m2l_rot.apply(mp_c, sizes_c)
-            return grouped_matmul(mp_c, self._m2l_opsT, sizes_c)
+            with self._m2l_precision_ctx():
+                if self._m2l_rot is not None:
+                    return self._m2l_rot.apply(mp_c, sizes_c)
+                return grouped_matmul(mp_c, self._m2l_opsT, sizes_c)
 
         c = self._M2L_EDGE_CHUNK
         if e <= c:

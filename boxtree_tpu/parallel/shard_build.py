@@ -50,7 +50,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                      out_specs=out_specs)
 
 
-def sharded_morton_codes(coords, mesh, *, depth=None):
+def sharded_morton_codes(coords, mesh, *, depth=None, radii=None):
     """Per-shard full-depth Morton codes with the single-device bbox
     conventions — the front end of the sharded build pipeline.
 
@@ -63,6 +63,8 @@ def sharded_morton_codes(coords, mesh, *, depth=None):
 
     :arg coords: (dimensions, n) float array, n divisible by the mesh
         size; sharded (or shardable) along the particle axis.
+    :arg radii: optional (n,) per-particle radii — the bbox then spans
+        coords ± radii (extent trees, ``boxtree/tree_build.py:456``).
     :returns: ``(codes, bbox_min, root_extent)`` — (n,) int64 codes
         sharded over the mesh, and the host-replicated bbox.
     """
@@ -73,17 +75,21 @@ def sharded_morton_codes(coords, mesh, *, depth=None):
         raise ValueError(f"n={n} not divisible by nranks={nranks}")
     if depth is None:
         depth = config.max_morton_depth(dims)
+    with_r = radii is not None
 
-    def step(block):
+    def step(block, rad=None):
         block = block[0]                               # (dims, per)
+        r = rad[0] if with_r else 0
         # min/max all-reduce as all_gather + local reduce: the real TPU
         # backend lowers only Sum all-reduces ("Supported lowering only
         # of Sum all reduce", measured r4 via scripts/mesh_scaling_table
         # .py), so pmin/pmax must not appear on the wire.  float min/max
         # stays exact either way, keeping the bbox bitwise equal to the
         # single-device build.
-        lo = jnp.min(lax.all_gather(jnp.min(block, axis=1), axis), axis=0)
-        hi = jnp.max(lax.all_gather(jnp.max(block, axis=1), axis), axis=0)
+        lo = jnp.min(lax.all_gather(jnp.min(block - r, axis=1), axis),
+                     axis=0)
+        hi = jnp.max(lax.all_gather(jnp.max(block + r, axis=1), axis),
+                     axis=0)
         root_extent = (jnp.max(hi - lo)
                        * (1 + config.ROOT_EXTENT_STRETCH_FACTOR))
         codes = morton.encode_points(block, lo, root_extent, depth)
@@ -92,15 +98,21 @@ def sharded_morton_codes(coords, mesh, *, depth=None):
     coords_sh = jax.device_put(
         jnp.asarray(coords).reshape(dims, nranks, -1).swapaxes(0, 1),
         NamedSharding(mesh, P(axis, None, None)))
+    args = [coords_sh]
+    if with_r:
+        args.append(jax.device_put(
+            jnp.asarray(radii).reshape(nranks, -1),
+            NamedSharding(mesh, P(axis, None))))
     codes, lo, ext = jax.jit(_shard_map(
-        step, mesh, (P(axis, None, None),),
-        (P(axis, None), P(axis, None), P(axis, None))))(coords_sh)
+        step, mesh,
+        (P(axis, None, None),) + ((P(axis, None),) if with_r else ()),
+        (P(axis, None), P(axis, None), P(axis, None))))(*args)
     return (codes.reshape(-1), np.asarray(lo[0]),
             float(np.asarray(ext[0, 0])))
 
 
 def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
-                        dimensions, depth, adaptive=True):
+                        dimensions, depth, adaptive=True, stick_s=None):
     """Leaf-level assignment over shard-sorted Morton keys.
 
     :arg codes_s: (n,) int64 globally sorted full-depth Morton keys
@@ -112,6 +124,13 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
         the single-device non-adaptive kind (the reference splits every
         box while any is overfull,
         ``boxtree/tree_build_kernels.py:580-591``).
+    :arg stick_s: optional (n,) int32 per-particle deepest-fitting
+        levels (sorted order) for EXTENT trees — the reference's
+        per-particle descent stop (``tree_build_kernels.py:388-452``):
+        a particle with ``stick <= level`` stays nonchild and stops
+        contributing to split decisions.  Requires ``adaptive``.  The
+        chain machinery then carries TWO level-masked quantities
+        (maskable weights + active counts) instead of one.
     :returns: ``(leaf_level, counts_and_unfit)`` — per-particle leaf
         levels (n,) in sorted order, and the packed per-level non-empty
         box counts + unfit-particle count, matching the single-device
@@ -124,10 +143,16 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
         raise ValueError(f"n={n} not divisible by nranks={nranks}")
     per = n // nranks
     max_weight = jnp.asarray(max_weight, jnp.int64)
+    with_ext = stick_s is not None
+    if with_ext and not adaptive:
+        raise NotImplementedError(
+            "extents require the adaptive kind (like build_tree)")
 
-    def step(codes, w):
+    def step(codes, w, stick=None):
         codes = codes[0]                                # (per,)
         w = w[0].astype(jnp.int64)
+        if with_ext:
+            stick = stick[0].astype(jnp.int64)
         rank = lax.axis_index(axis).astype(jnp.int64)
 
         # left neighbor's last key (device 0 gets a sentinel that can
@@ -140,31 +165,43 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
         cumw = jnp.cumsum(w)
         wtot = cumw[-1]
 
-        def box_weights(level):
+        def box_quantities(level, vals):
+            """Per-segment GLOBAL totals of each row of *vals* (Q, per)
+            (the spanning-box chain fix-up, vectorized over Q) plus the
+            segment-start mask."""
+            nq = vals.shape[0]
             shift = jnp.int64(dimensions) * (jnp.int64(depth) - level)
             pfx = codes >> shift
             left_pfx = jnp.where(left_last < 0, jnp.int64(-1),
                                  left_last >> shift)
             is_start = jnp.concatenate(
                 [(pfx[:1] != left_pfx), pfx[1:] != pfx[:-1]])
-            # local per-segment totals (scan-only)
-            w_loc = _seg_totals(cumw, w, is_start, wtot)
+            # local per-segment totals (scan-only), per quantity
+            cums = jnp.cumsum(vals, axis=1)
+            locs = jnp.stack([
+                _seg_totals(cums[q], vals[q], is_start, cums[q, -1])
+                for q in range(nq)])
 
             # boundary fix-up from gathered shard summaries
             first_start = jnp.argmax(is_start)          # 0 if none
             any_start = is_start.any()
             head_end = jnp.where(any_start, first_start, per)
-            head_sum = jnp.where(jnp.arange(per) < head_end, w, 0).sum()
+            head_sum = jnp.where(jnp.arange(per)[None] < head_end,
+                                 vals, 0).sum(axis=1)   # (Q,)
             last_start = (per - 1
                           - jnp.argmax(is_start[::-1])) * any_start
-            tail_sum = jnp.where(jnp.arange(per) >= last_start,
-                                 w, 0).sum()
-            summ = jnp.stack([pfx[0], pfx[-1], head_sum, tail_sum,
-                              wtot, any_start.astype(jnp.int64)])
-            summs = lax.all_gather(summ, axis)          # (nranks, 6)
+            tail_sum = jnp.where(jnp.arange(per)[None] >= last_start,
+                                 vals, 0).sum(axis=1)
+            summ = jnp.concatenate([
+                jnp.stack([pfx[0], pfx[-1],
+                           any_start.astype(jnp.int64)]),
+                head_sum, tail_sum, cums[:, -1]])
+            summs = lax.all_gather(summ, axis)       # (nranks, 3+3Q)
             g_first, g_last = summs[:, 0], summs[:, 1]
-            g_head, g_tail = summs[:, 2], summs[:, 3]
-            g_tot, g_any = summs[:, 4], summs[:, 5]
+            g_any = summs[:, 2]
+            g_head = summs[:, 3:3 + nq]              # (nranks, Q)
+            g_tail = summs[:, 3 + nq:3 + 2 * nq]
+            g_tot = summs[:, 3 + 2 * nq:3 + 3 * nq]
 
             # the global weight of the box CONTAINING each shard
             # boundary: for my tail segment (prefix pfx[-1]) the total
@@ -174,20 +211,14 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
             ranks = jnp.arange(nranks, dtype=jnp.int64)
 
             def spanning_total(p, r):
-                """Global weight of the segment with prefix *p* that
-                touches the boundary of shard *r* (vectorized over the
-                gathered summaries; nranks is small)."""
-                right = ((ranks > r) & (g_first == p)
-                         & (jnp.cumsum(
-                             ((ranks > r) & ((g_first != p)
-                                             | (g_any == 1))
-                              ).astype(jnp.int64))
-                            <= (g_any * 0)))
-                del right
-                # contribution of shards right of r: walk via cumulative
-                # "chain unbroken" flags — shard q (> r) contributes its
-                # head if g_first[q] == p and every shard between r and q
-                # is a single-segment shard with that same prefix.
+                """(Q,) global totals of the segment with prefix *p*
+                that touches the boundary of shard *r* (vectorized over
+                the gathered summaries; nranks is small).
+
+                Contribution of shards right of r: walk via cumulative
+                "chain unbroken" flags — shard q (> r) contributes its
+                head if g_first[q] == p and every shard between r and q
+                is a single-segment shard with that same prefix."""
                 after = ranks > r
                 link = (g_first == p) & (g_any == 0)    # whole shard in p
                 # chain[q] = all shards in (r, q) are full-p shards
@@ -196,8 +227,9 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
                     - jnp.where(brk, 1, 0)
                 chain_ok = after & (g_first == p) & (chain == 0)
                 right_sum = jnp.where(
-                    chain_ok, jnp.where(g_any == 1, g_head, g_tot),
-                    0).sum()
+                    chain_ok[:, None],
+                    jnp.where((g_any == 1)[:, None], g_head, g_tot),
+                    0).sum(axis=0)
                 # contribution of shards left of r, symmetric
                 before = ranks < r
                 brk_l = before & ~link
@@ -205,25 +237,41 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
                            - jnp.where(brk_l[::-1], 1, 0))[::-1]
                 chain_ok_l = before & (g_last == p) & (chain_l == 0)
                 left_sum = jnp.where(
-                    chain_ok_l, jnp.where(g_any == 1, g_tail, g_tot),
-                    0).sum()
+                    chain_ok_l[:, None],
+                    jnp.where((g_any == 1)[:, None], g_tail, g_tot),
+                    0).sum(axis=0)
                 return left_sum + right_sum
 
             my_tail_total = tail_sum + spanning_total(pfx[-1], rank)
             my_head_total = head_sum + spanning_total(pfx[0], rank)
 
-            in_head = jnp.arange(per) < head_end
-            in_tail = jnp.arange(per) >= last_start
+            in_head = (jnp.arange(per) < head_end)[None]
+            in_tail = (jnp.arange(per) >= last_start)[None]
             # single-segment shard: head == tail == the whole span
             single = ~any_start
-            w_glob = jnp.where(
-                single, my_tail_total,
-                jnp.where(in_tail, my_tail_total,
-                          jnp.where(in_head, my_head_total, w_loc)))
+            globs = jnp.where(
+                single, my_tail_total[:, None],
+                jnp.where(in_tail, my_tail_total[:, None],
+                          jnp.where(in_head, my_head_total[:, None],
+                                    locs)))
 
             # a start is GLOBAL iff it is a local is_start (position 0
             # already compares against the left neighbor)
-            return is_start, w_glob
+            return is_start, globs
+
+        def box_weights(level, active=None):
+            """(is_start, w_glob[, a_glob]) — the split-rule operands.
+            No-extent: one hoisted quantity (all particles count).
+            Extent: level-masked weights + active counts, two chained
+            quantities (mirrors ``_phase_a``'s with-extent branch)."""
+            if not with_ext:
+                is_start, globs = box_quantities(level, w[None])
+                return is_start, globs[0], None
+            wm = jnp.where(active & (stick > level), w, 0)
+            am = active.astype(jnp.int64)
+            is_start, globs = box_quantities(
+                level, jnp.stack([wm, am]))
+            return is_start, globs[0], globs[1]
 
         counts0 = jnp.zeros(depth + 2, jnp.int64)
 
@@ -235,14 +283,22 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
             def body(state):
                 level, _n_active, leaf_level, counts = state
                 active = leaf_level > depth
-                is_start, wg = box_weights(level)
-                # counts only particles still deciding; boxes are
-                # assigned whole (leaf level is a box property), so
-                # active is segment-constant
-                nonempty = (is_start & active).sum().astype(jnp.int64)
-                nonempty = lax.psum(nonempty, axis)
+                is_start, wg, ag = box_weights(level, active)
+                if with_ext:
+                    # a box is counted while ANY particle still
+                    # descends (mirrors _phase_a's nonempty_start)
+                    nonempty = (is_start & (ag > 0)).sum()
+                else:
+                    # counts only particles still deciding; boxes are
+                    # assigned whole (leaf level is a box property), so
+                    # active is segment-constant
+                    nonempty = (is_start & active).sum()
+                nonempty = lax.psum(nonempty.astype(jnp.int64), axis)
                 counts = counts.at[level].set(nonempty)
                 done = active & (wg <= max_weight)
+                if with_ext:
+                    done = active & ((wg <= max_weight)
+                                     | (stick <= level))
                 leaf_level = jnp.where(done, level.astype(jnp.int32),
                                        leaf_level)
                 n_act = lax.psum(
@@ -266,7 +322,7 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
 
             def body(state):
                 level, found, d_used, counts = state
-                is_start, wg = box_weights(level)
+                is_start, wg, _ag = box_weights(level)
                 nonempty = lax.psum(
                     is_start.sum().astype(jnp.int64), axis)
                 counts = counts.at[level].set(nonempty)
@@ -297,10 +353,15 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
     w_sh = jax.device_put(
         jnp.asarray(weights_s).reshape(nranks, per),
         NamedSharding(mesh, P(axis, None)))
+    args = [codes_sh, w_sh]
+    if with_ext:
+        args.append(jax.device_put(
+            jnp.asarray(stick_s).reshape(nranks, per),
+            NamedSharding(mesh, P(axis, None))))
     leaf, counts = jax.jit(_shard_map(
         step, mesh,
-        (P(axis, None), P(axis, None)),
-        (P(axis, None), P(axis, None))))(codes_sh, w_sh)
+        (P(axis, None),) * len(args),
+        (P(axis, None), P(axis, None))))(*args)
     return leaf.reshape(-1), np.asarray(counts)[0]
 
 
@@ -331,7 +392,8 @@ def sharded_restrict_leaf_levels(codes_s, leaf_level, mesh, *,
 
 
 def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
-                         dimensions, depth):
+                         dimensions, depth, is_src_s=None,
+                         with_extents=False):
     """Per-shard phase B box skeleton: each device materializes the box
     arrays for the boxes whose FIRST particle lies in its shard, with
     only O(nranks * nlevels) cross-device data.
@@ -361,6 +423,14 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
 
     :arg counts: host (depth + 2,) packed per-level box counts from
         :func:`sharded_leaf_levels`.
+    :arg is_src_s: optional sharded (n,) bool — "merged particle is a
+        source" flags in sorted order (separate-target trees, the
+        analogue of the reference's srcntgt merge,
+        ``boxtree/tree_build.py:324-403``).  When given, the chain
+        machinery carries a SECOND quantity (source counts) and the
+        output gains ``box_src_cumul`` (sources in each box's subtree)
+        and ``box_src_before`` (global sources before the box's first
+        particle — the source-starts prefix).
     :returns: dict of per-shard arrays (leading axis = rank, rows
         padded to a uniform capacity): ``box_id`` (global id, -1 pad),
         ``box_morton``, ``box_level``, ``box_start`` (global
@@ -391,11 +461,23 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
                       for lev in range(nlevels)) + nlevels))
     iota = np.arange(cap)
 
-    def step(codes, leaf):
+    with_src = is_src_s is not None
+    with_ext = bool(with_extents)
+
+    def step(codes, leaf, is_src=None):
         codes = codes[0]
         leaf = leaf[0].astype(jnp.int32)
         rank = lax.axis_index(axis).astype(jnp.int64)
         base = rank * per                                # global offset
+        if with_src:
+            is_src = is_src[0]
+            # global exclusive source prefix at local positions: one
+            # all_gather of per-shard totals (level-independent)
+            src_excl = jnp.concatenate(
+                [jnp.zeros(1, jnp.int64),
+                 jnp.cumsum(is_src.astype(jnp.int64))])
+            src_tot = lax.all_gather(src_excl[-1], axis)
+            src_off = (jnp.cumsum(src_tot) - src_tot)[rank]
 
         left_code = lax.ppermute(
             codes[-1], axis, [(i, i + 1) for i in range(nranks - 1)])
@@ -408,6 +490,10 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
         box_level = jnp.zeros(cap, jnp.int32)
         box_start = jnp.zeros(cap, jnp.int64)
         box_cumul = jnp.zeros(cap, jnp.int64)
+        box_src_cumul = jnp.zeros(cap, jnp.int64)
+        box_src_before = jnp.zeros(cap, jnp.int64)
+        box_deeper = jnp.zeros(cap, jnp.int64)
+        box_deeper_src = jnp.zeros(cap, jnp.int64)
         box_parent = jnp.full(cap, -1, jnp.int64)
         box_child = jnp.full((cap, nchild), -1, jnp.int64)
         nmine = jnp.int64(0)
@@ -446,28 +532,46 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
             mine = rowidx < nlocal
             reps_c = jnp.clip(reps, 0, per - 1)
 
-            # cumulative active-particle counts per local box; the last
-            # local box may continue into following shards
+            # cumulative per-box counts of every tracked QUANTITY
+            # (actives; plus active sources for separate-target trees;
+            # plus still-descending "deeper" particles — per kind — for
+            # extent trees, whose complement is the nonchild count):
+            # one chain, vectorized over quantities.  The last local
+            # box may continue into following shards.
+            quants = [active]
+            if with_src:
+                quants.append(active & is_src)
+            if with_ext:
+                deeper_m = active & (leaf > level)
+                quants.append(deeper_m)
+                if with_src:
+                    quants.append(deeper_m & is_src)
+            qv = jnp.stack(quants).astype(jnp.int64)     # (Q, per)
             cum0 = jnp.concatenate(
-                [jnp.zeros(1, jnp.int64),
-                 jnp.cumsum(active.astype(jnp.int64))])
+                [jnp.zeros((qv.shape[0], 1), jnp.int64),
+                 jnp.cumsum(qv, axis=1)], axis=1)        # (Q, per+1)
             nxt = jnp.concatenate(
                 [reps_c[1:], jnp.full(1, per, jnp.int64)])
             nxt = jnp.where(rowidx == nlocal - 1, per, nxt)
-            cumul = cum0[jnp.clip(nxt, 0, per)] - cum0[reps_c]
+            nxt_c = jnp.clip(nxt, 0, per)
+            cumuls = cum0[:, nxt_c] - cum0[:, reps_c]    # (Q, cap)
 
-            # chain summaries: actives before each shard's first start
-            # (= the continuation run of the box spanning its left
-            # boundary), its first prefix/active flag, has-any-start
+            # chain summaries: quantity totals before each shard's
+            # first start (= the continuation run of the box spanning
+            # its left boundary), its first prefix/active flag,
+            # has-any-start
             any_start = is_start.any()
             first_start_pos = jnp.where(any_start, reps_c[0], per)
-            head_act = cum0[jnp.clip(first_start_pos, 0, per)]
-            summ = jnp.stack([
-                pfx[0], head_act, any_start.astype(jnp.int64),
-                active[0].astype(jnp.int64)])
-            summs = lax.all_gather(summ, axis)           # (nranks, 4)
-            g_first, g_head = summs[:, 0], summs[:, 1]
-            g_any, g_factive = summs[:, 2], summs[:, 3]
+            fsp_c = jnp.clip(first_start_pos, 0, per)
+            heads = cum0[:, fsp_c]                       # (Q,)
+            summ = jnp.concatenate([
+                jnp.stack([pfx[0], any_start.astype(jnp.int64),
+                           active[0].astype(jnp.int64)]),
+                heads])
+            summs = lax.all_gather(summ, axis)       # (nranks, 3+Q)
+            g_first = summs[:, 0]
+            g_any, g_factive = summs[:, 1], summs[:, 2]
+            g_heads = summs[:, 3:]                   # (nranks, Q)
             ranks_i = jnp.arange(nranks, dtype=jnp.int64)
             after = ranks_i > rank
             brk = after & ((g_any == 1) | (g_first != pfx[-1])
@@ -477,10 +581,21 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
             link_ok = after & (g_first == pfx[-1]) & (g_factive == 1) \
                 & (chain == 0)
             # a start-free linked shard contributes ALL its actives
-            # (head_act there counts them: first_start_pos == per)
-            contrib = jnp.where(link_ok, g_head, 0).sum()
-            cumul = jnp.where(rowidx == nlocal - 1, cumul + contrib,
-                              cumul)
+            # (heads there count them: first_start_pos == per)
+            contribs = jnp.where(link_ok[:, None], g_heads,
+                                 0).sum(axis=0)          # (Q,)
+            cumuls = jnp.where((rowidx == nlocal - 1)[None],
+                               cumuls + contribs[:, None], cumuls)
+            cumul = cumuls[0]
+            qi = 1
+            if with_src:
+                cumul_src = cumuls[qi]
+                qi += 1
+            if with_ext:
+                deeper = cumuls[qi]
+                qi += 1
+                if with_src:
+                    deeper_src = cumuls[qi]
 
             gid = b0 + offset + rowidx                   # my global ids
             rows = nmine + rowidx                        # my table rows
@@ -495,6 +610,17 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
             box_start = box_start.at[srows].set(base + reps_c,
                                                 mode="drop")
             box_cumul = box_cumul.at[srows].set(cumul, mode="drop")
+            if with_src:
+                box_src_cumul = box_src_cumul.at[srows].set(
+                    cumul_src, mode="drop")
+                box_src_before = box_src_before.at[srows].set(
+                    src_off + src_excl[reps_c], mode="drop")
+            if with_ext:
+                box_deeper = box_deeper.at[srows].set(deeper,
+                                                      mode="drop")
+                if with_src:
+                    box_deeper_src = box_deeper_src.at[srows].set(
+                        deeper_src, mode="drop")
 
             if level > 0:
                 # parent global id = level base + (global level-(l-1)
@@ -540,25 +666,51 @@ def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
             prev_nlocal = nlocal
             nmine = nmine + nlocal
 
-        return (box_id[None], box_morton[None], box_level[None],
+        outs = (box_id[None], box_morton[None], box_level[None],
                 box_start[None], box_cumul[None], box_parent[None],
                 box_child[None], nmine[None])
+        if with_src:
+            outs = outs + (box_src_cumul[None], box_src_before[None])
+        if with_ext:
+            outs = outs + (box_deeper[None],)
+            if with_src:
+                outs = outs + (box_deeper_src[None],)
+        return outs
 
     codes_sh = jax.device_put(codes_s.reshape(nranks, per),
                               NamedSharding(mesh, P(axis, None)))
     leaf_sh = jax.device_put(
         jnp.asarray(leaf_level).reshape(nranks, per),
         NamedSharding(mesh, P(axis, None)))
-    outs = jax.jit(_shard_map(
-        step, mesh, (P(axis, None), P(axis, None)),
-        tuple([P(axis, None)] * 7 + [P(axis)])))(codes_sh, leaf_sh)
     keys = ("box_id", "box_morton", "box_level", "box_start",
             "box_count_cumul", "box_parent", "box_child", "nboxes")
+    nextra = 0
+    if with_src:
+        keys = keys + ("box_src_cumul", "box_src_before")
+        nextra += 2
+    if with_ext:
+        keys = keys + ("box_deeper",)
+        nextra += 1
+        if with_src:
+            keys = keys + ("box_deeper_src",)
+            nextra += 1
+    args = [codes_sh, leaf_sh]
+    if with_src:
+        args.append(jax.device_put(
+            jnp.asarray(is_src_s).reshape(nranks, per),
+            NamedSharding(mesh, P(axis, None))))
+    outs = jax.jit(_shard_map(
+        step, mesh, (P(axis, None),) * len(args),
+        tuple([P(axis, None)] * 7 + [P(axis)]
+              + [P(axis, None)] * nextra)))(*args)
     return dict(zip(keys, outs))
 
 
 def sharded_build_tree(particles, mesh, *, max_particles_in_box,
-                       kind="adaptive", return_skeleton=False):
+                       kind="adaptive", targets=None,
+                       source_radii=None, target_radii=None,
+                       stick_out_factor=None, extent_norm=None,
+                       return_skeleton=False):
     """Build a :class:`boxtree_tpu.Tree` through the sharded pipeline:
     per-shard Morton codes -> distributed key-value sample sort ->
     rebalance -> sharded leaf levels -> per-shard box skeleton, then
@@ -570,8 +722,20 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     single-device conventions bitwise.  All three tree *kinds* are
     supported (adaptive, non-adaptive, adaptive-level-restricted — the
     latter via :func:`sharded_restrict_leaf_levels`, see its scaling
-    caveat); extents are not (no-extent, sources-are-targets, unit
-    refine weights via ``max_particles_in_box``).  Particle-sized arrays
+    caveat), and so are SEPARATE TARGET trees (``targets=``: the
+    srcntgt merge of ``boxtree/tree_build.py:324-403`` — the is-source
+    flag rides the sort permutation, and the box skeleton's chain
+    machinery carries source counts as a second quantity), and EXTENT
+    trees (``source_radii``/``target_radii``: per-shard stick levels
+    ride the sort payload, the with-extent split rule runs through the
+    vectorized quantity chain of :func:`sharded_leaf_levels`, and a
+    second sharded sort re-orders particles by (masked code, leaf
+    level) so each box's nonchild particles precede its descendants —
+    the invariant of ``boxtree/tree_build_kernels.py:1013-1164``).
+    Refine weights beyond ``max_particles_in_box`` are not supported.
+    For separate-target trees the per-kind particle reorder maps are
+    currently assembled on the host (O(n) host work — the flagship
+    sources-are-targets config keeps them sharded).  Particle-sized arrays
     (coordinates, permutations, per-particle leaf boxes) stay sharded
     over the mesh end to end (:func:`..shard_sort.sharded_permute`);
     only the O(nboxes) box arrays are assembled on the host.
@@ -590,22 +754,85 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     if kind not in _TREE_KINDS:
         raise ValueError(f"unknown tree kind: '{kind}'")
     coords = jnp.asarray(particles)
-    dims, n = coords.shape
-    coord_dtype = coords.dtype
+    dims, nsources = coords.shape
+    sources_are_targets = targets is None
+    sources_have_extent = source_radii is not None
+    targets_have_extent = target_radii is not None
+    has_extents = sources_have_extent or targets_have_extent
+    if has_extents:
+        if targets is None:
+            raise ValueError(
+                "must specify targets when specifying any kind of radii")
+        if kind != "adaptive":
+            raise NotImplementedError(
+                "extents currently require kind='adaptive'")
+        if extent_norm is None:
+            extent_norm = "linf"
+        if extent_norm not in ("linf", "l2"):
+            raise ValueError(f"unexpected extent_norm: {extent_norm}")
+    if stick_out_factor is None:
+        stick_out_factor = 0.0
+    if sources_are_targets:
+        merged_pts = coords
+        ntargets = nsources
+    else:
+        tgt_coords = jnp.asarray(targets)
+        ntargets = tgt_coords.shape[1]
+        merged_pts = jnp.concatenate([coords, tgt_coords], axis=1)
+    n = merged_pts.shape[1]
+    coord_dtype = merged_pts.dtype
     nranks = mesh.devices.size
     if n % nranks:
         raise ValueError(f"n={n} not divisible by nranks={nranks}"
                          " (pad the input)")
     depth = config.max_morton_depth(dims)
 
+    if has_extents:
+        sr = (jnp.asarray(source_radii, coord_dtype)
+              if sources_have_extent
+              else jnp.zeros(nsources, coord_dtype))
+        tr = (jnp.asarray(target_radii, coord_dtype)
+              if targets_have_extent
+              else jnp.zeros(ntargets, coord_dtype))
+        merged_radii = jnp.concatenate([sr, tr])
+    else:
+        merged_radii = None
+
     codes, bbox_min, root_extent = sharded_morton_codes(
-        coords, mesh, depth=depth)
+        merged_pts, mesh, depth=depth, radii=merged_radii)
+
+    # first-sort payload: the original index, with the per-particle
+    # stick level (extent descent stop, a purely local computation)
+    # packed into spare high bits
+    payload = jnp.arange(n, dtype=jnp.int64)
+    if has_extents:
+        from boxtree_tpu.tree.build import _stick_levels
+        (axis_name,) = mesh.axis_names
+        bb_dev = jnp.asarray(bbox_min)
+
+        def stick_step(c, r):
+            s = _stick_levels(
+                c[0], r[0], bb_dev, root_extent, dimensions=dims,
+                depth=depth, extent_norm=extent_norm,
+                stick_out_factor=float(stick_out_factor))
+            return s[None]
+
+        stick = jax.jit(_shard_map(
+            stick_step, mesh,
+            (P(axis_name, None, None), P(axis_name, None)),
+            P(axis_name, None)))(
+            jax.device_put(
+                merged_pts.reshape(dims, nranks, -1).swapaxes(0, 1),
+                NamedSharding(mesh, P(axis_name, None, None))),
+            jax.device_put(
+                merged_radii.reshape(nranks, -1),
+                NamedSharding(mesh, P(axis_name, None)))).reshape(-1)
+        payload = payload | (stick.astype(jnp.int64) << jnp.int64(48))
 
     cf = 2.0
     for _ in range(6):
         merged, mvals, counts, ok = sharded_key_sort(
-            codes, mesh, vals=jnp.arange(n, dtype=jnp.int64),
-            capacity_factor=cf)
+            codes, mesh, vals=payload, capacity_factor=cf)
         if ok:
             break
         cf *= 2
@@ -626,11 +853,15 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
 
     codes_s = shards.reshape(-1)
     order = vshards.reshape(-1)
+    stick_s = None
+    if has_extents:
+        stick_s = (order >> jnp.int64(48)).astype(jnp.int32)
+        order = order & ((jnp.int64(1) << jnp.int64(48)) - 1)
 
     leaf_level, counts_and_unfit = sharded_leaf_levels(
         codes_s, jnp.ones(n, jnp.int64), mesh,
         max_weight=max_particles_in_box, dimensions=dims, depth=depth,
-        adaptive=(kind != "non-adaptive"))
+        adaptive=(kind != "non-adaptive"), stick_s=stick_s)
     counts_h, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
     if n_unfit:
         from boxtree_tpu.tree.build import MaxLevelsExceeded
@@ -644,8 +875,44 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
             max_level=int(np.max(np.nonzero(np.asarray(counts_h))[0])))
         counts_and_unfit = np.concatenate([counts_h, [0]])
 
-    skel = sharded_box_skeleton(codes_s, leaf_level, counts_and_unfit,
-                                mesh, dimensions=dims, depth=depth)
+    if has_extents:
+        # re-sort so every box's own (nonchild) particles precede its
+        # descendants' ranges: (masked code, leaf level) — the sharded
+        # form of ``_phase_b``'s with-extent re-sort
+        shift_bits = (jnp.int64(dims)
+                      * (jnp.int64(depth) - leaf_level.astype(jnp.int64)))
+        masked = (codes_s >> shift_bits) << shift_bits
+        cf = 2.0
+        for _ in range(6):
+            m2, vs2, counts2, ok = sharded_key_sort(
+                masked, mesh,
+                vals=(leaf_level.astype(jnp.int64), order),
+                num_keys=2, capacity_factor=cf)
+            if ok:
+                break
+            cf *= 2
+        else:
+            raise RuntimeError("extent re-sort bucket overflow at "
+                               f"capacity_factor={cf}")
+        radius = 2
+        while True:
+            shards2, v2, ok = sharded_rebalance(
+                m2, counts2, mesh, radius=radius, vals=vs2)
+            if ok:
+                break
+            if radius >= nranks:
+                raise RuntimeError("rebalance radius exhausted")
+            radius = min(2 * radius, nranks)
+        codes_s = shards2.reshape(-1)
+        leaf_level = v2[0].reshape(-1).astype(jnp.int32)
+        order = v2[1].reshape(-1)
+
+    skel = sharded_box_skeleton(
+        codes_s, leaf_level, counts_and_unfit, mesh, dimensions=dims,
+        depth=depth,
+        is_src_s=None if sources_are_targets
+        else (order < nsources),
+        with_extents=has_extents)
 
     # host assembly of the box arrays (O(nboxes))
     counts_h = np.asarray(counts_h)
@@ -688,15 +955,38 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     box_centers = (np.asarray(bbox_min)[:, None].astype(coord_dtype)
                    + (cells.astype(coord_dtype) + 0.5) * size)
 
-    # no-extent: leaf boxes own all their particles, internal boxes none
-    nonchild = np.where(has_children, 0, box_cumul)
+    # nonchild counts: without extents leaf boxes own all their
+    # particles and internal boxes none; with extents the "deeper"
+    # chain quantity gives each box's still-descending complement
+    if has_extents:
+        deeper = gathered("box_deeper")
+        nonchild = box_cumul - deeper
+    else:
+        deeper = None
+        nonchild = np.where(has_children, 0, box_cumul)
+    if sources_are_targets:
+        src_cumul = tgt_cumul = box_cumul
+        src_before = None
+        nonchild_src = nonchild_tgt = nonchild
+    else:
+        src_cumul = gathered("box_src_cumul")
+        src_before = gathered("box_src_before")
+        tgt_cumul = box_cumul - src_cumul
+        if has_extents:
+            deeper_src = gathered("box_deeper_src")
+            nonchild_src = src_cumul - deeper_src
+            nonchild_tgt = tgt_cumul - (deeper - deeper_src)
+        else:
+            nonchild_src = np.where(has_children, 0, src_cumul)
+            nonchild_tgt = np.where(has_children, 0, tgt_cumul)
     flags = np.where(
-        has_children & (box_cumul > nonchild),
-        box_flags_enum.HAS_SOURCE_CHILD_BOXES
-        | box_flags_enum.HAS_TARGET_CHILD_BOXES, 0).astype(np.int32)
+        has_children & (src_cumul > nonchild_src),
+        box_flags_enum.HAS_SOURCE_CHILD_BOXES, 0).astype(np.int32)
     flags |= np.where(
-        nonchild > 0,
-        box_flags_enum.IS_SOURCE_BOX | box_flags_enum.IS_TARGET_BOX, 0)
+        has_children & (tgt_cumul > nonchild_tgt),
+        box_flags_enum.HAS_TARGET_CHILD_BOXES, 0)
+    flags |= np.where(nonchild_src > 0, box_flags_enum.IS_SOURCE_BOX, 0)
+    flags |= np.where(nonchild_tgt > 0, box_flags_enum.IS_TARGET_BOX, 0)
     flags |= np.where(~has_children, box_flags_enum.IS_LEAF_BOX, 0)
 
     # particle-sized arrays stay sharded: one distributed permutation
@@ -709,7 +999,8 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     cf = 2.0
     for _ in range(6):
         src_sh, inv_sh, ok = sharded_permute(
-            order, jnp.asarray(coords).T, mesh, capacity_factor=cf)
+            order, jnp.asarray(merged_pts).T, mesh,
+            capacity_factor=cf)
         if ok:
             break
         cf *= 2
@@ -719,8 +1010,12 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
     sorted_target_ids = inv_sh.reshape(-1).astype(pid)
     sources = jnp.swapaxes(src_sh.reshape(n, dims), 0, 1)
 
-    # per-particle leaf box: the deepest box whose range contains it
-    leaf_ids = np.flatnonzero(~has_children)
+    # per-particle owning box: the box whose NONCHILD range contains
+    # the particle (without extents that is its leaf; with extents a
+    # particle can be nonchild of an internal box).  The nonchild
+    # ranges partition [0, n) and, restricted to nonempty ones, their
+    # starts strictly increase — one searchsorted per shard.
+    leaf_ids = np.flatnonzero(nonchild > 0)
     starts_leaf = box_start[leaf_ids]
     o = np.argsort(starts_leaf)
     leaf_sorted = jnp.asarray(leaf_ids[o].astype(config.box_id_dtype))
@@ -739,6 +1034,53 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         P(mesh.axis_names[0], None)))(
         jnp.zeros((nranks, 1), jnp.int32)).reshape(-1)
 
+    if sources_are_targets:
+        src_arr = tgt_arr = sources
+        user_source_ids = order.reshape(-1).astype(pid)
+        box_id_of_src = box_id_of_tgt = box_id_of
+        bss, bsc, bsn = box_start, box_cumul, nonchild
+        bts, btc, btn = box_start, box_cumul, nonchild
+    else:
+        # per-kind particle split (host O(n) index work + device
+        # gathers; see the docstring note)
+        order_h = np.asarray(order.reshape(-1))
+        is_src_h = order_h < nsources
+        pos_src = np.flatnonzero(is_src_h)
+        pos_tgt = np.flatnonzero(~is_src_h)
+        src_arr = sources[:, jnp.asarray(pos_src)]
+        tgt_arr = sources[:, jnp.asarray(pos_tgt)]
+        user_source_ids = jnp.asarray(
+            order_h[pos_src].astype(pid))
+        user_tgt = order_h[pos_tgt] - nsources
+        sti = np.empty(ntargets, np.int64)
+        sti[user_tgt] = np.arange(ntargets)
+        sorted_target_ids = jnp.asarray(sti.astype(pid))
+        box_of_merged = np.asarray(box_id_of)
+        box_id_of_src = jnp.asarray(box_of_merged[pos_src])
+        box_id_of_tgt = jnp.asarray(box_of_merged[pos_tgt])
+        bss, bsc, bsn = src_before, src_cumul, nonchild_src
+        bts = box_start - src_before
+        btc, btn = tgt_cumul, nonchild_tgt
+
+    src_radii_tree = tgt_radii_tree = None
+    sbb_min = sbb_max = tbb_min = tbb_max = None
+    if has_extents:
+        from boxtree_tpu.tree.build import _box_extents
+        sr_h = np.asarray(sr)
+        tr_h = np.asarray(tr)
+        src_radii_tree = jnp.asarray(
+            sr_h[np.asarray(user_source_ids)])
+        tgt_radii_tree = jnp.asarray(tr_h[user_tgt])
+        centers_dev = jnp.asarray(box_centers)
+        parents_dev = jnp.asarray(box_parent.astype(config.box_id_dtype))
+        lsb_t = tuple(int(x) for x in level_starts)
+        sbb_min, sbb_max = _box_extents(
+            src_arr, src_radii_tree if sources_have_extent else None,
+            box_id_of_src, centers_dev, parents_dev, lsb=lsb_t)
+        tbb_min, tbb_max = _box_extents(
+            tgt_arr, tgt_radii_tree if targets_have_extent else None,
+            box_id_of_tgt, centers_dev, parents_dev, lsb=lsb_t)
+
     tree = Tree(
         root_extent=root_extent,
         box_centers=jnp.asarray(box_centers),
@@ -751,32 +1093,34 @@ def sharded_build_tree(particles, mesh, *, max_particles_in_box,
         box_id_dtype=config.box_id_dtype,
         box_level_dtype=config.box_level_dtype,
         coord_dtype=np.dtype(coord_dtype),
-        sources_have_extent=False,
-        targets_have_extent=False,
-        extent_norm=None,
-        stick_out_factor=0.0,
+        sources_have_extent=sources_have_extent,
+        targets_have_extent=targets_have_extent,
+        extent_norm=extent_norm if has_extents else None,
+        stick_out_factor=float(stick_out_factor),
         _is_pruned=True,
         max_depth=depth,
-        sources_are_targets=True,
+        sources_are_targets=sources_are_targets,
         particle_id_dtype=pid,
-        sources=sources,
-        source_radii=None,
-        targets=sources,
-        target_radii=None,
-        user_source_ids=order.reshape(-1).astype(pid),
+        sources=src_arr,
+        source_radii=(src_radii_tree if sources_have_extent
+                      else None),
+        targets=tgt_arr,
+        target_radii=(tgt_radii_tree if targets_have_extent
+                      else None),
+        user_source_ids=user_source_ids,
         sorted_target_ids=sorted_target_ids,
-        box_source_starts=jnp.asarray(box_start.astype(pid)),
-        box_source_counts_nonchild=jnp.asarray(nonchild.astype(pid)),
-        box_source_counts_cumul=jnp.asarray(box_cumul.astype(pid)),
-        box_target_starts=jnp.asarray(box_start.astype(pid)),
-        box_target_counts_nonchild=jnp.asarray(nonchild.astype(pid)),
-        box_target_counts_cumul=jnp.asarray(box_cumul.astype(pid)),
-        box_source_bounding_box_min=None,
-        box_source_bounding_box_max=None,
-        box_target_bounding_box_min=None,
-        box_target_bounding_box_max=None,
-        box_id_of_source=box_id_of,
-        box_id_of_target=box_id_of,
+        box_source_starts=jnp.asarray(bss.astype(pid)),
+        box_source_counts_nonchild=jnp.asarray(bsn.astype(pid)),
+        box_source_counts_cumul=jnp.asarray(bsc.astype(pid)),
+        box_target_starts=jnp.asarray(bts.astype(pid)),
+        box_target_counts_nonchild=jnp.asarray(btn.astype(pid)),
+        box_target_counts_cumul=jnp.asarray(btc.astype(pid)),
+        box_source_bounding_box_min=sbb_min,
+        box_source_bounding_box_max=sbb_max,
+        box_target_bounding_box_min=tbb_min,
+        box_target_bounding_box_max=tbb_max,
+        box_id_of_source=box_id_of_src,
+        box_id_of_target=box_id_of_tgt,
     )
     return (tree, skel) if return_skeleton else tree
 
@@ -894,14 +1238,23 @@ def sharded_neighbor_table(tree, skel, mesh):
                            jnp.where(hit.any(axis=1)[:, None],
                                      pn_halo, np.int32(-1)))
 
+            # CLAMPED recurrence (matches build_neighbor_table, r4):
+            # child lookups are meaningful only where the parent-level
+            # entry is actually AT the parent level; where the needed
+            # child is absent, the parent-level entry itself
+            # propagates down (the finest coarser covering box)
             pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)
+            at_plev = (pn >= 0) & (pid >= np.int64(
+                tree.level_start_box_nrs[lev - 1]))
             ch = child_ent[pid]                     # (cap, m, 2^d)
-            ch = jnp.where((pn >= 0)[:, :, None], ch, np.int32(-1))
+            ch = jnp.where(at_plev[:, :, None], ch, np.int32(-1))
             cols = pcol_j[digit]                    # (cap, m)
             digs = cdig_j[digit]
             rows = jnp.take_along_axis(
                 ch.reshape(cap, m * nchild),
                 cols * nchild + digs, axis=1)       # (cap, m)
+            pn_at_col = jnp.take_along_axis(pn, cols, axis=1)
+            rows = jnp.where(rows >= 0, rows, pn_at_col)
             buf = jnp.where(mine[:, None], rows, buf)
 
         return buf[None]
@@ -952,6 +1305,8 @@ def sharded_l1_edges(tree, skel, ntable_rows, mesh):
     prefixes = jnp.asarray(tree.box_morton_prefixes)
     parents = jnp.asarray(tree.box_parent_ids).astype(jnp.int64)
     col_w = jnp.asarray(3 ** (d - 1 - np.arange(d)), jnp.int64)
+    lsb_arr = jnp.asarray(np.asarray(tree.level_start_box_nrs,
+                                     np.int64))
 
     box_id = skel["box_id"]
     box_level = skel["box_level"]
@@ -979,9 +1334,18 @@ def sharded_l1_edges(tree, skel, ntable_rows, mesh):
 
         keys = []
 
+        def at_level(ent, lev):
+            """Exact-level filter for the CLAMPED table rows (r4): an
+            entry deeper than a coarser fallback has id >= the level's
+            start (ids are level-major; row entries are never deeper
+            than the probed level)."""
+            return ((ent & ID_MASK).astype(jnp.int64)
+                    >= lsb_arr[jnp.clip(lev, 0)][:, None])
+
         # same-level part: the whole neighbor row touches the box
         ent = nrows
-        ok = is_tgt[:, None] & (ent >= 0) & ((ent & SRC_BIT) != 0)
+        ok = (is_tgt[:, None] & (ent >= 0) & ((ent & SRC_BIT) != 0)
+              & at_level(ent, blev))
         keys.append(jnp.where(
             ok, tgt_hi[:, None] | (ent & ID_MASK).astype(jnp.int64),
             _INVALID_KEY))
@@ -995,10 +1359,11 @@ def sharded_l1_edges(tree, skel, ntable_rows, mesh):
                 jnp.arange(cap), jnp.clip(blev - s, 0)], -1),
                 blev - s)
             ent = jnp.take_along_axis(rows_a, col, axis=1)  # (cap, 2^d)
+            lev_ok = at_level(ent, blev - s)
 
             # target side: I am the (finer) target, window boxes are
             # coarser sources
-            ok = (is_tgt[:, None] & deep[:, None] & dvalid
+            ok = (is_tgt[:, None] & deep[:, None] & dvalid & lev_ok
                   & (ent >= 0) & ((ent & SRC_BIT) != 0))
             keys.append(jnp.where(
                 ok, tgt_hi[:, None] | (ent & ID_MASK).astype(jnp.int64),
@@ -1006,7 +1371,7 @@ def sharded_l1_edges(tree, skel, ntable_rows, mesh):
 
             # source side: I am the (finer) source, window boxes are
             # coarser targets
-            ok = (is_src[:, None] & deep[:, None] & dvalid
+            ok = (is_src[:, None] & deep[:, None] & dvalid & lev_ok
                   & (ent >= 0) & ((ent & TGT_BIT) != 0))
             keys.append(jnp.where(
                 ok, ((ent & ID_MASK).astype(jnp.int64) << np.int64(32))
@@ -1063,6 +1428,10 @@ def sharded_l2_edges(tree, skel, ntable_rows, mesh):
     box_id = skel["box_id"]
     cap = box_id.shape[1]
 
+    box_levels_g = jnp.asarray(tree.box_levels).astype(jnp.int64)
+    lsb_arr = jnp.asarray(np.asarray(tree.level_start_box_nrs,
+                                     np.int64))
+
     def step(bid, nrows):
         bid = bid[0].astype(jnp.int64)              # (cap,), -1 pad
         nrows = nrows[0]                            # (cap, 3^d)
@@ -1070,8 +1439,11 @@ def sharded_l2_edges(tree, skel, ntable_rows, mesh):
         pn = jnp.where(valid[:, None], nrows, np.int32(-1))
         own = jnp.where(valid[:, None],
                         child_rows[jnp.clip(bid, 0)], np.int32(0))
+        # clamped table rows (r4): filter coarser fallback entries out
+        # of the parent row via the per-row level start
+        min_id = lsb_arr[box_levels_g[jnp.clip(bid, 0)]]
         cand, own = list2_from_parent_rows(pn, own, child_rows,
-                                           dimensions=d)
+                                           dimensions=d, min_id=min_id)
         ok = ((cand >= 0) & (own > 0)[..., None]
               & is_totp[jnp.clip(own, 0).astype(jnp.int64)][..., None])
         keys = jnp.where(
@@ -1200,6 +1572,8 @@ def sharded_l3l4_edges(tree, skel, ntable_rows, mesh):
                           | _F.HAS_TARGET_CHILD_BOXES)) != 0
     offs = jnp.asarray(_offsets1(d).T)          # (d, m)
     col_w = jnp.asarray(3 ** (d - 1 - np.arange(d)), jnp.int64)
+    lsb_arr2 = jnp.asarray(np.asarray(tree.level_start_box_nrs,
+                                      np.int64))
 
     box_id = skel["box_id"]
     box_level = skel["box_level"]
@@ -1231,28 +1605,38 @@ def sharded_l3l4_edges(tree, skel, ntable_rows, mesh):
                 flat, _INVALID_KEY).astype(jnp.int64)
 
         # slnws: own row minus the center column, no cross-shard reads
+        # (clamped coarser fallback entries filtered by the one
+        # level-start compare, like fgen_slnws)
         srow = jnp.where(valid[:, None], nrows, np.int32(-1))
         keep = np.arange(m) != m // 2
         srow = srow[:, keep]
+        s_ok = (srow >= 0) & ((srow & ID_MASK).astype(jnp.int64)
+                              >= lsb_arr2[jnp.clip(blev, 0)][:, None])
         s_keys, s_count = pack([jnp.where(
-            srow >= 0, tgt_hi | (srow & ID_MASK).astype(jnp.int64),
+            s_ok, tgt_hi | (srow & ID_MASK).astype(jnp.int64),
             _INVALID_KEY)])
 
         l3_keys, l4_keys = [], []
+
+        def at_level(ent, lev):
+            """Exact-level filter for the CLAMPED table rows (r4)."""
+            return ((ent & ID_MASK).astype(jnp.int64)
+                    >= lsb_arr2[jnp.clip(lev, 0)][:, None])
 
         # parent's full neighbor row (candidate level = blev - 1);
         # the touch test's level shift is statically 1 for every box
         prow = row_of(jnp.where(valid & (blev >= 1), par, -1),
                       blev - 1)                             # (cap, m)
+        plev_ok = at_level(prow, blev - 1)
         touch1 = _touch_off(offs[:, None, :], 0,
                             _low_bits(cells, 1)[:, :, None], 1)
         ok = ((blev >= 1) & has_src)[:, None] & (prow >= 0) \
-            & ((prow & TGT_BIT) != 0) & ~touch1
+            & ((prow & TGT_BIT) != 0) & ~touch1 & plev_ok
         l3_keys.append(jnp.where(
             ok, ((prow & ID_MASK).astype(jnp.int64) << np.int64(32))
             | w_lo, _INVALID_KEY))
         ok = ((blev >= 2) & is_totp)[:, None] & (prow >= 0) \
-            & ((prow & SRC_BIT) != 0) & ~touch1
+            & ((prow & SRC_BIT) != 0) & ~touch1 & plev_ok
         l4_keys.append(jnp.where(
             ok, tgt_hi | (prow & ID_MASK).astype(jnp.int64),
             _INVALID_KEY))
@@ -1269,7 +1653,8 @@ def sharded_l3l4_edges(tree, skel, ntable_rows, mesh):
             cand = jnp.take_along_axis(arow, col, axis=1)   # (cap, 2^d)
             toucht = _touch_off(
                 delta, 0, _low_bits(cells, t + 1)[:, :, None], t + 1)
-            base = dvalid & (cand >= 0) & ~toucht
+            base = dvalid & (cand >= 0) & ~toucht \
+                & at_level(cand, alev)
             ok = base & (has_src & (alev >= 0))[:, None] \
                 & ((cand & TGT_BIT) != 0)
             l3_keys.append(jnp.where(

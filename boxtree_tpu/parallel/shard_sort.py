@@ -44,16 +44,20 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0,
-                     vals=None):
+                     vals=None, num_keys=1):
     """Sort int64 *keys* distributed over the 1D *mesh*.
 
     :arg keys: (n,) int64, n divisible by the mesh size (pad with
         ``jnp.iinfo(jnp.int64).max`` if needed; padding sorts last).
-    :arg vals: optional (n,) int64 payload carried through the sort
-        (key-value sort; e.g. particle ids, so the caller can apply the
-        sort permutation to coordinates).  Ties keep input order (every
-        constituent ``lax.sort`` is stable and buckets travel in rank
-        order).
+    :arg vals: optional (n,) int64 payload — or a TUPLE of such —
+        carried through the sort (key-value sort; e.g. particle ids, so
+        the caller can apply the sort permutation to coordinates).
+        Ties keep input order (every constituent ``lax.sort`` is stable
+        and buckets travel in rank order).
+    :arg num_keys: with ``num_keys=2`` the first *vals* entry acts as a
+        SECONDARY sort key (splitters and bucketing still use the
+        primary key only — all equal primary keys land in one bucket,
+        so the local merge establishes the full (k1, k2) order).
     :returns: ``(sorted_padded, counts, ok)`` — per-device padded
         sorted shards of shape (nranks, nranks * slot) where ``slot ≈
         capacity_factor * per / nranks`` (per-device memory stays
@@ -62,7 +66,7 @@ def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0,
         (device, destination) bucket overflowed its slot (retry with a
         larger factor).  Concatenating ``sorted_padded[d, :counts[d]]``
         over devices yields the globally sorted sequence.  With *vals*,
-        returns ``(sorted_padded, vals_padded, counts, ok)``.
+        returns ``(sorted_padded, *vals_padded, counts, ok)``.
     """
     (axis,) = mesh.axis_names
     nranks = mesh.devices.size
@@ -72,15 +76,22 @@ def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0,
     per = n // nranks
     cap = int(np.ceil(capacity_factor * per / nranks))
     nsamp = min(per, oversample)
-    with_vals = vals is not None
+    if vals is None:
+        vals_t = ()
+    elif isinstance(vals, (tuple, list)):
+        vals_t = tuple(vals)
+    else:
+        vals_t = (vals,)
+    nvals = len(vals_t)
+    if num_keys > 1 + nvals:
+        raise ValueError("num_keys exceeds 1 + len(vals)")
 
-    def step(local, lvals=None):
-        if with_vals:
-            local, lvals = lax.sort((local[0], lvals[0]), num_keys=1)
-        else:
-            local = lax.sort(local[0])                 # (per,)
+    def step(local, *lvals):
+        srt = lax.sort((local[0], *(v[0] for v in lvals)),
+                       num_keys=num_keys)
+        local, lvals = srt[0], srt[1:]
 
-        # splitters from the sorted global sample
+        # splitters from the sorted global sample (primary key only)
         stride = max(1, per // nsamp)
         sample = local[::stride][:nsamp]
         allsamp = lax.sort(lax.all_gather(sample, axis).reshape(-1))
@@ -103,35 +114,37 @@ def sharded_key_sort(keys, mesh, *, oversample=64, capacity_factor=2.0,
         send = jnp.where(valid, local[rows_c], _PAD)
 
         recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
-        if with_vals:
-            vsend = jnp.where(valid, lvals[rows_c], 0)
-            vrecv = lax.all_to_all(vsend, axis, 0, 0, tiled=False)
-            merged, mvals = lax.sort(
-                (recv.reshape(-1), vrecv.reshape(-1)), num_keys=1)
-        else:
-            merged = lax.sort(recv.reshape(-1))        # (nranks*cap,)
+        vrecvs = []
+        for v in lvals:
+            vsend = jnp.where(valid, v[rows_c], 0)
+            vrecvs.append(lax.all_to_all(vsend, axis, 0, 0,
+                                         tiled=False).reshape(-1))
+        srt = lax.sort((recv.reshape(-1), *vrecvs), num_keys=num_keys)
+        merged, mvals = srt[0], srt[1:]
         count = (merged != _PAD).sum()
 
         # capacity check must survive across devices
         ok = lax.psum(ok.astype(jnp.int32), axis) == nranks
-        outs = (merged[None], count[None], ok[None])
-        if with_vals:
-            outs = (merged[None], mvals[None], count[None], ok[None])
-        return outs
+        return (merged[None], *(v[None] for v in mvals),
+                count[None], ok[None])
 
     spec = NamedSharding(mesh, P(axis, None))
     keys = jax.device_put(keys.reshape(nranks, per), spec)
-    if with_vals:
-        vals = jax.device_put(
-            jnp.asarray(vals).reshape(nranks, per), spec)
-        merged, mvals, counts, oks = jax.jit(_shard_map(
-            step, mesh, (P(axis, None), P(axis, None)),
-            (P(axis, None), P(axis, None), P(axis), P(axis))))(keys, vals)
-        return merged, mvals, counts, bool(np.asarray(oks).all())
-    merged, counts, oks = jax.jit(_shard_map(
-        step, mesh, (P(axis, None),),
-        (P(axis, None), P(axis), P(axis))))(keys)
-    return merged, counts, bool(np.asarray(oks).all())
+    vals_sh = tuple(
+        jax.device_put(jnp.asarray(v).reshape(nranks, per), spec)
+        for v in vals_t)
+    outs = jax.jit(_shard_map(
+        step, mesh, (P(axis, None),) * (1 + nvals),
+        tuple([P(axis, None)] * (1 + nvals) + [P(axis), P(axis)])))(
+        keys, *vals_sh)
+    merged, mvals = outs[0], outs[1:1 + nvals]
+    counts, oks = outs[-2], outs[-1]
+    ok = bool(np.asarray(oks).all())
+    if vals is None:
+        return merged, counts, ok
+    if nvals == 1 and not isinstance(vals, (tuple, list)):
+        return merged, mvals[0], counts, ok
+    return merged, mvals, counts, ok
 
 
 def sharded_rebalance(merged, counts, mesh, *, radius=2, vals=None):
@@ -150,11 +163,13 @@ def sharded_rebalance(merged, counts, mesh, *, radius=2, vals=None):
     :arg merged: (nranks, L) padded sorted shards from the sample sort.
     :arg counts: (nranks,) per-device valid counts; ``sum(counts)``
         must be divisible by nranks.
-    :arg vals: optional (nranks, L) payload shards to carry along.
+    :arg vals: optional (nranks, L) payload shards — or a TUPLE of
+        such — to carry along.
     :returns: ``(shards, ok)`` — (nranks, per) equalized shards and a
         bool that is False iff some key needed to travel farther than
         *radius* ranks (retry with a larger radius).  With *vals*,
-        ``(shards, val_shards, ok)``.
+        ``(shards, val_shards, ok)`` (val_shards a tuple iff *vals*
+        was).
     """
     (axis,) = mesh.axis_names
     nranks = mesh.devices.size
@@ -164,10 +179,16 @@ def sharded_rebalance(merged, counts, mesh, *, radius=2, vals=None):
         raise ValueError(f"total={n} not divisible by nranks={nranks}")
     per = n // nranks
     big = merged.shape[1]
-    with_vals = vals is not None
+    if vals is None:
+        vals_t = ()
+    elif isinstance(vals, (tuple, list)):
+        vals_t = tuple(vals)
+    else:
+        vals_t = (vals,)
+    nvals = len(vals_t)
     per64 = np.int64(per)
 
-    def step(buf, cnt, vbuf=None):
+    def step(buf, cnt, *vbufs):
         buf = buf[0]                                   # (big,)
         c = cnt[0, 0].astype(jnp.int64)
         rank = lax.axis_index(axis).astype(jnp.int64)
@@ -182,10 +203,10 @@ def sharded_rebalance(merged, counts, mesh, *, radius=2, vals=None):
 
         i = jnp.arange(per, dtype=jnp.int64)
         out = jnp.full(per, _PAD)
-        vout = jnp.zeros(per, jnp.int64) if with_vals else None
+        vouts = [jnp.zeros(per, jnp.int64) for _ in range(nvals)]
         bufp = jnp.concatenate([buf, jnp.full(per, _PAD)])
-        vbufp = (jnp.concatenate([vbuf[0], jnp.zeros(per, jnp.int64)])
-                 if with_vals else None)
+        vbufps = [jnp.concatenate([v[0], jnp.zeros(per, jnp.int64)])
+                  for v in vbufs]
 
         for j in range(-radius, radius + 1):
             t = rank + j                               # my destination
@@ -195,44 +216,40 @@ def sharded_rebalance(merged, counts, mesh, *, radius=2, vals=None):
                            jnp.maximum(g1 - g0, 0), 0)
             sl = jnp.clip(g0 - off, 0, big)
             seg = lax.dynamic_slice(bufp, (sl,), (per,))
-            vseg = (lax.dynamic_slice(vbufp, (sl,), (per,))
-                    if with_vals else None)
+            vsegs = [lax.dynamic_slice(v, (sl,), (per,))
+                     for v in vbufps]
             hdr = jnp.stack([g0, ln])
             if j != 0:
                 pairs = [(s, s + j) for s in range(nranks)
                          if 0 <= s + j < nranks]
                 seg = lax.ppermute(seg, axis, pairs)
                 hdr = lax.ppermute(hdr, axis, pairs)
-                if with_vals:
-                    vseg = lax.ppermute(vseg, axis, pairs)
+                vsegs = [lax.ppermute(v, axis, pairs) for v in vsegs]
             t0 = hdr[0] - rank * per64
             sel = (i >= t0) & (i < t0 + hdr[1])
             src = jnp.clip(i - t0, 0, per - 1)
             out = jnp.where(sel, seg[src], out)
-            if with_vals:
-                vout = jnp.where(sel, vseg[src], vout)
+            vouts = [jnp.where(sel, vseg[src], vout)
+                     for vseg, vout in zip(vsegs, vouts)]
 
-        outs = (out[None], ok[None])
-        if with_vals:
-            outs = (out[None], vout[None], ok[None])
-        return outs
+        return (out[None], *(v[None] for v in vouts), ok[None])
 
     spec = NamedSharding(mesh, P(axis, None))
     merged = jax.device_put(merged, spec)
     counts = jax.device_put(jnp.asarray(counts).reshape(nranks, 1),
                             NamedSharding(mesh, P(axis, None)))
-    if with_vals:
-        vals = jax.device_put(vals, spec)
-        out, vout, oks = jax.jit(_shard_map(
-            step, mesh,
-            (P(axis, None), P(axis, None), P(axis, None)),
-            (P(axis, None), P(axis, None), P(axis))))(merged, counts,
-                                                      vals)
-        return out, vout, bool(np.asarray(oks).all())
-    out, oks = jax.jit(_shard_map(
-        step, mesh, (P(axis, None), P(axis, None)),
-        (P(axis, None), P(axis))))(merged, counts)
-    return out, bool(np.asarray(oks).all())
+    vals_sh = tuple(jax.device_put(v, spec) for v in vals_t)
+    outs = jax.jit(_shard_map(
+        step, mesh, (P(axis, None),) * (2 + nvals),
+        tuple([P(axis, None)] * (1 + nvals) + [P(axis)])))(
+        merged, counts, *vals_sh)
+    out, vouts, oks = outs[0], outs[1:1 + nvals], outs[-1]
+    ok = bool(np.asarray(oks).all())
+    if vals is None:
+        return out, ok
+    if nvals == 1 and not isinstance(vals, (tuple, list)):
+        return out, vouts[0], ok
+    return out, vouts, ok
 
 
 def sharded_permute(order, data, mesh, *, capacity_factor=2.0):

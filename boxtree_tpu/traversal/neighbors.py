@@ -367,7 +367,10 @@ def list2_from_parent_rows(pn, own, child_rows, *, dimensions, min_id=0,
     # (stacking the (j, q) lanes individually explodes the op count —
     # 7000 concats at n_away=2, measured 36 s/2e6 + 10-min compiles)
     pid = (jnp.clip(pn, 0) & ID_MASK).astype(jnp.int64)  # (B, m)
-    ok = (pn >= 0) & (pid >= np.int64(min_id))
+    min_id_a = jnp.asarray(min_id, jnp.int64)
+    if min_id_a.ndim == 1:                  # per-row (sharded caller)
+        min_id_a = min_id_a[:, None]
+    ok = (pn >= 0) & (pid >= min_id_a)
     ch = child_rows[pid]                                 # (B, m, 2^d)
     cand_all = jnp.where(
         ok[..., None] & (ch > 0), ch, -1).reshape(pn.shape[0],

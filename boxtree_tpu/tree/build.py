@@ -143,7 +143,20 @@ def _phase_a(coords, weights, radii, bbox_min_in, root_extent_in,
     codes = morton.encode_points(coords, bbox_min, root_extent, depth)
 
     iota32 = jnp.arange(n, dtype=jnp.int32)
-    codes_s, order = lax.sort((codes, iota32), num_keys=1)
+    iota_bits = max(1, int(n - 1).bit_length())
+    if dimensions * depth + iota_bits <= 63:
+        # pack the tie-break index into the key's low bits: ONE
+        # key-only int64 sort (~6.6 ns/elem) instead of the key-value
+        # sort (~33 ns/elem, doc/PERF.md primitive table).  Identical
+        # result: lexicographic (codes, iota) order either way.
+        packed = lax.sort((codes << jnp.int64(iota_bits))
+                          | iota32.astype(jnp.int64))
+        codes_s = packed >> jnp.int64(iota_bits)
+        order = (packed
+                 & ((jnp.int64(1) << jnp.int64(iota_bits)) - 1)
+                 ).astype(jnp.int32)
+    else:
+        codes_s, order = lax.sort((codes, iota32), num_keys=1)
 
     w_s = weights[order].astype(jnp.int64)
     if has_extents:
@@ -611,7 +624,17 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
     else:
         bbox_min_in = np.zeros(dimensions, coord_dtype)
         root_extent_in = 1.0
-    depth = config.max_morton_depth(dimensions)
+    depth_full = config.max_morton_depth(dimensions)
+    # shallow first attempt so the Morton sort's tie-break index packs
+    # into the key (ONE int64 sort instead of a ~5x key-value sort);
+    # a distribution needing more levels trips the unfit count and
+    # retries at full depth.  Extent trees always use full depth (a
+    # shallow stick level would silently CHANGE the tree, not fail).
+    iota_bits = max(1, int(n - 1).bit_length())
+    if has_extents:
+        depth = depth_full
+    else:
+        depth = max(min(depth_full, (63 - iota_bits) // dimensions), 1)
 
     import os as _os
     import time as _time
@@ -625,21 +648,28 @@ def build_tree(particles, kind="adaptive", max_particles_in_box=None,
 
     _t = _time.perf_counter() if _timing else None
 
-    (codes_s, order, leaf_level, counts_and_unfit, bbox_min,
-     root_extent) = _phase_a(
-        merged, weights, merged_radii, jnp.asarray(bbox_min_in),
-        root_extent_in, max_weight, float(stick_out_factor),
-        dimensions=dimensions, depth=depth,
-        adaptive=(kind != "non-adaptive"), use_bbox=bbox is not None,
-        has_extents=has_extents, extent_norm=extent_norm)
+    while True:
+        (codes_s, order, leaf_level, counts_and_unfit, bbox_min,
+         root_extent) = _phase_a(
+            merged, weights, merged_radii, jnp.asarray(bbox_min_in),
+            root_extent_in, max_weight, float(stick_out_factor),
+            dimensions=dimensions, depth=depth,
+            adaptive=(kind != "non-adaptive"), use_bbox=bbox is not None,
+            has_extents=has_extents, extent_norm=extent_norm)
 
-    _toc("phase_a", _t, codes_s)
-    _t = _time.perf_counter() if _timing else None
-    counts_and_unfit = jax.device_get(counts_and_unfit)
-    _toc("host_counts", _t)
-    _t = _time.perf_counter() if _timing else None
-    counts, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
-    if n_unfit:
+        _toc("phase_a", _t, codes_s)
+        _t = _time.perf_counter() if _timing else None
+        counts_and_unfit = jax.device_get(counts_and_unfit)
+        _toc("host_counts", _t)
+        _t = _time.perf_counter() if _timing else None
+        counts, n_unfit = counts_and_unfit[:-1], int(counts_and_unfit[-1])
+        if not n_unfit:
+            break
+        if depth < depth_full:
+            # shallow fast path exhausted its levels: this
+            # distribution genuinely needs the full Morton depth
+            depth = depth_full
+            continue
         raise MaxLevelsExceeded(
             f"{n_unfit} particles remain in overfull boxes at the deepest "
             f"representable level ({depth})")

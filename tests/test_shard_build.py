@@ -540,3 +540,81 @@ def test_sharded_traversal_lists(mesh):
             owned = box_id[r][box_id[r] >= 0]
             assert np.isin(
                 merged[r, :totals[r]] >> 32, owned).all(), name
+
+
+def test_sharded_build_tree_separate_targets(mesh):
+    """Separate-target trees build sharded, field-for-field equal to
+    the single-device srcntgt-merged build (reference merge:
+    ``boxtree/tree_build.py:324-403``), and drive the counting FMM to
+    exact completeness."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import sharded_build_tree
+
+    rng = np.random.default_rng(73)
+    dims, mpb = 3, 30
+    nsrc, ntgt = 5 << 10, 3 << 10
+    src = rng.random((dims, nsrc))
+    tgt = np.concatenate([
+        rng.random((dims, ntgt // 2)) * 0.1 + 0.4,
+        rng.random((dims, ntgt // 2)),
+    ], axis=1)
+
+    tree_s = sharded_build_tree(src, mesh, targets=tgt,
+                                max_particles_in_box=mpb)
+    tree = build_tree(src, targets=tgt, max_particles_in_box=mpb)
+    _assert_trees_equal(tree_s, tree)
+    np.testing.assert_array_equal(
+        np.asarray(tree_s.targets), np.asarray(tree.targets))
+    np.testing.assert_array_equal(
+        np.asarray(tree_s.box_target_counts_nonchild),
+        np.asarray(tree.box_target_counts_nonchild))
+
+    from boxtree_tpu.fmm import drive_fmm
+    from boxtree_tpu.models.constant_one import (
+        ConstantOneExpansionWrangler,
+        ConstantOneTreeIndependentDataForWrangler)
+    from boxtree_tpu.traversal import build_traversal
+    trav = build_traversal(tree_s)
+    pot = drive_fmm(ConstantOneExpansionWrangler(
+        ConstantOneTreeIndependentDataForWrangler(), trav),
+        (jnp.ones(nsrc),))
+    np.testing.assert_allclose(np.asarray(pot), nsrc, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("which", ["target", "both"])
+def test_sharded_build_tree_extents(mesh, which):
+    """Extent trees (radii + stick-out) build sharded, field-for-field
+    equal to the single-device build: with-extent split rule, the
+    (masked code, leaf level) re-sort, per-kind nonchild counts and
+    box bounding boxes (reference: ``tree_build_kernels.py:388-452``,
+    ``:1013-1164``)."""
+    from boxtree_tpu import build_tree
+    from boxtree_tpu.parallel.shard_build import sharded_build_tree
+
+    rng = np.random.default_rng(79)
+    dims, mpb = 3, 30
+    nsrc, ntgt = 3 << 10, 1 << 10
+    src = rng.random((dims, nsrc))
+    tgt = rng.random((dims, ntgt))
+    tgt_r = 0.02 * rng.random(ntgt)
+    src_r = 0.01 * rng.random(nsrc) if which == "both" else None
+
+    kw = dict(targets=tgt, target_radii=tgt_r, source_radii=src_r,
+              stick_out_factor=0.25, max_particles_in_box=mpb)
+    tree_s = sharded_build_tree(src, mesh, **kw)
+    tree = build_tree(src, **kw)
+    _assert_trees_equal(tree_s, tree)
+    for field in ("targets", "box_target_counts_nonchild",
+                  "source_radii", "target_radii"):
+        a, b = getattr(tree_s, field), getattr(tree, field)
+        if b is None:
+            assert a is None, field
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=field)
+    for field in ("box_source_bounding_box_min",
+                  "box_target_bounding_box_max"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tree_s, field)),
+            np.asarray(getattr(tree, field)), rtol=1e-13,
+            err_msg=field)
