@@ -50,6 +50,107 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                      out_specs=out_specs)
 
 
+def _chain_seg_quantities(pfx, left_pfx, vals, *, axis, nranks):
+    """Per-position GLOBAL totals of each row of *vals* (Q, per) over
+    equal-*pfx* segments of the shard-sorted keys, with the
+    spanning-segment chain fix-up across shard boundaries (one
+    ``all_gather`` of O(Q) scalars per shard).  *left_pfx* is the left
+    neighbor's last prefix (any negative sentinel on rank 0).
+
+    Returns ``(is_start, globs)`` — the segment-start mask (position 0
+    compares against *left_pfx*, so a start is global) and the (Q, per)
+    per-position global segment totals.  Shared by the sharded
+    leaf-level split rule, the box-skeleton counts and the level-
+    restriction sweep."""
+    per = pfx.shape[0]
+    nq = vals.shape[0]
+    rank = lax.axis_index(axis).astype(jnp.int64)
+    is_start = jnp.concatenate(
+        [(pfx[:1] != left_pfx), pfx[1:] != pfx[:-1]])
+    # local per-segment totals (scan-only), per quantity
+    cums = jnp.cumsum(vals, axis=1)
+    locs = jnp.stack([
+        _seg_totals(cums[q], vals[q], is_start, cums[q, -1])
+        for q in range(nq)])
+
+    # boundary fix-up from gathered shard summaries
+    first_start = jnp.argmax(is_start)          # 0 if none
+    any_start = is_start.any()
+    head_end = jnp.where(any_start, first_start, per)
+    head_sum = jnp.where(jnp.arange(per)[None] < head_end,
+                         vals, 0).sum(axis=1)   # (Q,)
+    last_start = (per - 1
+                  - jnp.argmax(is_start[::-1])) * any_start
+    tail_sum = jnp.where(jnp.arange(per)[None] >= last_start,
+                         vals, 0).sum(axis=1)
+    summ = jnp.concatenate([
+        jnp.stack([pfx[0], pfx[-1],
+                   any_start.astype(jnp.int64)]),
+        head_sum, tail_sum, cums[:, -1]])
+    summs = lax.all_gather(summ, axis)       # (nranks, 3+3Q)
+    g_first, g_last = summs[:, 0], summs[:, 1]
+    g_any = summs[:, 2]
+    g_head = summs[:, 3:3 + nq]              # (nranks, Q)
+    g_tail = summs[:, 3 + nq:3 + 2 * nq]
+    g_tot = summs[:, 3 + 2 * nq:3 + 3 * nq]
+
+    # the global weight of the segment CONTAINING each shard
+    # boundary: for my tail segment (prefix pfx[-1]) the total
+    # is my tail_sum + every following shard's contribution
+    # while its first prefix still equals mine (whole shard if
+    # it has no internal start, else just its head).
+    ranks = jnp.arange(nranks, dtype=jnp.int64)
+
+    def spanning_total(p, r):
+        """(Q,) global totals of the segment with prefix *p*
+        that touches the boundary of shard *r* (vectorized over
+        the gathered summaries; nranks is small).
+
+        Contribution of shards right of r: walk via cumulative
+        "chain unbroken" flags — shard q (> r) contributes its
+        head if g_first[q] == p and every shard between r and q
+        is a single-segment shard with that same prefix."""
+        after = ranks > r
+        link = (g_first == p) & (g_any == 0)    # whole shard in p
+        # chain[q] = all shards in (r, q) are full-p shards
+        brk = after & ~link
+        chain = jnp.cumsum(brk.astype(jnp.int64)) \
+            - jnp.where(brk, 1, 0)
+        chain_ok = after & (g_first == p) & (chain == 0)
+        right_sum = jnp.where(
+            chain_ok[:, None],
+            jnp.where((g_any == 1)[:, None], g_head, g_tot),
+            0).sum(axis=0)
+        # contribution of shards left of r, symmetric
+        before = ranks < r
+        brk_l = before & ~link
+        chain_l = (jnp.cumsum(brk_l[::-1].astype(jnp.int64))
+                   - jnp.where(brk_l[::-1], 1, 0))[::-1]
+        chain_ok_l = before & (g_last == p) & (chain_l == 0)
+        left_sum = jnp.where(
+            chain_ok_l[:, None],
+            jnp.where((g_any == 1)[:, None], g_tail, g_tot),
+            0).sum(axis=0)
+        return left_sum + right_sum
+
+    my_tail_total = tail_sum + spanning_total(pfx[-1], rank)
+    my_head_total = head_sum + spanning_total(pfx[0], rank)
+
+    in_head = (jnp.arange(per) < head_end)[None]
+    in_tail = (jnp.arange(per) >= last_start)[None]
+    # single-segment shard: head == tail == the whole span
+    single = ~any_start
+    globs = jnp.where(
+        single, my_tail_total[:, None],
+        jnp.where(in_tail, my_tail_total[:, None],
+                  jnp.where(in_head, my_head_total[:, None],
+                            locs)))
+
+    # a start is GLOBAL iff it is a local is_start (position 0
+    # already compares against the left neighbor)
+    return is_start, globs
+
+
 def sharded_morton_codes(coords, mesh, *, depth=None, radii=None):
     """Per-shard full-depth Morton codes with the single-device bbox
     conventions — the front end of the sharded build pipeline.
@@ -169,95 +270,12 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
             """Per-segment GLOBAL totals of each row of *vals* (Q, per)
             (the spanning-box chain fix-up, vectorized over Q) plus the
             segment-start mask."""
-            nq = vals.shape[0]
             shift = jnp.int64(dimensions) * (jnp.int64(depth) - level)
             pfx = codes >> shift
             left_pfx = jnp.where(left_last < 0, jnp.int64(-1),
                                  left_last >> shift)
-            is_start = jnp.concatenate(
-                [(pfx[:1] != left_pfx), pfx[1:] != pfx[:-1]])
-            # local per-segment totals (scan-only), per quantity
-            cums = jnp.cumsum(vals, axis=1)
-            locs = jnp.stack([
-                _seg_totals(cums[q], vals[q], is_start, cums[q, -1])
-                for q in range(nq)])
-
-            # boundary fix-up from gathered shard summaries
-            first_start = jnp.argmax(is_start)          # 0 if none
-            any_start = is_start.any()
-            head_end = jnp.where(any_start, first_start, per)
-            head_sum = jnp.where(jnp.arange(per)[None] < head_end,
-                                 vals, 0).sum(axis=1)   # (Q,)
-            last_start = (per - 1
-                          - jnp.argmax(is_start[::-1])) * any_start
-            tail_sum = jnp.where(jnp.arange(per)[None] >= last_start,
-                                 vals, 0).sum(axis=1)
-            summ = jnp.concatenate([
-                jnp.stack([pfx[0], pfx[-1],
-                           any_start.astype(jnp.int64)]),
-                head_sum, tail_sum, cums[:, -1]])
-            summs = lax.all_gather(summ, axis)       # (nranks, 3+3Q)
-            g_first, g_last = summs[:, 0], summs[:, 1]
-            g_any = summs[:, 2]
-            g_head = summs[:, 3:3 + nq]              # (nranks, Q)
-            g_tail = summs[:, 3 + nq:3 + 2 * nq]
-            g_tot = summs[:, 3 + 2 * nq:3 + 3 * nq]
-
-            # the global weight of the box CONTAINING each shard
-            # boundary: for my tail segment (prefix pfx[-1]) the total
-            # is my tail_sum + every following shard's contribution
-            # while its first prefix still equals mine (whole shard if
-            # it has no internal start, else just its head).
-            ranks = jnp.arange(nranks, dtype=jnp.int64)
-
-            def spanning_total(p, r):
-                """(Q,) global totals of the segment with prefix *p*
-                that touches the boundary of shard *r* (vectorized over
-                the gathered summaries; nranks is small).
-
-                Contribution of shards right of r: walk via cumulative
-                "chain unbroken" flags — shard q (> r) contributes its
-                head if g_first[q] == p and every shard between r and q
-                is a single-segment shard with that same prefix."""
-                after = ranks > r
-                link = (g_first == p) & (g_any == 0)    # whole shard in p
-                # chain[q] = all shards in (r, q) are full-p shards
-                brk = after & ~link
-                chain = jnp.cumsum(brk.astype(jnp.int64)) \
-                    - jnp.where(brk, 1, 0)
-                chain_ok = after & (g_first == p) & (chain == 0)
-                right_sum = jnp.where(
-                    chain_ok[:, None],
-                    jnp.where((g_any == 1)[:, None], g_head, g_tot),
-                    0).sum(axis=0)
-                # contribution of shards left of r, symmetric
-                before = ranks < r
-                brk_l = before & ~link
-                chain_l = (jnp.cumsum(brk_l[::-1].astype(jnp.int64))
-                           - jnp.where(brk_l[::-1], 1, 0))[::-1]
-                chain_ok_l = before & (g_last == p) & (chain_l == 0)
-                left_sum = jnp.where(
-                    chain_ok_l[:, None],
-                    jnp.where((g_any == 1)[:, None], g_tail, g_tot),
-                    0).sum(axis=0)
-                return left_sum + right_sum
-
-            my_tail_total = tail_sum + spanning_total(pfx[-1], rank)
-            my_head_total = head_sum + spanning_total(pfx[0], rank)
-
-            in_head = (jnp.arange(per) < head_end)[None]
-            in_tail = (jnp.arange(per) >= last_start)[None]
-            # single-segment shard: head == tail == the whole span
-            single = ~any_start
-            globs = jnp.where(
-                single, my_tail_total[:, None],
-                jnp.where(in_tail, my_tail_total[:, None],
-                          jnp.where(in_head, my_head_total[:, None],
-                                    locs)))
-
-            # a start is GLOBAL iff it is a local is_start (position 0
-            # already compares against the left neighbor)
-            return is_start, globs
+            return _chain_seg_quantities(pfx, left_pfx, vals,
+                                         axis=axis, nranks=nranks)
 
         def box_weights(level, active=None):
             """(is_start, w_glob[, a_glob]) — the split-rule operands.
@@ -368,27 +386,212 @@ def sharded_leaf_levels(codes_s, weights_s, mesh, *, max_weight,
 
 def sharded_restrict_leaf_levels(codes_s, leaf_level, mesh, *,
                                  dimensions, depth, max_level):
-    """2:1 level restriction for the sharded build.
+    """2:1 level restriction for the sharded build, SPMD over the mesh.
 
     The 2:1 closure is the UNIQUE minimal refinement of the input leaf
     assignment in which touching non-empty leaves differ by at most one
-    level, so reusing the single-device fixpoint
-    (:func:`boxtree_tpu.tree.level_restrict.restrict_leaf_levels`) on
-    the globally sorted keys produces exactly the tree the oracle
-    expects.  SCALING CAVEAT: the restriction pass itself runs as one
-    global XLA program over the full key array (its searchsorted
-    demand marks and cummax sweeps are not yet decomposed into
-    per-shard programs + collectives the way the rest of the pipeline
-    is), so this step does not yet enjoy the per-rank memory bound of
-    the surrounding build; the fixpoint converges in a handful of
-    rounds and leaf levels only rise, so the work is a small multiple
-    of one phase-A sweep.  *mesh* is accepted for signature symmetry
-    with the other sharded blocks and future SPMD decomposition."""
-    del mesh
-    from boxtree_tpu.tree.level_restrict import restrict_leaf_levels
-    return restrict_leaf_levels(
-        codes_s, leaf_level, dimensions=dimensions, depth=depth,
-        max_level=max_level)
+    level, reached by any schedule of monotone raises each implied by
+    the closure — so the sharded pass may apply raises in a different
+    order than the single-device fixpoint
+    (:func:`boxtree_tpu.tree.level_restrict.restrict_leaf_levels`) and
+    still produce the identical tree (the oracle in
+    ``tests/test_shard_build.py``).
+
+    Per-shard decomposition of the reference's per-level force-split
+    sweep (``boxtree/tree_build_kernels.py:825-915``):
+
+    - *Demand pass*: each shard computes the 3^d parent-level demand
+      cells of its own level-``m`` leaves.  A demand whose key interval
+      lies strictly inside the shard (``0 < lo`` and ``hi < per``) is
+      applied locally — its covered particles AND the gap-adjacent
+      particles of an empty demanded cell are all local.  The rest
+      (touching or crossing a shard boundary: O(surface), not
+      O(volume)) are compacted by one key sort and ``all_gather``-ed;
+      EVERY shard then applies each gathered demand against its local
+      keys, which together covers all spanning intervals, whole-shard
+      coverage, and both gap neighbors of a boundary-straddling empty
+      cell without any position routing.  Overflowing the gather
+      capacity returns not-ok and the driver retries bigger (the
+      applied subset keeps the state valid — raises are monotone).
+    - *Consistency sweep* (a box splits as a whole): per level, the
+      global any-deeper-particle flag of each equal-prefix segment via
+      :func:`_chain_seg_quantities` (the same O(nranks) chain fix-up as
+      the split rule).
+
+    Per-device memory stays O(n / nranks + nranks * gcap)."""
+    (axis,) = mesh.axis_names
+    nranks = mesh.devices.size
+    n = codes_s.shape[0]
+    d = dimensions
+    if nranks == 1 or n % nranks or max_level < 2:
+        from boxtree_tpu.tree.level_restrict import restrict_leaf_levels
+        return restrict_leaf_levels(
+            codes_s, leaf_level, dimensions=d, depth=depth,
+            max_level=max_level)
+    per = n // nranks
+    from boxtree_tpu.traversal.build import _offsets
+    offs_np = _offsets(d, 1)                     # (3^d, d), incl. zero
+    noffs = offs_np.shape[0]
+    _BIG = jnp.int64(1) << jnp.int64(62)
+
+    def make_pass(gcap):
+        offs = jnp.asarray(offs_np)
+
+        def apply_demands(codes, leaf, q, valid, m, lo=None, hi=None):
+            """Raise *leaf* for the demands (q, valid) of level *m*:
+            cover the demanded parent cells' key ranges to m-1, and
+            split the coarser leaf containing an empty demanded cell by
+            one level (``level_restrict._restrict_pass`` lines 54-90,
+            batched: all reads use the pre-update leaf; the extra
+            same-round raises are still implied by the closure)."""
+            pshift = jnp.int64(d * (depth - (m - 1)))
+            if lo is None:
+                lo = jnp.searchsorted(codes, q << pshift)
+                hi = jnp.searchsorted(codes,
+                                      (q + jnp.int64(1)) << pshift)
+            marks = jnp.zeros(per + 1, jnp.int32)
+            marks = marks.at[jnp.where(valid, lo, per + 0 * lo)].add(
+                1, mode="drop")
+            marks = marks.at[jnp.where(valid, hi, per + 0 * hi)].add(
+                -1, mode="drop")
+            covered = jnp.cumsum(marks[:-1]) > 0
+            leaf_new = jnp.where(covered & (leaf < m - 1),
+                                 jnp.int32(m - 1), leaf)
+
+            empty = valid & (lo == hi)
+            for cand in (lo - 1, lo):
+                ok = empty & (cand >= 0) & (cand < per)
+                pc = jnp.clip(cand, 0, per - 1)
+                t_p = leaf[pc].astype(jnp.int64)
+                q_anc = q >> (jnp.int64(d) * (jnp.int64(m - 1) - t_p))
+                p_pfx = codes[pc] >> (jnp.int64(d)
+                                      * (jnp.int64(depth) - t_p))
+                contains = (t_p <= m - 2) & (q_anc == p_pfx)
+                upd = ok & contains
+                leaf_new = leaf_new.at[
+                    jnp.where(upd, pc, per)].max(
+                        (t_p + 1).astype(leaf.dtype), mode="drop")
+            return leaf_new
+
+        def step(codes, leaf):
+            codes = codes[0]
+            leaf = leaf[0].astype(jnp.int32)
+            rank = lax.axis_index(axis).astype(jnp.int64)
+            left_last = lax.ppermute(
+                codes[-1], axis, [(i, i + 1) for i in range(nranks - 1)])
+            left_last = jnp.where(rank == 0, jnp.int64(-1), left_last)
+            leaf_in = leaf
+            ok = jnp.bool_(True)
+
+            # {{{ demand pass, deepest level first
+
+            for m in range(max_level, 1, -1):
+                shift = jnp.int64(d * (depth - m))
+                is_m_leaf = leaf == m
+                cells = morton.deinterleave(codes >> shift, d)
+                nb = jnp.int64(1) << jnp.int64(m)
+                pshift = jnp.int64(d * (depth - (m - 1)))
+
+                qs, vs = [], []
+                for i in range(noffs):
+                    nc = cells + offs[i][:, None]
+                    in_range = ((nc >= 0) & (nc < nb)).all(axis=0)
+                    qs.append(morton.interleave(
+                        jnp.clip(nc, 0, nb - 1) >> jnp.int64(1)))
+                    vs.append(is_m_leaf & in_range)
+                q = jnp.stack(qs).ravel()               # (3^d * per,)
+                v = jnp.stack(vs).ravel()
+
+                lo = jnp.searchsorted(codes, q << pshift)
+                hi = jnp.searchsorted(
+                    codes, (q + jnp.int64(1)) << pshift)
+                interior = (lo > 0) & (hi < per)
+
+                leaf = apply_demands(codes, leaf, q, v & interior, m,
+                                     lo=lo, hi=hi)
+
+                # escalate boundary-touching demands: compact by ONE
+                # key sort, gather, apply everywhere
+                esc = v & ~interior
+                ok &= esc.sum() <= gcap
+                esc_q = lax.sort(jnp.where(esc, q, _BIG))[:gcap]
+                gq = lax.all_gather(esc_q, axis).reshape(-1)
+                leaf = apply_demands(codes, leaf, gq, gq < _BIG, m)
+
+            # }}}
+
+            # {{{ consistency sweep: a box splits as a whole.  Plain
+            # equal-prefix segments (no active-run breaks): any raise
+            # they add beyond the single-device active-run segments is
+            # still implied by the closure (see docstring).
+
+            for t in range(max_level):
+                tshift = jnp.int64(d * (depth - t))
+                pfx = codes >> tshift
+                left_pfx = jnp.where(left_last < 0, jnp.int64(-1),
+                                     left_last >> tshift)
+                deeper = (leaf > t).astype(jnp.int64)[None]
+                _, globs = _chain_seg_quantities(
+                    pfx, left_pfx, deeper, axis=axis, nranks=nranks)
+                leaf = jnp.where((leaf == t) & (globs[0] > 0),
+                                 jnp.int32(t + 1), leaf)
+
+            # }}}
+
+            changed = lax.psum(
+                (leaf != leaf_in).any().astype(jnp.int32), axis) > 0
+            ok = lax.psum(ok.astype(jnp.int32), axis) == nranks
+
+            # per-level global box counts (single-device
+            # ``_recount_boxes`` semantics; the final state is
+            # consistent, so active runs equal prefix segments)
+            left_leaf = lax.ppermute(
+                leaf[-1], axis, [(i, i + 1) for i in range(nranks - 1)])
+            left_leaf = jnp.where(rank == 0, jnp.int32(-1), left_leaf)
+            counts = jnp.zeros(depth + 2, jnp.int64)
+            for level in range(max_level + 1):
+                lshift = jnp.int64(d * (depth - level))
+                pfx = codes >> lshift
+                left_pfx = jnp.where(left_last < 0, jnp.int64(-1),
+                                     left_last >> lshift)
+                active = leaf >= level
+                prev_active = jnp.concatenate(
+                    [(left_leaf >= level)[None], active[:-1]])
+                diff = jnp.concatenate(
+                    [pfx[:1] != left_pfx, pfx[1:] != pfx[:-1]])
+                is_start = active & (diff | ~prev_active)
+                counts = counts.at[level].set(is_start.sum())
+            counts = lax.psum(counts, axis)
+
+            return (leaf[None], counts[None], changed[None], ok[None])
+
+        return jax.jit(_shard_map(
+            step, mesh, (P(axis, None), P(axis, None)),
+            (P(axis, None), P(axis, None), P(axis), P(axis))))
+
+    codes_sh = jax.device_put(codes_s.reshape(nranks, per),
+                              NamedSharding(mesh, P(axis, None)))
+    leaf_sh = jax.device_put(
+        jnp.asarray(leaf_level).reshape(nranks, per),
+        NamedSharding(mesh, P(axis, None)))
+
+    gcap = 2048
+    pass_fn = make_pass(gcap)
+    rounds = 0
+    while True:
+        leaf_sh, counts, changed, oks = pass_fn(codes_sh, leaf_sh)
+        if not bool(np.asarray(oks).all()):
+            gcap = min(4 * gcap, noffs * per)
+            pass_fn = make_pass(gcap)
+            continue
+        rounds += 1
+        if not bool(np.asarray(changed).any()):
+            break
+        if rounds > 4 * (max_level + 2):       # can't happen: raises
+            raise RuntimeError(                # are monotone + bounded
+                "level restriction failed to converge")
+    return (leaf_sh.reshape(-1).astype(jnp.int32),
+            np.asarray(counts)[0])
 
 
 def sharded_box_skeleton(codes_s, leaf_level, counts, mesh, *,
