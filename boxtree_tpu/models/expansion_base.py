@@ -1031,8 +1031,18 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         if self.dipole_vec is not None:
             lanes.append(self._dip_blocks.astype(sb.points.dtype))
         pack = jnp.concatenate(lanes, axis=-1)
+        nlane = pack.shape[-1]
+        # FLATTEN the gather operand to (nboxes+1, pm*nlane): gathers
+        # whose slice minor dim is below the 128-lane width serialize
+        # on this TPU (measured 10x — 538 vs 54 ms for the same
+        # 3.6M-row gather, doc/PERF.md r5); gather flat rows and
+        # reshape back after
+        pack = pack.reshape(pack.shape[0], pm * nlane)
         pack = jnp.concatenate(
-            [pack, jnp.zeros((1,) + pack.shape[1:], pack.dtype)])
+            [pack, jnp.zeros((1, pm * nlane), pack.dtype)])
+        tpts_flat = jnp.concatenate(
+            [tb.points.reshape(tb.points.shape[0], tb.pmax * d),
+             jnp.zeros((1, tb.pmax * d), tb.points.dtype)])
 
         # bucketed row scans (see _build_l1_row_plan): each bucket's
         # rows run at their own padded width; outputs stack in bucket
@@ -1054,11 +1064,12 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                      lmax=lmax):
                 r0 = i * bt
                 tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
-                tpts = tb.points[tbox]
+                tpts = tpts_flat[tbox].reshape(bt, tb.pmax, d)
                 nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
                                         (bt, lmax))
                 sp = pack[jnp.where(nbr >= 0, nbr,
                                     tree.nboxes).astype(jnp.int64)]
+                sp = sp.reshape(bt, lmax, pm, nlane)
                 spts = sp[..., :d].reshape(bt, lmax * pm, d)
                 sval = sp[..., d].reshape(bt, lmax * pm) > 0
                 qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(
@@ -1192,10 +1203,23 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         tree = self.tree
         tb = self.tgt_blocks
         bt = self._M2P_ROW_CHUNK
+        d = self.dim
         ctr_t = self.centers.T                          # (nboxes, d)
         scl = None
         if self._scale_of_level is not None:
             scl = self._scale_of_level[tree.box_levels]
+
+        # ONE wide gather per source lane: [exps | center | scale]
+        # (separate narrow center/scale gathers serialize — minor dims
+        # below the 128-lane width cost ~10x, doc/PERF.md r5)
+        aug = [mpole_exps.astype(self.dtype),
+               ctr_t.astype(self.dtype)]
+        if scl is not None:
+            aug.append(scl[:, None].astype(self.dtype))
+        packm = jnp.concatenate(aug, axis=1)
+        kk = int(mpole_exps.shape[1])
+        tpts_flat = tb.points.reshape(tb.points.shape[0],
+                                      tb.pmax * d)
 
         outs = []
         for rmap, ne_rows in self._m2p_rowmap:          # row buckets
@@ -1213,13 +1237,14 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                      lmax=lmax):
                 r0 = i * bt
                 tbox = lax.dynamic_slice(tboxes_p, (r0,), (bt,))
-                tpts = tb.points[tbox]                  # (bt, pm, d)
+                tpts = tpts_flat[tbox].reshape(bt, tb.pmax, d)
                 nbr = lax.dynamic_slice(rmap_p, (r0, jnp.int64(0)),
                                         (bt, lmax))
                 valid = nbr >= 0
                 nb = jnp.clip(nbr, 0).astype(jnp.int64)
-                sctr = ctr_t[nb]                        # (bt, lmax, d)
-                exps = mpole_exps[nb]                   # (bt, lmax, K)
+                sm = packm[nb]                  # (bt, lmax, K + d [+1])
+                sctr = sm[..., kk:kk + d]
+                exps = sm[..., :kk]
                 if scl is None:
                     def per_src(tp, c, e):
                         return self._m2p_eval(tp.T - c[:, None], e)
@@ -1227,7 +1252,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                         lambda c, e: per_src(tp, c, e))(cs, es))(
                         tpts, sctr, exps)
                 else:
-                    s = scl[nb]                         # (bt, lmax)
+                    s = sm[..., kk + d]                 # (bt, lmax)
 
                     def per_src(tp, c, e, ss):
                         return self._m2p_eval((tp.T - c[:, None]) / ss,
@@ -1377,8 +1402,11 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         if self.dipole_vec is not None:
             lanes.append(self._dip_blocks.astype(sb.points.dtype))
         pack = jnp.concatenate(lanes, axis=-1)
+        nlane = pack.shape[-1]
+        # flat gather operand — see _eval_direct_rowmajor (10x)
+        pack = pack.reshape(pack.shape[0], pm * nlane)
         pack = jnp.concatenate(
-            [pack, jnp.zeros((1,) + pack.shape[1:], pack.dtype)])
+            [pack, jnp.zeros((1, pm * nlane), pack.dtype)])
 
         ctr_t = self.centers.T                          # (nboxes, d)
         scl = None
@@ -1404,6 +1432,7 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                                         (bt, lmax))
                 sp = pack[jnp.where(nbr >= 0, nbr,
                                     tree.nboxes).astype(jnp.int64)]
+                sp = sp.reshape(bt, lmax, pm, nlane)
                 spts = sp[..., :d].reshape(bt, lmax * pm, d)
                 sval = sp[..., d].reshape(bt, lmax * pm) > 0
                 qv = sp[..., d + 1].reshape(bt, lmax * pm).astype(

@@ -194,6 +194,38 @@ def _touch(cells_a, level_a, cells_b, level_b):
     return ((lo <= cells_b + 1) & (cells_b <= hi)).all(axis=0)
 
 
+def _ancestor_ids(parents, ids, lb):
+    """{lt: (B,) global box ids of the level-*lt* ancestors} of the
+    level-*lb* boxes *ids* (level lb = the boxes themselves) — one
+    parents gather per level."""
+    a = jnp.clip(ids, 0).astype(jnp.int64)
+    anc = {lb: a}
+    for lt in range(lb - 1, -1, -1):
+        a = parents[a].astype(jnp.int64)
+        anc[lt] = a
+    return anc
+
+
+def _cand_boxes(prefixes, lsb, cand_cells, level, *, ntable=None,
+                anc_ids=None, tcols=None):
+    """(found, box_id) for window candidates at *level*: either 3^d
+    binary searches per row (:func:`_lookup`), or — with *ntable* — ONE
+    clamped neighbor-table row gather at the level-*level* ancestor
+    (``anc_ids[level]``), whose columns align with ``_offsets`` order;
+    *tcols* selects a static column subset (e.g. exclude-zero offsets).
+    Entries below the level start are clamped coarser fall-backs =
+    not found."""
+    if ntable is None:
+        return _lookup(prefixes[lsb[level]:lsb[level + 1]], lsb[level],
+                       cand_cells, level)
+    t = ntable[anc_ids[level]]                           # (B, m)
+    if tcols is not None:
+        t = t[:, np.asarray(tcols)]
+    ids = (jnp.clip(t, 0) & jnp.int32(nbr.ID_MASK)).astype(jnp.int32)
+    found = (t >= 0) & (ids >= jnp.int32(lsb[level]))
+    return found, ids
+
+
 def _lookup(prefixes_l, level_start, cand_cells, level):
     """Find boxes at (static) *level* with the given integer cells."""
     nl = prefixes_l.shape[0]
@@ -231,7 +263,8 @@ def _gen_list2(rows_pfx, prefixes_l, lsb_lev, offs, *, level, dimensions,
 
 def _gen_list4(rows_pfx, prefixes, box_flags, offs, *, lb, dimensions,
                n_away, lsb, k_pad, ext=False, bbox_min=None,
-               root_extent=None, sof=None):
+               root_extent=None, sof=None, row_ids=None, ntable=None,
+               parents=None, tcols=None):
     cells = morton.deinterleave(rows_pfx, dimensions)
     parent_cells = cells >> np.int64(1)
     rows = rows_pfx.shape[0]
@@ -239,12 +272,15 @@ def _gen_list4(rows_pfx, prefixes, box_flags, offs, *, lb, dimensions,
     if ext:
         b_c = _cells_center(cells, lb, bbox_min, root_extent)
         p_c = _cells_center(parent_cells, lb - 1, bbox_min, root_extent)
+    anc_ids = _ancestor_ids(parents, row_ids, lb) if ntable is not None \
+        else None
     chunks = []
     for wl in range(1, wl_max + 1):
         anc = cells >> np.int64(lb - wl)
         cand = anc[:, :, None] + offs.T[:, None, :]
-        found, box_id = _lookup(prefixes[lsb[wl]:lsb[wl + 1]], lsb[wl],
-                                cand, wl)
+        found, box_id = _cand_boxes(
+            prefixes, lsb, cand, wl, ntable=ntable, anc_ids=anc_ids,
+            tcols=tcols)
         idc = jnp.where(found, box_id, 0)
         is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
         not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
@@ -362,7 +398,7 @@ def _gen_list3(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
 def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
                    src_cumul, tbb_min, tbb_max, bbox_min, root_extent, sof,
                    offsn, *, ls, dimensions, lsb, crit, min_nsources,
-                   close):
+                   close, ntable=None, parents=None):
     """(rows, K) keys for the with-target-extent List 3, far (at source
     level *ls*) or close (sources at level *ls*, any coarser target).
 
@@ -374,7 +410,15 @@ def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
     min-nsources threshold — the fail/touch predicates are monotone up the
     ancestor chain, so with a zero threshold checking ``w``'s parent
     suffices); ``w`` itself is classified far/close by the criterion.
-    """
+
+    With *ntable*/*parents* (fast mode), candidate discovery reads ONE
+    clamped neighbor-table row per (row, ancestor level) — entries not
+    AT the probed level are clamped coarser fall-backs, filtered by one
+    level-start compare — instead of 3^d binary searches per level
+    (~log2(nboxes) gathers each); the membership predicates are
+    unchanged.  Ancestor box ids come from the parents chain (one
+    gather per level), which also serves the min-nsources chain
+    without any lookup."""
     d = dimensions
     cells = morton.deinterleave(rows_pfx, d)
     w_flags = box_flags[jnp.clip(w_ids, 0)]
@@ -389,12 +433,15 @@ def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
         w_forced = jnp.zeros(w_ids.shape[0], bool)
     w_c = _cells_center(cells, ls, bbox_min, root_extent)
 
+    anc_ids = _ancestor_ids(parents, w_ids, ls) if ntable is not None \
+        else None
+
     out = []
     for lt in range(ls):
         anc = cells >> np.int64(ls - lt)
         cand = anc[:, :, None] + offsn.T[:, None, :]
-        found, box_id = _lookup(prefixes[lsb[lt]:lsb[lt + 1]], lsb[lt],
-                                cand, lt)
+        found, box_id = _cand_boxes(
+            prefixes, lsb, cand, lt, ntable=ntable, anc_ids=anc_ids)
         idc = jnp.where(found, box_id, 0)
         is_tgt = tgt_row_of_box[idc] >= 0
         b_c = _cells_center(cand, lt, bbox_min, root_extent)
@@ -420,8 +467,11 @@ def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
                 a_c = _cells_center(anc_a, la, bbox_min, root_extent)
                 touch_a = _touch(cand, lt, anc_a[:, :, None], la)
                 meets_a = meets(a_c[:, :, None], la)
-                _, id_a = _lookup(prefixes[lsb[la]:lsb[la + 1]], lsb[la],
-                                  anc_a, la)
+                if anc_ids is not None:
+                    id_a = anc_ids[la]
+                else:
+                    _, id_a = _lookup(prefixes[lsb[la]:lsb[la + 1]],
+                                      lsb[la], anc_a, la)
                 forced_a = src_cumul[id_a] < min_nsources
                 chain &= touch_a | ~meets_a | forced_a[:, None]
         elif lt < ls - 1:
@@ -448,24 +498,28 @@ def _gen_list3_ext(rows_pfx, w_ids, prefixes, box_flags, tgt_row_of_box,
 
 def _gen_list4_close(rows_pfx, b_ids, prefixes, box_flags, tgt_row_of_box,
                      bbox_min, root_extent, sof, offs, *, lb, dimensions,
-                     n_away, lsb):
+                     n_away, lsb, ntable=None, parents=None, tcols=None):
     """(rows, K) keys for List 4 close: slnws-of-ancestor source boxes that
     are non-adjacent to the target box but fail the sep-bigger criterion
     (``boxtree/traversal.py:1046-1066``); rows are indexed by target-box
     row directly (the reference reindexes with ``_ListMerger``,
-    ``traversal.py:2255-2287``)."""
+    ``traversal.py:2255-2287``).  *ntable*/*parents*: table-row candidate
+    discovery (see :func:`_cand_boxes`)."""
     d = dimensions
     cells = morton.deinterleave(rows_pfx, d)
     rows = rows_pfx.shape[0]
     b_c = _cells_center(cells, lb, bbox_min, root_extent)
     b_is_tgt = tgt_row_of_box[jnp.clip(b_ids, 0)] >= 0
     wl_max = lb - 1 if n_away == 1 else lb
+    anc_ids = _ancestor_ids(parents, b_ids, lb) if ntable is not None \
+        else None
     out = []
     for wl in range(1, wl_max + 1):
         anc = cells >> np.int64(lb - wl)
         cand = anc[:, :, None] + offs.T[:, None, :]
-        found, box_id = _lookup(prefixes[lsb[wl]:lsb[wl + 1]], lsb[wl],
-                                cand, wl)
+        found, box_id = _cand_boxes(
+            prefixes, lsb, cand, wl, ntable=ntable, anc_ids=anc_ids,
+            tcols=tcols)
         idc = jnp.where(found, box_id, 0)
         is_src = (box_flags[idc] & _F.IS_SOURCE_BOX) != 0
         not_touch_b = ~_touch(cand, wl, cells[:, :, None], lb)
@@ -737,6 +791,25 @@ def _emit_l2_parent_rowcsr(gen, prows, child_level_parents, lsb_child,
 # }}}
 
 
+def _count_below(vals, nq):
+    """``out[r] = #(vals < r)`` for ``r in [0, nq)`` — the cumulative
+    histogram a ``searchsorted(sort(vals), arange(nq))`` computes, via
+    two flat sorts instead: device searchsorted costs ~550 ns/query on
+    this TPU (measured, doc/PERF.md r5) vs ~6.6 ns/elem for a sort.
+    Values tag-packed AFTER equal queries so equals are not counted
+    (searchsorted 'left' semantics); each query's merged position minus
+    its own rank is then the count of smaller values."""
+    nv = vals.shape[0]
+    keys = jnp.concatenate([
+        (vals.astype(jnp.int64) << 1) | 1,
+        jnp.arange(nq, dtype=jnp.int64) << 1])
+    srt = lax.sort(keys)
+    iota = jnp.arange(nv + nq, dtype=jnp.int64)
+    pos = lax.sort(jnp.where((srt & 1) == 0, iota,
+                             jnp.int64(nv + nq)))[:nq]
+    return pos - jnp.arange(nq, dtype=jnp.int64)
+
+
 def _starts_of_rows(rows_sorted, nrows):
     return jnp.searchsorted(
         rows_sorted, jnp.arange(nrows + 1, dtype=jnp.int64)).astype(
@@ -804,6 +877,9 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
         gen_4 = _generic_gen4(lev)
         return gen_s, gen_2, gen_4
 
+    m_full = (2 * n_away + 1) ** d
+    tcols_nz = tuple(j for j in range(m_full) if j != m_full // 2)
+
     def _generic_gen4(lev):
         def wrapped(rows):
             return _gen_list4(
@@ -811,18 +887,64 @@ def _rowlist_gens(prefixes, totp_boxes, box_flags, ntable, parents,
                 prefixes=prefixes, box_flags=box_flags, offs=offs_n,
                 lb=lev, dimensions=d, n_away=n_away, lsb=lsb,
                 k_pad=k_pad4, ext=ext, bbox_min=bbox_min,
-                root_extent=root_extent, sof=sof)
+                root_extent=root_extent, sof=sof, row_ids=rows,
+                ntable=ntable if fast else None, parents=parents,
+                tcols=tcols_nz)
         return wrapped
 
     return make
 
 
+@partial(jax.jit, static_argnames=("lsb",))
+def _emit_row_prune(ntable, parents, child_rows, box_flags, *, lsb):
+    """Per-level emission-row pruning masks (fast modes): compacted row
+    ids + counts, one tiny host pull.
+
+    - List 2 enumerates from the parent side, so childless (leaf)
+      parents only contribute dead lanes: keep boxes with any child.
+    - List 3 at source level ``ls`` probes the PARENT's clamped table
+      row for coarser target leaves; a parent-level box whose row has
+      no TGT entry gives w no candidates (in near-uniform trees that
+      prunes ~90+% of the lanes, doc/PERF.md r5), and a w without
+      sources emits nothing either.
+
+    Returns per level ``(l2_ids, l3_ids)`` sorted-compacted (invalid =
+    INT32_MAX at the tail) plus a packed (2, nlevels) count table."""
+    nlevels = len(lsb) - 1
+    big = jnp.int32(np.iinfo(np.int32).max)
+    l2_ids, l3_ids = [], []
+    counts = jnp.zeros((2, nlevels), jnp.int64)
+    for lev in range(nlevels):
+        ids = jnp.arange(lsb[lev], lsb[lev + 1], dtype=jnp.int32)
+        if lev < nlevels - 1:
+            keep2 = (child_rows[lsb[lev]:lsb[lev + 1]] > 0).any(axis=1)
+            l2_ids.append(lax.sort(jnp.where(keep2, ids, big)))
+            counts = counts.at[0, lev].set(keep2.sum())
+        else:
+            l2_ids.append(ids[:0])
+        if lev >= 1:
+            prow = ntable[lsb[lev - 1]:lsb[lev]]
+            pmask = ((prow >= 0)
+                     & ((prow & nbr.TGT_BIT) != 0)).any(axis=1)
+            par_l = (parents[lsb[lev]:lsb[lev + 1]].astype(jnp.int64)
+                     - lsb[lev - 1])
+            keep3 = pmask[par_l]
+            keep3 &= (box_flags[lsb[lev]:lsb[lev + 1]]
+                      & (_F.IS_SOURCE_BOX
+                         | _F.HAS_SOURCE_CHILD_BOXES)) != 0
+            l3_ids.append(lax.sort(jnp.where(keep3, ids, big)))
+            counts = counts.at[1, lev].set(keep3.sum())
+        else:
+            l3_ids.append(ids[:0])
+    return tuple(l2_ids), tuple(l3_ids), counts
+
+
 @partial(jax.jit, static_argnames=("dimensions", "n_away", "lsb",
                                    "ls_totp", "fast", "src_levels", "ext"))
 def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
-                        child_rows, bbox_min, root_extent, sof, *,
-                        dimensions, n_away, lsb, ls_totp, fast,
-                        src_levels=None, ext=False):
+                        child_rows, bbox_min, root_extent, sof,
+                        l2_rows=None, *, dimensions, n_away, lsb,
+                        ls_totp, fast, src_levels=None, ext=False):
     """Single-enumeration slnws / List 2 / List 4 construction: the
     compaction scan (:func:`_emit_rowcsr`) emits each list's values in
     final CSR order (the plans enumerate rows ascending) and reads the
@@ -893,10 +1015,20 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
                            min_id=lsb[plev], n_away=n_away)
         is_totp = jnp.zeros(nboxes + 1, bool).at[
             totp_boxes.astype(jnp.int64)].set(True)
+        def prows_at(plev):
+            """Emission rows of parent level *plev*: every level box,
+            or — when the pruning pass ran — only boxes WITH children
+            (childless parents contribute dead lanes only; their absent
+            children occupy no CSR rows, so skipping them keeps the
+            child-row sequence consecutive)."""
+            if l2_rows is not None and l2_rows[plev] is not None:
+                return l2_rows[plev]
+            return jnp.arange(lsb[plev], lsb[plev + 1], dtype=jnp.int32)
+
         cs = jax.eval_shape(gen2p_at(0), jax.ShapeDtypeStruct(
             (_L2_FILL_CHUNK,), jnp.int32))[0].shape
         size = sum(
-            max(1, -(-(lsb[p + 1] - lsb[p]) // _L2_FILL_CHUNK))
+            max(1, -(-int(prows_at(p).shape[0]) // _L2_FILL_CHUNK))
             * _L2_FILL_CHUNK * cs[1] * cs[2]
             for p in range(nlevels - 1))
         wrows = _L2_FILL_CHUNK * cs[1] + 1
@@ -904,11 +1036,10 @@ def _rowlists_emit_pass(prefixes, totp_boxes, box_flags, ntable, parents,
         starts = jnp.zeros(ntotp + 1 + wrows, jnp.int64)
         off = jnp.int64(0)
         for plev in range(nlevels - 1):
-            prows = jnp.arange(lsb[plev], lsb[plev + 1], dtype=jnp.int32)
             clp = parents[lsb[plev + 1]:lsb[plev + 2]].astype(jnp.int64)
             buf, off, starts = _emit_l2_parent_rowcsr(
-                gen2p_at(plev), prows, clp, lsb[plev + 1], totp_boxes,
-                is_totp, buf, off, starts)
+                gen2p_at(plev), prows_at(plev), clp, lsb[plev + 1],
+                totp_boxes, is_totp, buf, off, starts)
         starts = starts.at[ntotp].set(off)
         l2 = (starts[:ntotp + 1], buf, off)
     else:
@@ -976,7 +1107,9 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
                         tbb_max=tbb_max, bbox_min=bbox_min,
                         root_extent=root_extent, sof=sof, offsn=offsn,
                         ls=ls, dimensions=d, lsb=lsb, crit=crit,
-                        min_nsources=min_nsources, close=close)
+                        min_nsources=min_nsources, close=close,
+                        ntable=ntable if fast else None,
+                        parents=parents)
             return lambda rows, wi: g(
                 prefixes[jnp.clip(rows, 0).astype(jnp.int64)], wi)
         if fast == 1:
@@ -992,11 +1125,14 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
 
     def l4c(lb):
         offs_n_nz = jnp.asarray(_offsets(d, n_away, exclude_zero=True))
+        m = (2 * n_away + 1) ** d
         g = partial(_gen_list4_close, prefixes=prefixes,
                     box_flags=box_flags, tgt_row_of_box=tgt_row_of_box,
                     bbox_min=bbox_min, root_extent=root_extent, sof=sof,
                     offs=offs_n_nz, lb=lb, dimensions=d, n_away=n_away,
-                    lsb=lsb)
+                    lsb=lsb, ntable=ntable if fast else None,
+                    parents=parents,
+                    tcols=tuple(j for j in range(m) if j != m // 2))
         return lambda rows, bi: g(
             prefixes[jnp.clip(rows, 0).astype(jnp.int64)], bi)
 
@@ -1014,8 +1150,8 @@ def _edge_gens(prefixes, box_flags, tgt_row_of_box, ntable, parents, *,
     "min_nsources", "l1_same_rows"))
 def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
                     tgt_row_of_box, ntable, parents, totp_boxes,
-                    ext_data, *, dimensions, n_away, lsb, ls_tgt,
-                    ls_part=None, ntarget_boxes=0, fast=False,
+                    ext_data, l3_rows=None, *, dimensions, n_away, lsb,
+                    ls_tgt, ls_part=None, ntarget_boxes=0, fast=False,
                     src_levels=None, tgt_levels=None, ls_totp=None,
                     ext=False, crit=None, min_nsources=0,
                     l1_same_rows=False):
@@ -1145,7 +1281,15 @@ def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
                     and not any(tgt_levels[:ls])):
             l3.append(dummy)
             continue
-        ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
+        if l3_rows is not None and l3_rows[ls] is not None:
+            # pruned rows (_emit_row_prune): only boxes whose parent
+            # neighborhood holds coarser target leaves can emit
+            ids_l = l3_rows[ls]
+            if ids_l.shape[0] == 0:
+                l3.append(dummy)
+                continue
+        else:
+            ids_l = jnp.arange(lsb[ls], lsb[ls + 1], dtype=jnp.int32)
         l3.append(emit_plan(
             [(l3g(ls), ids_l, (ids_l.astype(jnp.int64),))],
             f'l3.{ls}'))
@@ -1276,9 +1420,7 @@ def _edge_slice_pass(l1_keys, l1_pos, l1_fast, l3_keys, l3_pos, l3c_keys,
                 [bufT[:l1t_total],
                  (rows_s << np.int64(32)) | (keys_s & mask32)]))
             l1_lists = (merged & mask32).astype(jnp.int32)
-            c2s = jnp.searchsorted(
-                lax.sort(rows_s),
-                jnp.arange(ntarget + 1, dtype=rows_s.dtype))
+            c2s = _count_below(rows_s, ntarget + 1)
             l1_starts = (startsT + c2s).astype(jnp.int32)
     else:
         l1_lists = (l1_keys & mask32).astype(jnp.int32)
@@ -1558,6 +1700,27 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
 
     _t = _tic()
 
+    # emission-row pruning (fast modes): childless List-2 parents and
+    # target-free List-3 parent neighborhoods only produce dead lanes —
+    # one tiny program + one packed counts pull makes the kept row
+    # counts static, so the emit passes enumerate only live rows
+    l2_rows = l3_rows = None
+    if fast:
+        l2_full, l3_full, prune_counts = _emit_row_prune(
+            ntable, parents_dev, child_rows_dev, flags_dev, lsb=lsb)
+        pc = jax.device_get(prune_counts)
+        l2_rows = tuple(
+            l2_full[lev][:int(pc[0, lev])]
+            for lev in range(nlevels - 1)) + (None,)
+        if not ext:
+            # (with target extents List 3 probes windows around EVERY
+            # ancestor, not just the parent row — keep all rows there)
+            l3_rows = (None,) + tuple(
+                l3_full[lev][:int(pc[1, lev])]
+                for lev in range(1, nlevels))
+    _toc("row_prune", _t)
+    _t = _tic()
+
     # single-enumeration rowlist construction (slnws / List 2 / List 4):
     # the compaction scan emits each list already in CSR order and reads
     # the dense starts off the chunk-sorted keys — no counts pass
@@ -1566,8 +1729,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
      (l4_starts64, l4_buf, l4_tot)) = _rowlists_emit_pass(
         prefixes, target_or_target_parent_boxes, flags_dev, ntable,
         parents_dev, child_rows_dev, bbox_min_dev, root_extent_dev,
-        sof_dev, dimensions=d, n_away=n_away, lsb=lsb, ls_totp=ls_totp,
-        fast=fast, src_levels=src_levels, ext=ext)
+        sof_dev, l2_rows, dimensions=d, n_away=n_away, lsb=lsb,
+        ls_totp=ls_totp, fast=fast, src_levels=src_levels, ext=ext)
     _toc("emit_rowlists", _t, slnws_buf, l2_buf, l4_buf,
          slnws_starts64, l2_starts64, l4_starts64)
     _t = _tic()
@@ -1580,7 +1743,8 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
         _edge_emit_pass(
             prefixes, target_boxes, part_boxes, flags_dev,
             tgt_row_of_box_dev, ntable, parents_dev,
-            target_or_target_parent_boxes, ext_data, dimensions=d,
+            target_or_target_parent_boxes, ext_data, l3_rows,
+            dimensions=d,
             n_away=n_away, lsb=lsb, ls_tgt=ls_tgt, ls_part=ls_part,
             ntarget_boxes=ntarget_boxes, fast=fast,
             src_levels=src_levels, tgt_levels=tgt_levels,
@@ -1610,6 +1774,10 @@ def build_traversal(tree, well_sep_is_n_away=1, from_sep_smaller_crit=None,
     l3_totals = tuple(int(x) for x in packed[8:8 + nlevels])
 
     _toc("host_sync", _t)
+    if _timing:
+        print(f"# totals: slnws={slnws_total} l2={l2_total} "
+              f"l4={l4_total} l1={l1_total} l1t={l1t_total} "
+              f"l1s={l1s_total} l3={sum(l3_totals)}", flush=True)
     _t = _tic()
 
     # sort the real edges (static sizes now); the second sync pulls

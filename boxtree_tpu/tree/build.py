@@ -325,12 +325,20 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
         is_start = active & (diff | ~prev_active)
         seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
-        # representative (first) particle of each level-L box: seg_id is
-        # nondecreasing, so a searchsorted replaces a full-length scatter
-        # (XLA TPU scatters are slow)
-        reps_l = jnp.searchsorted(
-            seg_id, jnp.arange(nl, dtype=jnp.int32), side="left"
-            ).astype(jnp.int64)
+        # representative (first) particle of each level-L box.  Box-rich
+        # levels: compact the start positions with ONE key-only int32
+        # sort (~6 ns/elem over n); box-poor levels: binary search
+        # (~log2(n) gathers per box, ~19 ns each).  The crossover is
+        # nl*log2(n)*19 vs n*6 — the searchsorted-everywhere version
+        # dominated phase_b at 1e7 (doc/PERF.md).
+        if nl * 24 * 3 > n:
+            reps_l = lax.sort(
+                jnp.where(is_start, jnp.arange(n, dtype=jnp.int32),
+                          jnp.int32(n)))[:nl].astype(jnp.int64)
+        else:
+            reps_l = jnp.searchsorted(
+                seg_id, jnp.arange(nl, dtype=jnp.int32), side="left"
+                ).astype(jnp.int64)
         nxt_l = jnp.concatenate(
             [reps_l[1:], jnp.full(1, n, jnp.int64)])
 
