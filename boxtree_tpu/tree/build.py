@@ -302,27 +302,59 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
     # sliced level segment.  (No full-length scatters, no cummax/cummin
     # scans — both are slow on TPU.)
     #
-    # The active-particle prefix counts telescope across levels:
-    # cumsum(leaf_level > level) == cumsum(leaf_level >= level + 1), so
-    # each level's "deeper" cumsum is carried forward as the next
-    # level's "active" cumsum — one full-length cumsum per level
-    # instead of two.  At level 0 every particle is active.
-    cum_ge = jnp.arange(n + 1, dtype=jnp.int64)
+    # Per-level segment structure from ONE elementwise precomputation
+    # (no-extent case): particle i starts a level-L box exactly for the
+    # levels in (thr[i], leaf_level[i]], where
+    #   thr[i] = min(lcp_level[i], leaf_level[i-1])
+    # (lcp_level = deepest level at which i shares its Morton prefix
+    # with i-1; a start is "prefix changed OR predecessor inactive").
+    # All particles inside an existing level-L box's cell are active —
+    # an inactive one would sit in an ancestor leaf covering the cell,
+    # contradicting the box's existence — so the box's subtree range
+    # ends at the next position with lcp_level < L (one reverse cummin
+    # per level) and its counts are pure index differences, replacing
+    # the per-level full-length cumsums.  With extents the re-sorted
+    # particle order puts nonchild particles inside internal boxes, so
+    # that argument fails and the cumsum formulation stays.
+    iota64 = jnp.arange(n, dtype=jnp.int64)
+    if not has_extents:
+        xor = jnp.concatenate(
+            [jnp.full(1, -1, jnp.int64),             # sentinel: lcp -1
+             codes_s[1:] ^ codes_s[:-1]])
+        bl = 64 - lax.clz(xor)                       # xor<0 -> bl 64
+        lcp_level = (jnp.int64(depth)
+                     - (bl + jnp.int64(d) - 1) // jnp.int64(d))
+        prev_leaf = jnp.concatenate(
+            [jnp.full(1, -1, jnp.int32), leaf_level[:-1]]
+            ).astype(jnp.int64)
+        thr = jnp.minimum(lcp_level, prev_leaf)
+        leaf64 = leaf_level.astype(jnp.int64)
+    else:
+        # active-particle prefix counts telescope across levels:
+        # cumsum(leaf > L) == cumsum(leaf >= L+1), so each level's
+        # "deeper" cumsum carries forward as the next level's "active"
+        cum_ge = jnp.arange(n + 1, dtype=jnp.int64)
     for level in range(nlevels):
         b0, b1 = level_starts[level], level_starts[level + 1]
         nl = b1 - b0
-        cum_gt = _exclusive_cumsum(
-            (leaf_level > level).astype(jnp.int32)).astype(jnp.int64)
+        if has_extents:
+            cum_gt = _exclusive_cumsum(
+                (leaf_level > level).astype(jnp.int32)).astype(jnp.int64)
         if nl == 0:
-            cum_ge = cum_gt
+            if has_extents:
+                cum_ge = cum_gt
             continue
         shift = d * (depth - level)
-        pfx = codes_s >> jnp.int64(shift)
         active = leaf_level >= level
-        prev_active = jnp.concatenate([jnp.zeros(1, bool), active[:-1]])
-        diff = jnp.concatenate(
-            [jnp.ones(1, bool), pfx[1:] != pfx[:-1]])
-        is_start = active & (diff | ~prev_active)
+        if has_extents:
+            pfx = codes_s >> jnp.int64(shift)
+            prev_active = jnp.concatenate(
+                [jnp.zeros(1, bool), active[:-1]])
+            diff = jnp.concatenate(
+                [jnp.ones(1, bool), pfx[1:] != pfx[:-1]])
+            is_start = active & (diff | ~prev_active)
+        else:
+            is_start = (leaf64 >= level) & (thr < level)
         seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
         # representative (first) particle of each level-L box.  Box-rich
@@ -339,11 +371,23 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
             reps_l = jnp.searchsorted(
                 seg_id, jnp.arange(nl, dtype=jnp.int32), side="left"
                 ).astype(jnp.int64)
-        nxt_l = jnp.concatenate(
-            [reps_l[1:], jnp.full(1, n, jnp.int64)])
 
-        cumul_l = cum_ge[nxt_l] - cum_ge[reps_l]
-        deeper_l = cum_gt[nxt_l] - cum_gt[reps_l]
+        if has_extents:
+            nxt_l = jnp.concatenate(
+                [reps_l[1:], jnp.full(1, n, jnp.int64)])
+            cumul_l = cum_ge[nxt_l] - cum_ge[reps_l]
+            deeper_l = cum_gt[nxt_l] - cum_gt[reps_l]
+        else:
+            # subtree end: next position whose prefix changes at or
+            # above this level
+            bnd = jnp.where(lcp_level < level, iota64, jnp.int64(n))
+            suffmin = jnp.concatenate(
+                [lax.cummin(bnd[::-1])[::-1][1:],
+                 jnp.full(1, n, jnp.int64)])
+            hi_l = suffmin[reps_l]
+            cumul_l = hi_l - reps_l
+            deeper_l = jnp.where(
+                leaf_level[reps_l] > level, cumul_l, 0)
 
         pfx_l = codes_s[reps_l] >> jnp.int64(shift)
         box_morton = box_morton.at[b0:b1].set(pfx_l)
@@ -371,7 +415,8 @@ def _phase_b(codes_s, order, leaf_level, merged_coords,
             jnp.int32)
         leaf_box = jnp.where(leaf_level == level, box_of_cur, leaf_box)
         prev_box = box_of_cur
-        cum_ge = cum_gt
+        if has_extents:
+            cum_ge = cum_gt
 
     # {{{ source/target split
 
