@@ -430,8 +430,12 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         # populate the fast-path plans EAGERLY when they will run:
         # under a traced driver the lazy paths would call np.asarray on
         # traced group sizes (and cache tracers)
+        self._m2l_parent = None
         if self._m2l_use_class_dense():
-            self.m2l_plan.class_dense()
+            if not (os.environ.get("BOXTREE_TPU_M2L_PARENT_DENSE",
+                                   "1") == "1"
+                    and self._build_m2l_parent_plan()):
+                self.m2l_plan.class_dense()
         elif (self._m2l_rot is None and self.m2l_plan.nops
                 and int(self.m2l_plan.tgt.shape[0])
                 > self._M2L_EDGE_CHUNK):
@@ -792,6 +796,8 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                            mpole_exps):
         plan = self.m2l_plan
         with self._m2l_precision_ctx():
+            if getattr(self, "_m2l_parent", None) is not None:
+                return self._m2l_parent_dense(mpole_exps)
             if self._m2l_use_class_dense():
                 return self._m2l_class_dense(mpole_exps)
             if (self._m2l_rot is None and plan.nops
@@ -806,7 +812,13 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         map each row chunk is ONE (rows, C*K) x (C*K, K) matmul —
         MXU-shaped, single gather per row, pure contiguous writes.
         Rows a chunk pads past its level boundary are masked to zero
-        and overwritten when their own (later) level runs."""
+        and overwritten when their own (later) level runs.
+
+        The stage is GATHER-bound (~nboxes * C mpole rows); in the
+        default-precision mode the MXU consumes bf16 passes anyway, so
+        the gather operand is pre-cast to bf16 — half the traffic,
+        bitwise-equivalent products (m2l_accurate keeps f32 end to
+        end).  Accumulation stays f32 via preferred_element_type."""
         cmap, level_opid = self.m2l_plan.class_dense()
         base = self.local_expansion_zeros()
         bc = self._M2L_DENSE_ROWS
@@ -816,6 +828,12 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         k = self._m2l_opsT.shape[1]
         lsb = [int(x) for x in self._lsb]
         nlevels = len(lsb) - 1
+
+        halve = (not self.m2l_accurate
+                 and mpole_exps.dtype == jnp.float32
+                 and jax.default_backend() != "cpu")
+        mpe = mpole_exps.astype(jnp.bfloat16) if halve else mpole_exps
+        acc = mpole_exps.dtype
 
         for lev in range(nlevels):
             opid_l = level_opid[lev]                    # np (C,)
@@ -828,6 +846,8 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 self._m2l_opsT[jnp.asarray(
                     np.clip(opid_l, 0, None).astype(np.int64))], 0)
             ops_flat = ops_l.reshape(c * k, k)
+            if halve:
+                ops_flat = ops_flat.astype(jnp.bfloat16)
             nch = -(-(b1 - b0) // bc)
 
             def body(carry, i, *, b0=b0, b1=b1, ops_flat=ops_flat):
@@ -835,9 +855,10 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 rows = ids0 + jnp.arange(bc, dtype=jnp.int64)
                 src = lax.dynamic_slice(
                     cmap, (ids0, jnp.int64(0)), (bc, c))
-                mpg = mpole_exps[jnp.clip(src, 0).astype(jnp.int64)]
+                mpg = mpe[jnp.clip(src, 0).astype(jnp.int64)]
                 mpg = jnp.where((src >= 0)[..., None], mpg, 0)
-                y = mpg.reshape(bc, c * k) @ ops_flat
+                y = jnp.matmul(mpg.reshape(bc, c * k), ops_flat,
+                               preferred_element_type=acc)
                 y = jnp.where((rows < b1)[:, None], y, 0)
                 return lax.dynamic_update_slice(
                     carry, y.astype(carry.dtype),
@@ -846,6 +867,182 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
             out, _ = lax.scan(body, out,
                               jnp.arange(nch, dtype=jnp.int64))
         return out[:nrows]
+
+    #: parent rows per scan trip of the parent-block M2L
+    _M2L_PARENT_ROWS = 256
+
+    def _build_m2l_parent_plan(self):
+        """Parent-block M2L setup: List 2 of every child of a parent P
+        is (children of P's same-level-non-well-sep boxes, well-sep
+        test static per (colleague offset, source digit, target
+        digit)) — so ONE gathered (2^d * K) mpole row per (parent,
+        colleague) serves all 2^d children through a single
+        (m*2^d*K, 2^d*K) matmul whose operator blocks are static per
+        level.  ~2^d fewer gather rows than the class-dense map (the
+        stage is gather-ROW-count bound: ~13 ns/row regardless of
+        width, doc/PERF.md r5) and fewer FLOPs (m*4^d*K^2 vs
+        (4n+3)^d*2^d*K^2 per parent).
+
+        The pair set is validated against the traversal's edge count at
+        setup (one device reduction): masked/exotic traversals whose
+        List 2 is not the static closure fall back to
+        :meth:`_m2l_class_dense`.  Returns True iff active."""
+        trav = self.traversal
+        tree = self.tree
+        plan = self.m2l_plan
+        d = tree.dimensions
+        n_aw = int(getattr(trav, "well_sep_is_n_away", 1))
+        width = 2 * n_aw + 1
+        m = width ** d
+        nchild = 2 ** d
+        nboxes = tree.nboxes
+        nlevels = tree.nlevels
+        from boxtree_tpu.ops import morton as _morton
+
+        starts = trav.same_level_non_well_sep_boxes_starts
+        lists = trav.same_level_non_well_sep_boxes_lists
+        nedges = int(lists.shape[0])
+        if nedges == 0 or plan.nops == 0:
+            return False
+
+        # static (lev, j, q_s, q_t) -> operator id (host, tiny):
+        # vec(tgt - src) = cell(q_t) - cell(q_s) - 2 * off_j
+        level_opid = np.full((nlevels, plan.nclasses), -1, np.int32)
+        for i_op, key in enumerate(plan._used_keys):
+            level_opid[int(key) // plan.nclasses,
+                       int(key) % plan.nclasses] = i_op
+        w_off = width ** np.arange(d)
+        offs = np.stack([(np.arange(m) // w_off[a]) % width - n_aw
+                         for a in range(d)], axis=1)       # (m, d)
+        cq = np.asarray(_morton.deinterleave(
+            jnp.arange(nchild, dtype=jnp.int64), d)).T     # (2^d, d)
+        vec = (cq[None, None, :, :] - cq[None, :, None, :]
+               - 2 * offs[:, None, None, :])         # (m, qs, qt, d)
+        r = plan._radius
+        in_r = ((vec + r >= 0) & (vec + r < 2 * r + 1)).all(axis=-1)
+        lin = ((vec + r) * plan._weights).sum(axis=-1)
+        cls = np.where(in_r, plan._table[np.clip(lin, 0, None)], -1)
+        opid = np.where(cls[None] >= 0,
+                        level_opid[:, np.clip(cls, 0, None)],
+                        -1)                       # (nlevels, m, qs, qt)
+
+        # (nboxes, m) offset-slotted slnws map + totp mask + the pair
+        # count self-check, one jitted setup program
+        child_t = tree.box_child_ids                  # (2^d, nboxes)
+        opid_any = jnp.asarray((opid >= 0).any(axis=(2, 3)))  # (L, m)
+        opid_cnt = jnp.asarray(opid >= 0)         # (L, m, qs, qt) bool
+
+        @partial(jax.jit, static_argnames=())
+        def setup(prefixes, levels, starts, lists, totp_ids, child_t):
+            rows = csr_rows(starts, nedges)
+            cells = _morton.deinterleave(prefixes, d)
+            off = (cells[:, lists.astype(jnp.int64)]
+                   - cells[:, rows])                     # (d, E)
+            slot = jnp.zeros(nedges, jnp.int64)
+            for a in range(d):
+                slot = slot + (off[a] + n_aw) * int(w_off[a])
+            ok = ((off + n_aw >= 0) & (off + n_aw < width)).all(axis=0)
+            pmap = jnp.full((nboxes + 1, m), -1, jnp.int32)
+            pmap = pmap.at[jnp.where(ok, rows, nboxes),
+                           jnp.clip(slot, 0, m - 1)].set(
+                lists.astype(jnp.int32), mode="drop")
+            pmap = pmap[:nboxes]
+            totp = jnp.zeros(nboxes + 1, bool).at[
+                totp_ids.astype(jnp.int64)].set(True)
+            # static pair count must equal the traversal's edge count
+            cnt = jnp.int64(0)
+            for lev in range(1, nlevels):
+                pm_l = pmap[self._lsb[lev - 1]:self._lsb[lev]]
+                ch_l = child_t[:, self._lsb[lev - 1]:self._lsb[lev]]
+                src_ok = child_t[:, jnp.clip(pm_l, 0).astype(jnp.int64)
+                                 ] > 0                 # (qs, np, m)
+                src_ok &= (pm_l > -1)[None]
+                tgt_ok = (ch_l > 0) & totp[jnp.clip(ch_l, 0).astype(
+                    jnp.int64)]                        # (qt, np)
+                cnt = cnt + (src_ok.transpose(1, 2, 0)[:, :, :, None]
+                             & tgt_ok.T[:, None, None, :]
+                             & opid_cnt[lev][None]).sum()
+            return pmap, totp, cnt
+
+        pmap, totp, cnt = setup(
+            tree.box_morton_prefixes, tree.box_levels, starts, lists,
+            trav.target_or_target_parent_boxes, child_t)
+        if int(cnt) != int(plan.tgt.shape[0]):
+            return False
+        self._m2l_parent = (pmap, opid, m, child_t, totp)
+        return True
+
+    def _m2l_parent_dense(self, mpole_exps):
+        """Parent-block M2L execution (see _build_m2l_parent_plan)."""
+        pmap, opid, m, child_t, totp = self._m2l_parent
+        tree = self.tree
+        nchild = 2 ** tree.dimensions
+        k = self._m2l_opsT.shape[1]
+        lsb = [int(x) for x in self._lsb]
+        nboxes = tree.nboxes
+        base = self.local_expansion_zeros()
+        out = base
+        bc = self._M2L_PARENT_ROWS
+
+        halve = (not self.m2l_accurate
+                 and mpole_exps.dtype == jnp.float32
+                 and jax.default_backend() != "cpu")
+        mpe = mpole_exps.astype(jnp.bfloat16) if halve else mpole_exps
+        acc = mpole_exps.dtype
+
+        for lev in range(1, len(lsb) - 1):
+            op_l = opid[lev]                           # (m, qs, qt)
+            if (op_l < 0).all():
+                continue
+            p0, p1 = lsb[lev - 1], lsb[lev]
+            npl = p1 - p0
+
+            chT = child_t[:, p0:p1].T.astype(jnp.int64)   # (np, 2^d)
+            mp8 = mpe[jnp.clip(chT, 0)]
+            mp8 = jnp.where((chT > 0)[..., None], mp8, 0)
+            mp8 = mp8.reshape(npl, nchild * k)
+            mp8 = jnp.concatenate(
+                [mp8, jnp.zeros((1, nchild * k), mp8.dtype)])
+
+            og = self._m2l_opsT[np.clip(op_l, 0, None)]  # (m,qs,qt,K,K)
+            w_t = jnp.where(jnp.asarray(op_l >= 0)[..., None, None],
+                            og, 0)
+            w_t = w_t.transpose(0, 1, 3, 2, 4).reshape(
+                m * nchild * k, nchild * k)
+            if halve:
+                w_t = w_t.astype(jnp.bfloat16)
+
+            npad = -(-npl // bc) * bc
+            pml = jnp.where(pmap[p0:p1] >= 0,
+                            pmap[p0:p1].astype(jnp.int64) - p0, npl)
+            pml = jnp.concatenate(
+                [pml, jnp.full((npad - npl, m), npl, jnp.int64)])
+            ch_pad = jnp.concatenate(
+                [chT, jnp.zeros((npad - npl, nchild), jnp.int64)])
+            ok_pad = jnp.concatenate(
+                [(chT > 0) & totp[jnp.clip(chT, 0)],
+                 jnp.zeros((npad - npl, nchild), bool)])
+
+            def body(carry, i, *, pml=pml, ch_pad=ch_pad,
+                     ok_pad=ok_pad, w_t=w_t, mp8=mp8, npl=npl):
+                r0 = i * bc
+                sl = lax.dynamic_slice(pml, (r0, jnp.int64(0)),
+                                       (bc, m))
+                g = mp8[sl]                            # (bc, m, 2^d*K)
+                y = jnp.matmul(g.reshape(bc, m * nchild * k), w_t,
+                               preferred_element_type=acc)
+                cids = lax.dynamic_slice(ch_pad, (r0, jnp.int64(0)),
+                                         (bc, nchild))
+                ok = lax.dynamic_slice(ok_pad, (r0, jnp.int64(0)),
+                                       (bc, nchild))
+                rows = jnp.where(ok, cids, nboxes).reshape(-1)
+                return carry.at[rows].set(
+                    y.reshape(bc * nchild, k).astype(carry.dtype),
+                    mode="drop", unique_indices=True), None
+
+            out, _ = lax.scan(body, out,
+                              jnp.arange(npad // bc, dtype=jnp.int64))
+        return out
 
     def _m2l_tiled(self, mpole_exps):
         """Dense M2L over the tile-aligned plan: a scan over batches of

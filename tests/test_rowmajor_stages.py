@@ -135,3 +135,29 @@ def test_m2p_rowmajor_pair_lanes(monkeypatch):
         list(trav.from_sep_smaller_by_level), mp)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(edge),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_m2l_parent_dense_matches_class_dense(monkeypatch):
+    """The parent-block M2L (one gathered (2^d K) row per (parent,
+    colleague) serving all children, r5) equals the class-dense map
+    formulation — which is itself equality-tested against the grouped
+    edge path — in f64 to roundoff, on an adaptive tree with boundary
+    and leaf-parent irregularities."""
+    from boxtree_tpu.models.expansion_base import ExpansionWranglerBase
+    monkeypatch.setattr(ExpansionWranglerBase, "_M2L_EDGE_CHUNK", 1)
+    monkeypatch.setattr(ExpansionWranglerBase, "_M2L_DENSE_MAP_BYTES",
+                        1 << 34)
+    rng = np.random.default_rng(4)
+    pts = np.concatenate([rng.random((3, 6000)),
+                          rng.random((3, 3000)) * 0.12 + 0.2], axis=1)
+    tree = build_tree(pts, max_particles_in_box=20)
+    trav = build_traversal(tree)
+    w = make_laplace_wrangler(trav, order=3, pairs=True, rscale="auto",
+                              dtype=np.float64)
+    assert w._m2l_parent is not None, \
+        "static pair count must match the traversal edge count"
+    mp = jnp.asarray(rng.standard_normal(
+        (tree.nboxes, w.ncoeff)))
+    got = np.asarray(w._m2l_parent_dense(mp))
+    ref = np.asarray(w._m2l_class_dense(mp))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
