@@ -305,11 +305,15 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
 
         # }}}
 
-        self.src_blocks = ParticleBlocks(tree, "source")
-        if tree.sources_are_targets:
-            self.tgt_blocks = self.src_blocks
-        else:
-            self.tgt_blocks = ParticleBlocks(tree, "target")
+        # particle blocks are cached properties: normally built at the
+        # end of __init__ (stage methods may run under jit, where the
+        # static pmax could no longer be computed), but with
+        # ``_defer_blocks`` set — the sharded runner's local-particles
+        # mode, which builds its per-rank blocks by exchange from
+        # mesh-sharded coordinates — the replicated (nboxes, pmax, d)
+        # arrays are never materialized at all
+        self._src_blocks = self._tgt_blocks = None
+        self._dip_blocks_cache = None
 
         if dipole_vec is not None:
             if not self._supports_dipoles:
@@ -321,10 +325,6 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                                  "(dimensions, nsources)")
             if not dipoles_already_reordered:
                 dipole_vec = dipole_vec[:, tree.user_source_ids]
-            # per-box padded blocks for the P2P / P2L edge kernels
-            self._dip_blocks = jnp.stack(
-                [self.src_blocks.gather_values(dipole_vec[ax])
-                 for ax in range(self.dim)], axis=-1)
         self.dipole_vec = dipole_vec
 
         self._lsb = tree.level_start_box_nrs
@@ -445,6 +445,11 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
         self._build_l1_row_plan(traversal)
         self._build_m2p_row_plan(traversal)
         self._build_p2l_row_plan(traversal)
+
+        if not self._defer_blocks:
+            self.src_blocks, self.tgt_blocks  # noqa: B018  (build now)
+            if dipole_vec is not None:
+                self._dip_blocks  # noqa: B018
 
         # per-(level, digit) M2M / L2L operator stacks (transposed for
         # row-vector application) + digit-sorted box plans
@@ -775,6 +780,42 @@ class ExpansionWranglerBase(ExpansionWranglerInterface):
                 <= self._M2L_DENSE_MAP_BYTES
                 and os.environ.get("BOXTREE_TPU_M2L_CLASS_DENSE",
                                    "1") == "1")
+
+    #: when True, new wranglers skip building the replicated particle
+    #: blocks at construction (the sharded runner's local-particles
+    #: mode toggles this around its wrangler_factory call; stage
+    #: methods that need the blocks must then not run under jit before
+    #: first use)
+    _defer_blocks = False
+
+    @property
+    def src_blocks(self):
+        """Padded per-box source particle blocks, built eagerly at
+        construction unless ``_defer_blocks`` (the sharded runner's
+        local-particles mode exchanges per-rank blocks from
+        mesh-sharded coordinates instead and never touches these
+        replicated arrays)."""
+        if self._src_blocks is None:
+            self._src_blocks = ParticleBlocks(self.tree, "source")
+        return self._src_blocks
+
+    @property
+    def tgt_blocks(self):
+        if self._tgt_blocks is None:
+            if self.tree.sources_are_targets:
+                self._tgt_blocks = self.src_blocks
+            else:
+                self._tgt_blocks = ParticleBlocks(self.tree, "target")
+        return self._tgt_blocks
+
+    @property
+    def _dip_blocks(self):
+        """(nboxes, pmax, d) dipole blocks (lazy, like src_blocks)."""
+        if self._dip_blocks_cache is None:
+            self._dip_blocks_cache = jnp.stack(
+                [self.src_blocks.gather_values(self.dipole_vec[ax])
+                 for ax in range(self.dim)], axis=-1)
+        return self._dip_blocks_cache
 
     #: with True, ONLY the M2L operator matmuls run at
     #: ``Precision.HIGHEST`` (6-pass f32 emulation on the MXU).  M2L is

@@ -233,13 +233,16 @@ class ShardedFMMRunner(DistributedFMMRunner):
             lists = sharded_traversal_lists(
                 tree, skel, mesh, capacity_factor=capacity_factor)
 
-        # The wrangler's particle blocks and reorder maps become
-        # closure constants of the SPMD step; a sharded array there
-        # clashes with the Manual mesh context, so re-place the
-        # particle-sized arrays replicated.  (This matches the
-        # non-``local_particles`` semantics of the base runner — the
-        # per-rank local-block mode is the follow-up memory-scaling
-        # step, like ``local_tree.py:198-495`` in the reference.)
+        # Non-local mode: the wrangler's particle blocks and reorder
+        # maps become closure constants of the SPMD step; a sharded
+        # array there clashes with the Manual mesh context, so
+        # re-place the particle-sized arrays replicated.  Local mode:
+        # the coordinates STAY mesh-sharded — per-rank blocks are
+        # built by exchange from them (``_setup_local_blocks``) and
+        # the wrangler's global blocks are lazy and never touched; the
+        # user<->tree reorder maps remain replicated as interface
+        # arrays (the reference's root rank holds them too,
+        # ``distributed/__init__.py:247-248``).
         import dataclasses
 
         def _rep(x):
@@ -247,16 +250,19 @@ class ShardedFMMRunner(DistributedFMMRunner):
             # constant trips the Manual-mesh check inside shard_map)
             return jnp.asarray(np.asarray(x))
 
-        sources = _rep(tree.sources)
-        tree = dataclasses.replace(
-            tree,
-            sources=sources,
-            targets=(sources if tree.sources_are_targets
-                     else _rep(tree.targets)),
+        self._coords_sharded = tree.sources
+        repl = dict(
             user_source_ids=_rep(tree.user_source_ids),
             sorted_target_ids=_rep(tree.sorted_target_ids),
             box_id_of_source=_rep(tree.box_id_of_source),
             box_id_of_target=_rep(tree.box_id_of_target))
+        if not self.local_particles:
+            sources = _rep(tree.sources)
+            repl.update(
+                sources=sources,
+                targets=(sources if tree.sources_are_targets
+                         else _rep(tree.targets)))
+        tree = dataclasses.replace(tree, **repl)
         self.tree = tree
         self.traversal = None            # no global traversal exists
 
@@ -375,7 +381,20 @@ class ShardedFMMRunner(DistributedFMMRunner):
         if wrangler_factory is None:
             wrangler_factory = _default_wrangler_factory
         shim = ShardedTraversalShim(tree, m2l_used_keys=used_keys)
-        self.wrangler = wrangler_factory(shim)
+        if self.local_particles:
+            # never materialize the replicated (nboxes, pmax, d)
+            # particle blocks: the local mode exchanges per-rank
+            # blocks from the mesh-sharded coordinates instead
+            from boxtree_tpu.models.expansion_base import (
+                ExpansionWranglerBase as _EWB)
+            prev = _EWB._defer_blocks
+            _EWB._defer_blocks = True
+            try:
+                self.wrangler = wrangler_factory(shim)
+            finally:
+                _EWB._defer_blocks = prev
+        else:
+            self.wrangler = wrangler_factory(shim)
         m2l_plan = getattr(self.wrangler, "m2l_plan", None)
 
         # {{{ device program B: per-rank List-2 operator sort
@@ -527,35 +546,35 @@ class ShardedFMMRunner(DistributedFMMRunner):
 
     def _setup_local_blocks(self, mesh, nranks, nboxes, owned_masks,
                             bid_pad, nb):
-        """Per-rank LOCAL particle blocks, extracted ON DEVICE (the
-        sharded analogue of the base runner's ``local_particles`` mode;
-        reference: ``boxtree/distributed/local_tree.py:198-495``).
+        """Per-rank LOCAL particle blocks, built BY EXCHANGE from the
+        MESH-SHARDED sorted coordinates (the sharded analogue of the
+        base runner's ``local_particles`` mode; reference:
+        ``boxtree/distributed/local_tree.py:198-495``).
 
         Each rank keeps only the source blocks its P2M/P2P/P2L work
         touches (owned source boxes + the sources of its ``e1``/``e4``
         edge slices, read off the device edge arrays — no O(E) host
         work) and the target blocks of its owned target boxes.  Edge
         endpoints are remapped to local block rows by one scatter +
-        gather per list.  The block gathers read the wrangler's
-        (replicated) global block arrays, so setup still holds an
-        O(n) transient per device; the *persistent* step state — the
-        arrays the FMM step closes over — scales ~1/nranks.  (Building
-        the blocks from mesh-sharded coordinates with a boundary
-        ``ppermute`` halo exchange, killing the setup transient too,
-        is the remaining step; the analogue of the reference's
-        ``distribute_source_weights``.)
-        """
+        gather per list.  Per-lane tree-order particle indices come
+        from the O(nboxes) starts/counts tables (a block's particles
+        are one contiguous tree-order run), so no replicated
+        (nboxes, pmax, d) block array is ever built: the coordinate
+        (and dipole) VALUES arrive from the mesh-sharded sorted arrays
+        through the same static request/serve ``all_to_all`` tables the
+        per-step weights ride.  Setup and step memory are both
+        ~n/nranks per device — the reference's ``generate_local_tree``
+        contract."""
         from boxtree_tpu.parallel.shard_build import _shard_map
         from boxtree_tpu.tree.containers import box_flags_enum as _F
 
         tree = self.tree
         axis = self.axis_name
         wrangler = self.wrangler
-        if not hasattr(wrangler, "src_blocks"):
+        if not hasattr(wrangler, "_src_blocks"):
             raise TypeError(
                 "local_particles requires an ExpansionWranglerBase "
                 "wrangler (particle-block protocol)")
-        sb, tb = wrangler.src_blocks, wrangler.tgt_blocks
         sp = P(axis, None)
         sp3 = P(axis, None, None)
 
@@ -596,13 +615,23 @@ class ShardedFMMRunner(DistributedFMMRunner):
         cap_src = max(1, int(np.max(np.asarray(s_counts))))
 
         # program C2: compact per-rank source-box lists, local-row edge
-        # remaps, and the block gathers (one static-shape program)
-        sb_pts, sb_pm, sb_idx = sb.points, sb.mask, sb.index
-        tb_pts, tb_pm, tb_idx = tb.points, tb.mask, tb.index
+        # remaps, and the block INDEX tables (one static-shape
+        # program).  Indices derive from the O(nboxes) starts/counts
+        # tables — a box's nonchild particles are one contiguous
+        # tree-order run (matching ``ParticleBlocks`` exactly) — so no
+        # particle-sized array is read here.
         has_dip = wrangler.dipole_vec is not None
-        dip_blocks = (wrangler._dip_blocks if has_dip
-                      else jnp.zeros((1, 1, tree.dimensions),
-                                     sb_pts.dtype))
+        dims = tree.dimensions
+        src_starts_d = jnp.asarray(
+            tree.box_source_starts).astype(jnp.int64)
+        src_cnt_np = np.asarray(tree.box_source_counts_nonchild)
+        src_cnt_d = jnp.asarray(src_cnt_np).astype(jnp.int64)
+        tgt_starts_d = jnp.asarray(
+            tree.box_target_starts).astype(jnp.int64)
+        tgt_cnt_np = np.asarray(tree.box_target_counts_nonchild)
+        tgt_cnt_d = jnp.asarray(tgt_cnt_np).astype(jnp.int64)
+        pm_s = max(1, int(src_cnt_np.max()))
+        pm_t = max(1, int(tgt_cnt_np.max()))
 
         def prep_c(need, tbox, osrc, e1, e3, e4):
             need, tbox, osrc = need[0], tbox[0], osrc[0]
@@ -632,27 +661,158 @@ class ShardedFMMRunner(DistributedFMMRunner):
                 [e4[:, 0],
                  jnp.where(v4, row_of_s[jnp.clip(e4[:, 1], 0)], 0)], -1)
 
-            s_pts = sb_pts[sb_safe]
-            s_pm = sb_pm[sb_safe] & (sbox >= 0)[:, None]
-            s_idx = jnp.where(s_pm, sb_idx[sb_safe], -1)
+            jj = jnp.arange(pm_s, dtype=jnp.int64)
+            s_pm = ((jj[None] < src_cnt_d[sb_safe][:, None])
+                    & (sbox >= 0)[:, None])
+            s_idx = jnp.where(
+                s_pm, src_starts_d[sb_safe][:, None] + jj[None],
+                -1).astype(jnp.int32)
             s_p2m = jnp.where((sbox >= 0) & osrc[sb_safe],
                               sbox, -1).astype(jnp.int32)
-            s_dip = (dip_blocks[sb_safe] if has_dip
-                     else dip_blocks[jnp.zeros(1, jnp.int64)])
-            t_pts = tb_pts[tb_safe]
-            t_pm = tb_pm[tb_safe] & (tbox >= 0)[:, None]
-            t_idx = jnp.where(t_pm, tb_idx[tb_safe], -1)
+            jt = jnp.arange(pm_t, dtype=jnp.int64)
+            t_pm = ((jt[None] < tgt_cnt_d[tb_safe][:, None])
+                    & (tbox >= 0)[:, None])
+            t_idx = jnp.where(
+                t_pm, tgt_starts_d[tb_safe][:, None] + jt[None],
+                -1).astype(jnp.int32)
             return tuple(x[None] for x in (
-                e1l, e3l, e4l, s_pts, s_pm, s_idx, s_p2m, s_dip,
-                t_pts, t_pm, t_idx))
+                e1l, e3l, e4l, s_pm, s_idx, s_p2m, t_pm, t_idx))
 
-        sp4 = P(axis, None, None, None)
         outs = jax.jit(_shard_map(
             prep_c, mesh, (sp, sp, sp, sp3, sp3, sp3),
-            (sp3, sp3, sp3, sp4, sp3, sp3, sp, sp4, sp4, sp3, sp3)))(
+            (sp3, sp3, sp3, sp3, sp3, sp, sp3, sp3)))(
             need_d, t_box_d, osrc_d, self.e1, self.e3, self.e4)
         (self.e1_local, self.e3_local, self.e4_local,
-         s_pts, s_pm, s_idx, s_p2m, s_dip, t_pts, t_pm, t_idx) = outs
+         s_pm, s_idx, s_p2m, t_pm, t_idx) = outs
+
+        # program D: static request/serve exchange tables (the device
+        # analogue of the reference's ``distribute_source_weights``,
+        # ``calculation.py:85-105``): the traversal fixes which
+        # tree-order particles each rank's blocks hold, so ONE
+        # fixed-capacity ``all_to_all`` of VALUES rides the tables —
+        # per-step for the weights, once at setup for the coordinate
+        # (and dipole) lanes.  No replicated particle-sized array
+        # exists at any point.
+        dtype = wrangler.dtype
+        n = int(tree.nsources)
+        per = n // nranks
+
+        def make_exchange(idx_blocks, pm_blocks):
+            """(serve, fill, cap, gather) for per-lane tree-order
+            indices *idx_blocks* against length-*n* mesh-sharded value
+            arrays; ``gather(serve, fill, vals_sh)`` routes (per, V)
+            value lanes into the block shape."""
+            blk_shape = idx_blocks.shape[1:]
+            lanes = int(np.prod(blk_shape))
+
+            def tables(s_idx, s_pm, cap):
+                rank = lax.axis_index(axis).astype(jnp.int64)
+                need = s_pm & (s_idx >= 0)
+                idx = jnp.where(need, s_idx.astype(jnp.int64),
+                                n).reshape(-1)
+                owner = jnp.minimum(idx // per, nranks - 1)
+                owner = jnp.where(idx < n, owner, nranks)
+                owner_s, idx_s, pos_s = lax.sort(
+                    (owner, idx, jnp.arange(lanes, dtype=jnp.int64)),
+                    num_keys=1)
+                starts = jnp.searchsorted(
+                    owner_s, jnp.arange(nranks + 1, dtype=jnp.int64))
+                lens = starts[1:] - starts[:-1]
+                if cap is None:
+                    return lens.max(), None
+                j = jnp.arange(cap, dtype=jnp.int64)
+                rows = starts[:-1, None] + j[None, :]
+                ok = j[None, :] < lens[:, None]
+                rows_c = jnp.clip(rows, 0, lanes - 1)
+                req = jnp.where(ok, idx_s[rows_c], -1)
+                fill = jnp.where(ok, pos_s[rows_c], -1)
+                # ship requests home; owners keep LOCAL serve indices
+                serve = lax.all_to_all(req, axis, 0, 0, tiled=False)
+                serve = jnp.where(serve >= 0, serve - rank * per, -1)
+                return serve, fill
+
+            def count_fn(s_idx, s_pm):
+                return tables(s_idx[0], s_pm[0], None)[0][None]
+
+            cap = max(1, int(np.max(np.asarray(jax.jit(_shard_map(
+                count_fn, mesh, (sp3, sp3), P(axis)))(
+                idx_blocks, pm_blocks)))))
+
+            def setup_fn(s_idx, s_pm):
+                serve, fill = tables(s_idx[0], s_pm[0], cap)
+                return serve[None], fill[None]
+
+            serve, fill = jax.jit(_shard_map(
+                setup_fn, mesh, (sp3, sp3), (sp3, sp3)))(
+                idx_blocks, pm_blocks)
+
+            def make_gather(v, dt):
+                def gather(serve, fill, vals_sh):
+                    sv, fl, vals = serve[0], fill[0], vals_sh[0]
+                    if v == 0:
+                        send = jnp.where(
+                            sv >= 0, vals[jnp.clip(sv, 0)],
+                            0).astype(dt)
+                        recv = lax.all_to_all(send, axis, 0, 0,
+                                              tiled=False)
+                        out = jnp.zeros(lanes, dt).at[
+                            jnp.where(fl >= 0, fl, lanes).reshape(-1)
+                        ].set(recv.reshape(-1), mode="drop",
+                              unique_indices=True)
+                        return out.reshape(blk_shape)[None]
+                    send = jnp.where(
+                        (sv >= 0)[..., None],
+                        vals[jnp.clip(sv, 0)], 0).astype(dt)
+                    recv = lax.all_to_all(send, axis, 0, 0,
+                                          tiled=False)
+                    out = jnp.zeros((lanes, v), dt).at[
+                        jnp.where(fl >= 0, fl, lanes).reshape(-1)
+                    ].set(recv.reshape(-1, v), mode="drop",
+                          unique_indices=True)
+                    return out.reshape(blk_shape + (v,))[None]
+                return gather
+
+            return serve, fill, cap, make_gather
+
+        (self._w_serve, self._w_fill, self._w_cap,
+         make_gather_s) = make_exchange(s_idx, s_pm)
+        self._gather_q = jax.jit(_shard_map(
+            make_gather_s(0, dtype), mesh, (sp3, sp3, sp), sp3))
+
+        # coordinate (+ dipole) lanes: routed ONCE at setup from the
+        # mesh-sharded sorted sources (kept aside before the non-local
+        # mode's replication, ``self._coords_sharded``)
+        coords = self._coords_sharded                    # (dims, n)
+        cdt = coords.dtype
+        sp4 = P(axis, None, None, None)
+        vals_s = jnp.moveaxis(coords, 0, 1)              # (n, dims)
+        nv = dims + (dims if has_dip else 0)
+        if has_dip:
+            vals_s = jnp.concatenate(
+                [vals_s,
+                 jnp.moveaxis(jnp.asarray(wrangler.dipole_vec),
+                              0, 1).astype(cdt)], axis=1)
+        vals_sh = jax.device_put(
+            jnp.asarray(vals_s).reshape(nranks, per, nv),
+            NamedSharding(mesh, sp3))
+        routed = jax.jit(_shard_map(
+            make_gather_s(nv, cdt), mesh, (sp3, sp3, sp3), sp4))(
+            self._w_serve, self._w_fill, vals_sh)
+        s_pts = routed[..., :dims]
+        s_dip = (routed[..., dims:] if has_dip
+                 else jnp.zeros((nranks, 1, 1, dims), cdt))
+
+        # target blocks: own exchange tables (flagship config —
+        # targets are the same sorted particles)
+        (t_serve, t_fill, _t_cap, make_gather_t) = make_exchange(
+            t_idx, t_pm)
+        t_pts = jax.jit(_shard_map(
+            make_gather_t(dims, cdt), mesh, (sp3, sp3, sp3), sp4))(
+            t_serve, t_fill, jax.device_put(
+                jnp.asarray(jnp.moveaxis(coords, 0, 1)).reshape(
+                    nranks, per, dims),
+                NamedSharding(mesh, sp3)))
+
         self._local = {
             "src_points": s_pts, "src_pmask": s_pm, "src_index": s_idx,
             "src_p2m_boxes": s_p2m, "src_dip": s_dip,
@@ -664,82 +824,6 @@ class ShardedFMMRunner(DistributedFMMRunner):
         self.local_bytes_per_rank = sum(
             int(np.prod(v.shape[1:])) * v.dtype.itemsize
             for v in self._local.values())
-
-        # program D: per-rank weight blocks from MESH-SHARDED sorted
-        # weights (the device analogue of the reference's
-        # ``distribute_source_weights``, ``calculation.py:85-105``):
-        # the step never sees a replicated (n,)-sized weight array.
-        # The exchange tables are STATIC (the traversal fixes which
-        # tree-order weights each rank needs), so they are computed
-        # once here — at step time one fixed-capacity ``all_to_all``
-        # of VALUES rides them.
-        dtype = wrangler.dtype
-        n = int(tree.nsources)
-        per = n // nranks
-        lanes_q = int(np.prod(self._local["src_index"].shape[1:]))
-
-        def count_w(s_idx, s_pm):
-            s_idx, s_pm = s_idx[0], s_pm[0]
-            need = s_pm & (s_idx >= 0)
-            idx = jnp.where(need, s_idx.astype(jnp.int64), n).reshape(-1)
-            owner = jnp.minimum(idx // per, nranks - 1)
-            owner = jnp.where(idx < n, owner, nranks)
-            owner_s, idx_s, pos_s = lax.sort(
-                (owner, idx, jnp.arange(lanes_q, dtype=jnp.int64)),
-                num_keys=1)
-            starts = jnp.searchsorted(
-                owner_s, jnp.arange(nranks + 1, dtype=jnp.int64))
-            lens = starts[1:] - starts[:-1]
-            return lens.max()[None]
-
-        cap_w = int(np.max(np.asarray(jax.jit(_shard_map(
-            count_w, mesh, (sp3, sp3), P(axis)))(
-            self._local["src_index"], self._local["src_pmask"]))))
-        cap_w = max(1, cap_w)
-        self._w_cap = cap_w
-
-        def setup_w(s_idx, s_pm):
-            s_idx, s_pm = s_idx[0], s_pm[0]
-            rank = lax.axis_index(axis).astype(jnp.int64)
-            need = s_pm & (s_idx >= 0)
-            idx = jnp.where(need, s_idx.astype(jnp.int64), n).reshape(-1)
-            owner = jnp.minimum(idx // per, nranks - 1)
-            owner = jnp.where(idx < n, owner, nranks)
-            owner_s, idx_s, pos_s = lax.sort(
-                (owner, idx, jnp.arange(lanes_q, dtype=jnp.int64)),
-                num_keys=1)
-            starts = jnp.searchsorted(
-                owner_s, jnp.arange(nranks + 1, dtype=jnp.int64))
-            lens = starts[1:] - starts[:-1]
-            j = jnp.arange(cap_w, dtype=jnp.int64)
-            rows = starts[:-1, None] + j[None, :]
-            ok = j[None, :] < lens[:, None]
-            rows_c = jnp.clip(rows, 0, lanes_q - 1)
-            req = jnp.where(ok, idx_s[rows_c], -1)       # (nranks, cap_w)
-            fill = jnp.where(ok, pos_s[rows_c], -1)
-            # ship requests home; owners keep LOCAL serve indices
-            serve = lax.all_to_all(req, axis, 0, 0, tiled=False)
-            serve = jnp.where(serve >= 0, serve - rank * per, -1)
-            return serve[None], fill[None]
-
-        self._w_serve, self._w_fill = jax.jit(_shard_map(
-            setup_w, mesh, (sp3, sp3), (sp3, sp3)))(
-            self._local["src_index"], self._local["src_pmask"])
-
-        blk_shape = self._local["src_index"].shape[1:]
-
-        def gather_q(serve, fill, w_sh):
-            serve, fill, w = serve[0], fill[0], w_sh[0]
-            send = jnp.where(serve >= 0,
-                             w[jnp.clip(serve, 0)], 0).astype(dtype)
-            recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
-            q = jnp.zeros(lanes_q, dtype).at[
-                jnp.where(fill >= 0, fill, lanes_q).reshape(-1)].set(
-                recv.reshape(-1), mode="drop", unique_indices=True)
-            return q.reshape(blk_shape)[None]
-
-        self._gather_q = jax.jit(_shard_map(
-            gather_q, mesh, (sp3, sp3, sp), sp3))
 
         # per-rank OWNED-TARGET windows: a rank's owned target boxes
         # are a contiguous run of leaves, so their (tree-order) target

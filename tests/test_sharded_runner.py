@@ -84,6 +84,13 @@ def test_sharded_laplace_local_particles(mesh, pts,
     err = np.abs(dist - ref).max() / np.abs(ref).max()
     assert err < 1e-12, err
 
+    # SETUP memory contract (r5): the replicated global particle
+    # blocks were never materialized — the per-rank blocks came by
+    # exchange from the mesh-sharded coordinates — and the tree's
+    # coordinate arrays stayed mesh-sharded end to end
+    assert runner.wrangler._src_blocks is None
+    assert len(runner.tree.sources.sharding.device_set) > 1
+
     # step-state memory: per-rank blocks must be far below the global
     # block footprint (halo overhead allows a generous factor)
     sb, tb = runner.wrangler.src_blocks, runner.wrangler.tgt_blocks
