@@ -72,10 +72,19 @@ class ParticleBlocks:
 
 
 def csr_rows(starts, nedges):
-    """Row index of every edge in a CSR list (jit-safe)."""
-    return (jnp.searchsorted(
-        starts.astype(jnp.int64),
-        jnp.arange(nedges, dtype=jnp.int64), side="right") - 1)
+    """Row index of every edge in a CSR list (jit-safe).
+
+    Implemented as start-marks + one cumsum: device ``searchsorted``
+    costs ~550 ns/query on the target TPU (doc/PERF.md r5) — at the
+    M2L plan's edge counts that is seconds of setup — while the
+    scatter is row-sized and the cumsum ~5 ns/edge.  Interior starts
+    equal to *nedges* (empty tail rows) drop out of bounds, matching
+    the searchsorted semantics."""
+    if nedges == 0:
+        return jnp.zeros(0, jnp.int64)
+    marks = jnp.zeros(nedges, jnp.int64).at[
+        starts[1:-1].astype(jnp.int64)].add(1, mode="drop")
+    return jnp.cumsum(marks)
 
 
 _GMM_TILE = 64

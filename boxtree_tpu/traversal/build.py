@@ -1887,11 +1887,9 @@ def merge_close_lists(trav):
     nrows = trav.ntarget_boxes
 
     def edges(starts, lists):
-        starts = starts.astype(jnp.int64)
-        rows = (jnp.searchsorted(
-            starts, jnp.arange(lists.shape[0], dtype=jnp.int64),
-            side="right") - 1)
-        return rows, lists.astype(jnp.int64)
+        from boxtree_tpu.models.particle_blocks import csr_rows
+        return (csr_rows(starts, int(lists.shape[0])),
+                lists.astype(jnp.int64))
 
     parts = [edges(trav.neighbor_source_boxes_starts,
                    trav.neighbor_source_boxes_lists),
