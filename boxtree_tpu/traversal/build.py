@@ -1212,7 +1212,7 @@ def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
                 * _ROW_CHUNK * m
                 for ls, lt in levels)
 
-        if l1_same_rows:
+        if l1_same_rows and not ext:
             # sources_are_targets: ONE row gather per leaf row serves
             # both sides in a single fused scan
             levels = [(ls_tgt, lt) for lt in range(nlevels)
@@ -1237,8 +1237,20 @@ def _edge_emit_pass(prefixes, target_boxes, part_boxes, box_flags,
                 p0, p1 = ls_part[lt], ls_part[lt + 1]
                 if p1 != p0 and lt > 0:
                     rows = part_boxes[p0:p1]
-                    s_plan.append((l1sg(lt), rows,
-                                   (rows.astype(jnp.int64),)))
+                    if ext:
+                        # with target extents INTERNAL boxes carry
+                        # nonchild targets, so a source leaf can owe
+                        # List-1 entries to SEVERAL coarser target
+                        # boxes along one ancestor chain — the clamped
+                        # table's one-entry-per-cell source side misses
+                        # the intermediate ones (r5 fix; this also
+                        # covers ancestors CONTAINING the source leaf,
+                        # via the zero offset): per-level generic gen
+                        s_plan.append((l1_src(lt), rows,
+                                       (rows.astype(jnp.int64),)))
+                    else:
+                        s_plan.append((l1sg(lt), rows,
+                                       (rows.astype(jnp.int64),)))
             size = plan_size([(ls_tgt, lt) for lt in range(nlevels)
                               if ls_tgt[lt + 1] > ls_tgt[lt]])
             bufT = jnp.zeros(size, jnp.int64)

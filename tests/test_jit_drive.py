@@ -108,16 +108,19 @@ def test_m2l_tiled_matches_one_shot(monkeypatch):
 
 
 def test_m2l_class_dense_matches_one_shot(monkeypatch):
-    """The scatter-free class-dense M2L (contiguous per-level row
-    chunks x one big matmul) must match the one-shot grouped
-    formulation to roundoff, eagerly and under the staged driver."""
+    """The scatter-free dense M2L (parent-block by default, r5; the
+    class-dense map where the static pair set doesn't apply) must
+    match the one-shot grouped formulation to roundoff, eagerly and
+    under the staged driver."""
     from boxtree_tpu.models.expansion_base import ExpansionWranglerBase
 
     monkeypatch.setattr(ExpansionWranglerBase, "_M2L_EDGE_CHUNK", 128)
     monkeypatch.setattr(ExpansionWranglerBase, "_M2L_DENSE_ROWS", 32)
     w, charges = _setup(n=3000, order=4)
     assert w._m2l_use_class_dense()
-    assert getattr(w.m2l_plan, "_class_dense_cache", None) is not None
+    assert (w._m2l_parent is not None
+            or getattr(w.m2l_plan, "_class_dense_cache", None)
+            is not None)
 
     mp = w.form_multipoles(
         w.traversal.level_start_source_box_nrs,
